@@ -1,0 +1,99 @@
+"""Deterministic, vectorized hashing primitives.
+
+Everything here must be stable across processes and machines — replay must
+reconverge to a sha256-identical final table (BASELINE.json north_rule), which
+is why the reference's random `uuid4()` minting
+(arches_rascoll/ref_collection.py:138,167) is replaced by content-derived
+hashes throughout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Namespace for deterministic uuid5 minting (replaces reference uuid4).
+ENGINE_UUID_NS = uuid.uuid5(uuid.NAMESPACE_URL, "arches-rascoll-etl-ray")
+
+KEY_SEP = "\x00"  # cannot appear in repo/path
+
+
+def combine_key(table_or_cols, left: str = "repo", right: str = "path") -> pa.Array:
+    """Exact composite key `repo\\x00path` as a single Arrow string column.
+
+    Used for exact anti-join / is_in membership (no hash-collision risk) —
+    the engine's analogue of the reference's NOT IN idempotence guards
+    (arches_rascoll/ref_collection.py:305-314).
+    """
+    return pc.binary_join_element_wise(
+        pc.cast(table_or_cols[left], pa.string()),
+        pc.cast(table_or_cols[right], pa.string()),
+        KEY_SEP,
+    )
+
+
+def stable_hash64(arr) -> np.ndarray:
+    """Vectorized, process-stable 64-bit hash of a string array.
+
+    pandas' hash_array (SipHash-1-3 with a fixed key) is deterministic across
+    interpreter runs and machines, unlike Python's salted `hash()`.
+    """
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_pandas()
+    values = np.asarray(arr, dtype=object)
+    return pd.util.hash_array(values, categorize=False)
+
+
+def partition_ids(key_hash: np.ndarray, num_partitions: int) -> np.ndarray:
+    return (key_hash % np.uint64(num_partitions)).astype(np.int32)
+
+
+def sha256_hex(text: str | bytes) -> str:
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    return hashlib.sha256(text).hexdigest()
+
+
+def sha256_hex_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row sha256 hex of a string column (null-preserving)."""
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    out: list[str | None] = []
+    for chunk in chunks:
+        for v in chunk:
+            s = v.as_py()
+            out.append(None if s is None else hashlib.sha256(s.encode("utf-8")).hexdigest())
+    return pa.array(out, type=pa.string())
+
+
+def deterministic_uuid(*parts: str) -> str:
+    """uuid5 over a composite key — deterministic id minting (the replay-safe
+    replacement for the reference's uuid4 at ref_collection.py:138-141)."""
+    return str(uuid.uuid5(ENGINE_UUID_NS, KEY_SEP.join(parts)))
+
+
+def hex16(values: np.ndarray) -> pd.Series:
+    """Format a uint64 array as 16-char lowercase hex strings."""
+    return pd.Series(values).map("{:016x}".format)
+
+
+def table_content_sha256(table: pa.Table, columns: list[str]) -> str:
+    """Canonical sha256 of selected columns of an Arrow table, row-order
+    sensitive. Callers sort by key first so the digest is replay-stable
+    (the determinism role of the reference's ORDER BY resourceinstanceid,
+    arches_rascoll/ref_collection.py:415)."""
+    h = hashlib.sha256()
+    for col in columns:
+        arr = table[col]
+        chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+        for chunk in chunks:
+            for v in chunk:
+                s = v.as_py()
+                h.update(b"\x00" if s is None else str(s).encode("utf-8"))
+            h.update(b"\x01")
+        h.update(col.encode("utf-8"))
+    return h.hexdigest()

@@ -1,0 +1,241 @@
+"""The CDC engine driver: epoch loop, replay, snapshot, verification.
+
+Epoch lifecycle (SURVEY.md §3 "new-engine lifecycle"):
+
+    read_parquet(changelog shards, LSN-pruned)          # source
+      └─ map_batches(normalize)                         # stateless Arrow tasks:
+           evolution projection, content_sha lineage, partition/salt
+           assignment, within-batch LWW combiner
+      └─ [salt_partitions>1] groupby(_part,_salt).map_groups(partial LWW)
+      └─ groupby(_part).map_groups(merge)               # one task per touched
+           partition: watermark guard, final LWW, upsert vs prev snapshot,
+           atomic parquet write + manifest (exactly-once commit record)
+      └─ tiny stats table (≤ num_partitions rows) → driver commits the epoch
+         checkpoint atomically.
+
+The only all-to-all exchange is the groupby on `_part` (plus the optional
+salted pre-reduce); the combiner bounds its volume to ≤1 row per touched key
+per input batch. No stage materializes the full dataset: the per-partition
+snapshots live on disk, the epoch delta streams through the object store.
+
+This module never calls ray.init()/shutdown() (driver contract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.sources.changelog import max_available_lsn, shards_for_range
+from arches_rascoll_etl_ray.stages.merge import lake_columns, make_merge_fn
+from arches_rascoll_etl_ray.stages.normalize import make_normalize_fn, make_salted_reduce_fn
+from arches_rascoll_etl_ray.state.checkpoint import Checkpoint, load_latest_checkpoint, save_checkpoint
+from arches_rascoll_etl_ray.state.manifest import PartitionManifest
+
+logger = logging.getLogger(__name__)
+
+
+class CDCEngine:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self._validate_lake_config()
+
+    # ---------------------------------------------------------------- state
+
+    def _lake_config_path(self) -> str:
+        import os
+
+        return os.path.join(self.cfg.lake_dir, "_lake_config.json")
+
+    def _validate_lake_config(self) -> None:
+        """num_partitions is part of the lake's physical identity — keys hash
+        to partitions by it. Reopening with a different value would silently
+        scatter keys across partitions (duplicate rows), so it is pinned at
+        lake creation and validated on every open."""
+        import json
+        import os
+
+        p = self._lake_config_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                stored = json.load(f)
+            if stored["num_partitions"] != self.cfg.num_partitions:
+                raise ValueError(
+                    f"lake at {self.cfg.lake_dir} was created with "
+                    f"num_partitions={stored['num_partitions']}; got "
+                    f"{self.cfg.num_partitions}. Repartitioning requires a "
+                    "full rewrite (not supported in-place)."
+                )
+        else:
+            os.makedirs(self.cfg.lake_dir, exist_ok=True)
+            from arches_rascoll_etl_ray.state.manifest import atomic_write_json
+
+            atomic_write_json(p, {"num_partitions": self.cfg.num_partitions})
+
+    def checkpoint(self) -> Checkpoint:
+        return load_latest_checkpoint(self.cfg.lake_dir)
+
+    # ---------------------------------------------------------------- epoch
+
+    def apply_epoch(
+        self,
+        changelog_dir: str,
+        max_events: int | None = None,
+        end_lsn: int | None = None,
+    ) -> Checkpoint:
+        """Consume the next LSN slice of the change log and commit one epoch.
+
+        Deterministic epoch boundaries: (ckpt.end_lsn, end_lsn] where end_lsn
+        defaults to everything available (or start+max_events). Re-running a
+        crashed epoch is safe — per-partition manifests make reapply a no-op.
+        """
+        ckpt = self.checkpoint()
+        start_lsn = ckpt.end_lsn
+        avail = max_available_lsn(changelog_dir)
+        if end_lsn is None:
+            end_lsn = avail if max_events is None else min(avail, start_lsn + max_events)
+        if end_lsn <= start_lsn:
+            return ckpt
+        epoch = ckpt.epoch + 1
+
+        files = shards_for_range(changelog_dir, start_lsn, end_lsn)
+        ds = ray.data.read_parquet(files)
+        normalize = make_normalize_fn(self.cfg)
+        lo, hi = start_lsn, end_lsn
+
+        def slice_and_normalize(batch: pa.Table) -> pa.Table:
+            lsn = batch["lsn"]
+            mask = pc.and_(pc.greater(lsn, pa.scalar(lo, pa.int64())), pc.less_equal(lsn, pa.scalar(hi, pa.int64())))
+            batch = batch.filter(mask)
+            return normalize(batch)  # handles empty batches (schema-stable)
+
+        ds = ds.map_batches(slice_and_normalize, batch_format="pyarrow", batch_size=self.cfg.batch_size)
+
+        if self.cfg.salt_partitions > 1:
+            ds = ds.groupby(["_part", "_salt"]).map_groups(
+                make_salted_reduce_fn(), batch_format="pyarrow"
+            )
+
+        merge = make_merge_fn(self.cfg, epoch, start_lsn, end_lsn, ckpt.partitions)
+        stats_ds = ds.groupby("_part").map_groups(merge, batch_format="pyarrow")
+        stats = stats_ds.take_all()  # ≤ num_partitions tiny rows
+
+        manifests = [
+            PartitionManifest(
+                partition=r["partition"],
+                epoch=r["epoch"],
+                applied_lsn=r["applied_lsn"],
+                start_lsn=start_lsn,
+                end_lsn=end_lsn,
+                rows=r["rows"],
+                events_applied=r["events_applied"],
+                data_file=r["data_file"],
+                content_sha=r["content_sha"] or None,
+            )
+            for r in stats
+        ]
+        new_ckpt = ckpt.advanced(
+            epoch,
+            end_lsn,
+            manifests,
+            evolution_version=(self.cfg.evolution.version if self.cfg.evolution else 1),
+        )
+        save_checkpoint(self.cfg.lake_dir, new_ckpt)
+        logger.info(
+            "epoch %d committed: lsn (%d, %d], %d partitions touched",
+            epoch, start_lsn, end_lsn, len(manifests),
+        )
+        return new_ckpt
+
+    def replay(self, changelog_dir: str, events_per_epoch: int | None = None) -> Checkpoint:
+        """Tail the log to exhaustion in deterministic epochs."""
+        ckpt = self.checkpoint()
+        avail = max_available_lsn(changelog_dir)
+        while ckpt.end_lsn < avail:
+            ckpt = self.apply_epoch(changelog_dir, max_events=events_per_epoch)
+        return ckpt
+
+    # ------------------------------------------------------------- snapshot
+
+    def snapshot_files(self) -> list[str]:
+        import os
+
+        ckpt = self.checkpoint()
+        return [
+            os.path.join(self.cfg.lake_dir, info["data_file"])
+            for _, info in sorted(ckpt.partitions.items())
+            if info["data_file"] and info["rows"] > 0
+        ]
+
+    def snapshot_dataset(self) -> ray.data.Dataset:
+        """The live lake table as a streaming Dataset (one file per
+        partition; resumable, partition-pruned reads)."""
+        files = self.snapshot_files()
+        if not files:
+            cols = lake_columns(self.cfg)
+            return ray.data.from_arrow(pa.table({c: pa.array([], pa.string()) for c in cols}))
+        return ray.data.read_parquet(files)
+
+    def snapshot_table(self, sort: bool = True) -> pa.Table:
+        """Materialized snapshot (tests / small results only)."""
+        import pyarrow.parquet as pq
+
+        files = self.snapshot_files()
+        if not files:
+            return pa.table({c: pa.array([], pa.string()) for c in lake_columns(self.cfg)})
+        tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+        if sort:
+            tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+        return tbl
+
+    def snapshot_sha256(self) -> str:
+        """Replay-stable digest of the whole lake from per-partition manifest
+        shas (no data read): equal shas per partition ⇒ equal tables."""
+        ckpt = self.checkpoint()
+        h = hashlib.sha256()
+        for part in sorted(ckpt.partitions):
+            info = ckpt.partitions[part]
+            if info["rows"] > 0:
+                h.update(f"{part}:{info['content_sha']}\n".encode())
+        return h.hexdigest()
+
+    # --------------------------------------------------------------- admin
+
+    def lag(self, changelog_dir: str) -> dict:
+        """Throughput/lag metrics surface (north-star lineage requirement)."""
+        ckpt = self.checkpoint()
+        avail = max_available_lsn(changelog_dir)
+        return {
+            "epoch": ckpt.epoch,
+            "applied_end_lsn": ckpt.end_lsn,
+            "available_lsn": avail,
+            "lag_events": max(0, avail - ckpt.end_lsn),
+            "partitions": len(ckpt.partitions),
+            "rows": sum(i["rows"] for i in ckpt.partitions.values()),
+        }
+
+    def vacuum(self, keep_epochs: int = 1) -> int:
+        """Delete superseded per-partition data files/manifests (anything
+        older than the file referenced by the latest checkpoint)."""
+        import os
+        import re
+
+        ckpt = self.checkpoint()
+        live = {info["data_file"] for info in ckpt.partitions.values() if info["data_file"]}
+        removed = 0
+        data_re = re.compile(r"^data_epoch(\d{9})\.parquet$")
+        for name in os.listdir(self.cfg.lake_dir):
+            if not name.startswith("part="):
+                continue
+            pdir = os.path.join(self.cfg.lake_dir, name)
+            for f in os.listdir(pdir):
+                m = data_re.match(f)
+                if m and os.path.join(name, f) not in live:
+                    os.remove(os.path.join(pdir, f))
+                    removed += 1
+        return removed

@@ -1,0 +1,33 @@
+"""Change-log (binlog/WAL) source: LSN-range-pruned Parquet tailing.
+
+Shards are named ``changelog-<startlsn>-<endlsn>.parquet`` so an epoch read
+prunes at the file level before any bytes move — the "prune at the read"
+rule. Residual rows outside the epoch's (start, end] range are filtered in
+the first map_batches pass.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_SHARD_RE = re.compile(r"^changelog-(\d+)-(\d+)\.parquet$")
+
+
+def list_shards(changelog_dir: str) -> list[tuple[int, int, str]]:
+    out = []
+    for name in sorted(os.listdir(changelog_dir)):
+        m = _SHARD_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), os.path.join(changelog_dir, name)))
+    return out
+
+
+def shards_for_range(changelog_dir: str, start_lsn: int, end_lsn: int) -> list[str]:
+    """Files overlapping the half-open LSN range (start_lsn, end_lsn]."""
+    return [p for lo, hi, p in list_shards(changelog_dir) if hi > start_lsn and lo <= end_lsn]
+
+
+def max_available_lsn(changelog_dir: str) -> int:
+    shards = list_shards(changelog_dir)
+    return max((hi for _, hi, _ in shards), default=0)

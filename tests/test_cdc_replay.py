@@ -1,0 +1,174 @@
+"""End-to-end CDC conformance: replay / resume / duplicate & out-of-order
+delivery / deletes all reconverge to the DuckDB fold of the same log
+(FIXTURES.md F2; north-rule sha256-equality gate)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.datagen.changelog_gen import (
+    ensure_changelog,
+    generate_changelog,
+    write_changelog_shards,
+)
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+
+BASE_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def duckdb_fold(changelog_dir: str) -> pa.Table:
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            f"""
+            WITH last AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+              FROM read_parquet('{changelog_dir}/changelog-*.parquet')
+            )
+            SELECT repo, path, "commit", lang, content
+            FROM last WHERE rn = 1 AND op <> 'D'
+            ORDER BY repo, path
+            """
+        ).arrow()
+    finally:
+        con.close()
+
+
+def assert_matches_fold(engine: CDCEngine, changelog_dir: str):
+    mine = engine.snapshot_table().select(BASE_COLS)
+    oracle = duckdb_fold(changelog_dir)
+    mine = mine.cast(oracle.schema)
+    assert mine.equals(oracle), "lake snapshot != per-key max-LSN fold of the log"
+
+
+@pytest.fixture(scope="module")
+def changelog(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clog"))
+    return ensure_changelog(root, num_files=400, num_events=4000, seed=7, num_shards=8)
+
+
+def test_single_epoch_replay(changelog, tmp_lake):
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    ckpt = eng.replay(changelog)
+    assert ckpt.epoch == 1
+    assert_matches_fold(eng, changelog)
+
+
+def test_multi_epoch_equals_single_epoch(changelog, tmp_path):
+    lake_a, lake_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ea = CDCEngine(EngineConfig(lake_dir=lake_a, num_partitions=8))
+    eb = CDCEngine(EngineConfig(lake_dir=lake_b, num_partitions=8))
+    ea.replay(changelog)
+    eb.replay(changelog, events_per_epoch=1000)
+    assert eb.checkpoint().epoch == 4
+    assert ea.snapshot_table().equals(eb.snapshot_table())
+    assert ea.snapshot_sha256() == eb.snapshot_sha256()
+
+
+def test_resume_from_mid_checkpoint(changelog, tmp_lake):
+    """Kill-and-resume: apply half, then a fresh engine object resumes from
+    the committed checkpoint and reconverges."""
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.apply_epoch(changelog, max_events=2000)
+    assert eng.lag(changelog)["lag_events"] == 2000
+    eng2 = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng2.replay(changelog, events_per_epoch=1500)
+    assert_matches_fold(eng2, changelog)
+
+
+def test_reapplying_same_epoch_is_noop(changelog, tmp_lake):
+    """Exactly-once: re-running an already-committed LSN range changes
+    nothing (manifest guard — reference NOT-IN analogue)."""
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.replay(changelog)
+    sha = eng.snapshot_sha256()
+    # same end_lsn again: no new events -> checkpoint unchanged
+    ckpt = eng.apply_epoch(changelog)
+    assert ckpt.epoch == 1
+    assert eng.snapshot_sha256() == sha
+
+
+def test_duplicate_and_out_of_order_delivery(tmp_path):
+    """FIXTURES.md F2 adversarial cases: duplicated LSNs and bounded
+    out-of-order delivery within an epoch must not change the final state."""
+    df = generate_changelog(100, 1500, seed=11)
+    rng = np.random.default_rng(0)
+    dup = df.sample(frac=0.2, random_state=3)
+    messy = pd.concat([df, dup]).sample(frac=1.0, random_state=4).reset_index(drop=True)
+
+    clean_dir, messy_dir = str(tmp_path / "clean"), str(tmp_path / "messy")
+    write_changelog_shards(df, clean_dir, num_shards=4)
+    write_changelog_shards(messy, messy_dir, num_shards=4)
+
+    ec = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lc"), num_partitions=4))
+    em = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lm"), num_partitions=4))
+    ec.replay(clean_dir)
+    em.replay(messy_dir)  # single epoch covers the full disorder window
+    assert ec.snapshot_table().equals(em.snapshot_table())
+    assert ec.snapshot_sha256() == em.snapshot_sha256()
+
+
+def test_delete_semantics(tmp_path):
+    """delete, update-after-delete (reinsert wins), delete-of-missing-key."""
+    rows = [
+        (1, "I", "r/a", "f.py", "c1", "python", "v1"),
+        (2, "U", "r/a", "f.py", "c2", "python", "v2"),
+        (3, "D", "r/a", "f.py", None, None, None),
+        (4, "D", "r/b", "never.py", None, None, None),  # delete of missing key
+        (5, "I", "r/a", "g.py", "c3", "python", "v1"),
+        (6, "D", "r/a", "g.py", None, None, None),
+        (7, "I", "r/a", "g.py", "c4", "python", "v3"),  # reinsert after delete
+    ]
+    df = pd.DataFrame(rows, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=1)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2))
+    eng.replay(d, events_per_epoch=3)  # split so deletes cross epochs
+    t = eng.snapshot_table()
+    got = {(r["repo"], r["path"]): (r["commit"], r["content"]) for r in t.to_pylist()}
+    assert got == {("r/a", "g.py"): ("c4", "v3")}
+
+
+def test_salted_path_equals_unsalted(changelog, tmp_path):
+    """North-rule skew handling: the two-stage salted reduce must be
+    semantically invisible (stale-salted-winner bug guard)."""
+    e1 = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "l1"), num_partitions=4, salt_partitions=1))
+    e2 = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "l2"), num_partitions=4, salt_partitions=4))
+    e1.replay(changelog, events_per_epoch=1500)
+    e2.replay(changelog, events_per_epoch=1500)
+    assert e1.snapshot_table().equals(e2.snapshot_table())
+    assert e1.snapshot_sha256() == e2.snapshot_sha256()
+
+
+def test_vacuum_keeps_live_snapshot(changelog, tmp_lake):
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.replay(changelog, events_per_epoch=1000)
+    before = eng.snapshot_table()
+    removed = eng.vacuum()
+    assert removed > 0
+    assert eng.snapshot_table().equals(before)
+
+
+def test_lineage_metrics(changelog, tmp_lake):
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.apply_epoch(changelog, max_events=2500)
+    lag = eng.lag(changelog)
+    assert lag["applied_end_lsn"] == 2500
+    assert lag["lag_events"] == 1500
+    ckpt = eng.checkpoint()
+    for part, info in ckpt.partitions.items():
+        assert info["applied_lsn"] <= 2500
+        assert info["data_file"].startswith(f"part={part:05d}/")
+
+
+def test_reopen_with_different_partition_count_rejected(changelog, tmp_lake):
+    """num_partitions is pinned at lake creation — a mismatched reopen would
+    silently scatter keys across partitions (found by crash-probe)."""
+    CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8)).replay(changelog)
+    with pytest.raises(ValueError, match="num_partitions"):
+        CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=4))

@@ -1,0 +1,73 @@
+"""Schema evolution: renames / adds / widens / computed applied as Arrow
+casts at merge time (SURVEY.md §2.11, FIXTURES.md F3)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from arches_rascoll_etl_ray.config import AddColumn, ComputedColumn, EngineConfig, EvolutionSpec
+from arches_rascoll_etl_ray.datagen.changelog_gen import generate_changelog, write_changelog_shards
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+from arches_rascoll_etl_ray.stages.normalize import apply_evolution, evolved_base_columns
+
+SPEC_V2 = EvolutionSpec(
+    version=2,
+    renames={"lang": "language"},
+    adds=(AddColumn(name="mirrored", type="bool", default=False),),
+    widens={},
+    computed=(ComputedColumn(name="content_len", source="content", fn="len"),),
+)
+
+
+def test_projector_renames_adds_computed():
+    t = pa.table({"repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["py"], "content": ["abcd"]})
+    out = apply_evolution(t, SPEC_V2)
+    assert "language" in out.column_names and "lang" not in out.column_names
+    assert out["mirrored"].to_pylist() == [False]
+    assert out["content_len"].to_pylist() == [4]
+
+
+def test_projector_widen_casts():
+    spec = EvolutionSpec(version=2, widens={"n": "int64"})
+    t = pa.table({"n": pa.array([1, 2], pa.int32())})
+    out = apply_evolution(t, spec)
+    assert out.schema.field("n").type == pa.int64()
+
+
+def test_key_rename_rejected():
+    t = pa.table({"repo": ["r"], "path": ["p"]})
+    with pytest.raises(ValueError):
+        apply_evolution(t, EvolutionSpec(version=2, renames={"repo": "origin"}))
+
+
+def test_evolved_base_columns():
+    assert evolved_base_columns(SPEC_V2) == [
+        "repo", "path", "commit", "language", "content", "mirrored", "content_len",
+    ]
+
+
+def test_mid_stream_evolution_matches_full_v2_replay(tmp_path):
+    """FIXTURES.md F3 acceptance: epochs 1..k under v1, k+1..n under v2 ==
+    a single v2-from-scratch replay (old snapshots cast up at merge time)."""
+    df = generate_changelog(150, 2000, seed=5)
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=4)
+
+    lake_mid = str(tmp_path / "mid")
+    e1 = CDCEngine(EngineConfig(lake_dir=lake_mid, num_partitions=4, evolution=None))
+    e1.apply_epoch(d, max_events=1000)
+    e1b = CDCEngine(EngineConfig(lake_dir=lake_mid, num_partitions=4, evolution=SPEC_V2))
+    e1b.replay(d, events_per_epoch=500)
+
+    lake_full = str(tmp_path / "full")
+    e2 = CDCEngine(EngineConfig(lake_dir=lake_full, num_partitions=4, evolution=SPEC_V2))
+    e2.replay(d)
+
+    a, b = e1b.snapshot_table(), e2.snapshot_table()
+    assert a.column_names == b.column_names
+    assert a.equals(b)
+
+
+def test_spec_json_roundtrip():
+    d = SPEC_V2.to_json()
+    assert EvolutionSpec.from_json(d) == SPEC_V2
