@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship CDC replay at sf0.001 scale; `queries()` /
+`oracle_sql()` expose every implemented operator (SURVEY.md §2) over the
+testdata tables with DuckDB oracles.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +15,38 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: deterministic synthetic changelog replay → partitioned
+    Parquet lake → live snapshot Dataset (FIXTURES.md F1/F2)."""
+    from arches_rascoll_etl_ray.pipelines.cdc_queries import cdc_replay_synthetic
+
+    return cdc_replay_synthetic("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from arches_rascoll_etl_ray.pipelines import cdc_queries, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(relational.QUERIES)
+    out.update(cdc_queries.QUERIES)
+    try:
+        from arches_rascoll_etl_ray.pipelines import training
+
+        out.update(training.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from arches_rascoll_etl_ray.pipelines import cdc_queries, relational
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE_SQL)
+    out.update(cdc_queries.ORACLE_SQL)
+    try:
+        from arches_rascoll_etl_ray.pipelines import training
+
+        out.update(training.ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

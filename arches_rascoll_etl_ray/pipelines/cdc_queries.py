@@ -1,0 +1,103 @@
+"""Driver-checkable queries that exercise the REAL CDC engine.
+
+`cdc_events_upsert` routes the driver's `events` table through the full
+engine (changelog → normalize → partition → LWW merge → manifested lake →
+snapshot) and is oracle-checked by DuckDB window SQL — so the engine's core
+fold itself sits behind the correctness gate, not just a reimplementation.
+
+`cdc_replay_synthetic` replays the deterministic synthetic changelog
+(FIXTURES.md F1/F2) and returns the final lake table (rows-only check:
+non-SQL-expressible because the log is generated, not a registered view).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.datagen.changelog_gen import (
+    changelog_from_events_table,
+    ensure_changelog,
+    write_changelog_shards,
+)
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "arches_rascoll_etl_ray_cache")
+
+
+def _fresh_lake(tag: str) -> str:
+    d = os.path.join(_CACHE_ROOT, "lakes", tag)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def cdc_events_upsert(sf_dir: str):
+    """Events table → change stream keyed by user (LSN = (ts, event_id)
+    order) → engine replay in 4 epochs → final per-user state."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = os.path.join(_CACHE_ROOT, f"events_clog_{tag}")
+    marker = os.path.join(clog_dir, "_GENERATED")
+    if not os.path.exists(marker):
+        shutil.rmtree(clog_dir, ignore_errors=True)
+        df = changelog_from_events_table(sf_dir)
+        write_changelog_shards(df, clog_dir, num_shards=8)
+        with open(marker, "w") as f:
+            f.write(sf_dir + "\n")
+
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"events_{tag}"), num_partitions=8))
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    per_epoch = max(1, max_available_lsn(clog_dir) // 4)
+    eng.replay(clog_dir, events_per_epoch=per_epoch)
+    snap = eng.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_events_upsert"] = cdc_events_upsert
+ORACLE_SQL["cdc_events_upsert"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    )
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str
+    FROM last WHERE rn = 1 AND event_type <> 'delete'
+"""
+
+
+def cdc_replay_synthetic(sf_dir: str):
+    """Full F2 synthetic replay (scaled by sf via event count). Rows-only
+    driver check; the sha-exactness gate for this path lives in
+    tests/test_cdc_replay.py against the DuckDB fold of the same log."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    scale = {"sf0.001": (300, 3000), "sf0.01": (2000, 30000), "sf0.1": (20000, 300000)}.get(
+        tag, (300, 3000)
+    )
+    clog = ensure_changelog(_CACHE_ROOT, num_files=scale[0], num_events=scale[1], seed=42)
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"synth_{tag}"), num_partitions=16))
+    eng.replay(clog, events_per_epoch=max(1, scale[1] // 4))
+    return eng.snapshot_table()
+
+
+QUERIES["cdc_replay_synthetic"] = cdc_replay_synthetic

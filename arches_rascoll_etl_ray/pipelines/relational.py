@@ -1,0 +1,548 @@
+"""Relational operator library over the driver's testdata tables.
+
+Each query re-expresses one operator family from the reference
+(SURVEY.md §2 inventory, citations inline) as an idiomatic Ray Data
+pipeline, paired with an ANSI-SQL oracle (DuckDB) in `ORACLE_SQL`.
+
+Conventions for driver-checked equality:
+- every computed/aggregate column is explicitly named identically in Ray and
+  SQL;
+- float aggregations are integerized PER ROW (cents) before summing so both
+  engines sum exact int64s — no float-summation-order mismatches;
+- broadcast joins ship the small side once (ray.put / closure capture), never
+  per batch; the big side streams.
+
+None of these call ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(arr) -> pa.Array:
+    """Exact per-row integerization of a 2-decimal money column."""
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# A. Aggregation with map-side partials (reference A1/A3; pre-aggregate
+#    before the shuffle, SURVEY.md §4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate. Map-side partial aggregation inside
+    map_batches (one row per key per batch) then a tiny groupby over partials
+    — the scale-safe version of the reference's in-memory hash aggregate
+    (arches_rascoll/ref_collection.py:90-97)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "base_cents": _cents(batch["l_extendedprice"]),
+                "disc_e4": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+                            pa.scalar(10000.0),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, sort=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_e4=("disc_e4", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=64 * 1024)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    return out
+
+
+@register(
+    "q_group_count_sort",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_group_count_sort(sf_dir: str):
+    """Group-count + sort desc (reference places.py:45-46, A1/O1)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n")).sort("n", descending=True)
+
+
+@register(
+    "q_window_tumbling",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def q_window_tumbling(sf_dir: str):
+    """Tumbling event-time window as a grouped aggregate over a computed
+    window-start column (SURVEY.md §2.10 — micro-batch windowing)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                "value_cents": _cents(batch["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Last-writer-wins fold (the reference's core reshape P1,
+#    ref_collection.py:88-198) expressed with pure Dataset ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lww_latest_event",
+    """
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS last_value_cents
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_lww_latest_event(sf_dir: str):
+    """Keyed last-writer-wins: per user, the latest event by (ts, event_id).
+    Map-side combiner (keep one winner per key per batch) then a per-key
+    final reduce — the associative LWW fold from stages/normalize.lww_reduce,
+    here over the events table so DuckDB can oracle-check it."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def keep_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return df.drop_duplicates(subset=["user_id"], keep="last")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = keep_last(df)
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "last_ts": df["ts"].to_numpy(),
+                "last_event_type": df["event_type"].to_numpy(),
+                "last_value_cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(keep_last, batch_format="pandas", batch_size=32 * 1024)  # combiner
+        .groupby("user_id")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. Joins: broadcast dim chain, anti-join, as-of (reference J1-J4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_region_revenue",
+    """
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_region_revenue(sf_dir: str):
+    """Three-level broadcast dimension join (reference J1/J2,
+    arches_rascoll/prov_acts.py:56-68): dims are ray.put once and mapped
+    per-batch with numpy; only the fact table streams. At 100 TB the fact
+    side stays a stream; dims are O(nations×customers) — when the customer
+    dim outgrows broadcast, switch to Dataset.join (hash-partitioned)."""
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"])
+    cust_to_region_name = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")[["c_custkey", "r_name"]]
+        .set_index("c_custkey")["r_name"]
+        .to_dict()
+    )
+    lookup_ref = ray.put(cust_to_region_name)
+
+    def join_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        batch["r_name"] = batch["o_custkey"].map(lookup)
+        batch["cents"] = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return batch.groupby("r_name", as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join_and_partial, batch_format="pandas", batch_size=64 * 1024)
+        .groupby("r_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+    )
+
+
+@register(
+    "q_anti_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def q_anti_join(sf_dir: str):
+    """Anti-join via broadcast key set (reference J4 idempotence guards,
+    arches_rascoll/ref_collection.py:305-314): the subquery's distinct keys
+    are computed distributed, broadcast once, and applied as a vectorized
+    NOT-isin filter. At 10^10 scale the key set becomes a Bloom filter."""
+    big = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(450000.0))).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    keys_ref = ray.put(np.asarray(big, dtype=np.int64))
+
+    def anti(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        kept = batch[~batch["c_custkey"].isin(keys)]
+        return kept.groupby("c_nationkey", as_index=False).agg(n_customers=("c_custkey", "size"))
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(anti, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+@register(
+    "q_asof_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): for each purchase, the
+    most recent click at-or-before it by the same user. Composition:
+    partition by user (groupby) + pd.merge_asof per sorted group.
+    Partitioning assumption: one user's events fit in a group task."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))),
+        batch_format="pyarrow",
+    )
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        c = df[df["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        if len(p) == 0:
+            return pd.DataFrame({"purchase_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "last_click_id": pd.Series([], dtype="Int64")})
+        merged = pd.merge_asof(
+            p[["event_id", "ts", "user_id"]],
+            c[["event_id", "ts"]].rename(columns={"event_id": "last_click_id"}),
+            on="ts",
+            direction="backward",
+        )
+        out = pd.DataFrame(
+            {
+                "purchase_id": merged["event_id"].astype("int64"),
+                "user_id": merged["user_id"].astype("int64"),
+                "last_click_id": merged["last_click_id"].astype("Int64"),
+            }
+        )
+        return out
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+@register(
+    "q_label_concat",
+    """
+    SELECT n_nationkey, n_name || ' (region: ' || r_name || ')' AS label
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_label_concat(sf_dir: str):
+    """String templating over a broadcast lookup (reference M8 + J2,
+    arches_rascoll/places.py:62, prov_acts.py:62-68)."""
+    region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    rmap = region.set_index("r_regionkey")["r_name"].to_dict()
+
+    def build(batch: pa.Table) -> pa.Table:
+        rnames = pa.array([rmap[k] for k in batch["n_regionkey"].to_pylist()], pa.string())
+        label = pc.binary_join_element_wise(
+            batch["n_name"],
+            pc.binary_join_element_wise(pa.array(["(region: "] * batch.num_rows), rnames, pa.array([")"] * batch.num_rows), ""),
+            " ",
+        )
+        return pa.table({"n_nationkey": batch["n_nationkey"], "label": label})
+
+    return _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. Set ops / dedup / distinct / filters (reference D1-D5, A2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_distinct_union",
+    """
+    SELECT DISTINCT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+)
+def q_distinct_union(sf_dir: str):
+    """Union-all + distinct (reference D1 + A2: distinct-value mining across
+    columns, arches_rascoll/groups.py:52-56, places.py:50)."""
+    a = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    b = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    return a.union(b).groupby("nationkey").aggregate(Count(alias_name="_n")).select_columns(["nationkey"])
+
+
+@register(
+    "q_dedup_keep_first",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_first(sf_dir: str):
+    """Exact dedup by key keeping first (reference D2,
+    arches_rascoll/places.py:52: drop_duplicates keeping first) —
+    hash-partition on the key + per-group min."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id", kind="mergesort").head(1)
+
+    return ds.groupby("lang").map_groups(first, batch_format="pandas")
+
+
+@register(
+    "q_filter_nonempty",
+    """
+    SELECT source, COUNT(*) AS n
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 500 AND lang IS NOT NULL AND text <> ''
+    GROUP BY source
+    """,
+)
+def q_filter_nonempty(sf_dir: str):
+    """Keep-if-nonempty predicate chain (reference D4,
+    arches_rascoll/groups.py:118-127) as a vectorized Arrow filter."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars", "lang", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(t["n_chars"], pa.scalar(100)), pc.less_equal(t["n_chars"], pa.scalar(500))),
+                pc.is_valid(t["lang"]),
+            ),
+            pc.not_equal(t["text"], pa.scalar("")),
+        )
+        return t.filter(mask).select(["source"])
+
+    return ds.map_batches(filt, batch_format="pyarrow").groupby("source").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# E. Scalar maps: normalize / cast / project / sort-limit (M6-M12, O1-O2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_normalize",
+    """
+    SELECT upper(trim(p_type)) AS type_norm, COUNT(*) AS n
+    FROM part GROUP BY upper(trim(p_type))
+    """,
+)
+def q_string_normalize(sf_dir: str):
+    """Code normalizer (reference M6, arches_rascoll/groups.py:106-109:
+    upper/strip) with pyarrow.compute kernels."""
+    ds = _read(sf_dir, "part", ["p_type"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"type_norm": pc.utf8_upper(pc.utf8_trim_whitespace(t["p_type"]))})
+
+    return ds.map_batches(norm, batch_format="pyarrow").groupby("type_norm").aggregate(Count(alias_name="n"))
+
+
+@register(
+    "q_schema_projection",
+    """
+    SELECT doc_id, lang AS language, CAST(n_chars AS BIGINT) AS size_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q_schema_projection(sf_dir: str):
+    """The evolution projector as a standalone query: rename + cast +
+    computed sha256 lineage column (SURVEY.md §2.11 / FIXTURES.md F3),
+    oracle-checked against DuckDB's sha256."""
+    from arches_rascoll_etl_ray.functions.hashing import sha256_hex_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "language": t["lang"],
+                "size_bytes": pc.cast(t["n_chars"], pa.int64()),
+                "content_sha": sha256_hex_column(t["text"]),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+@register(
+    "q_topk_orders",
+    """
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk_orders(sf_dir: str):
+    """Sort-desc + limit (reference O1, arches_rascoll/places.py:46).
+    Distributed sort then limit; deterministic tie-break on the key."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "totalprice_cents": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "q_cast_concat_fill",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) || ':' || COALESCE(NULLIF(o_orderstatus, 'P'), '-') AS order_tag
+    FROM orders
+    """,
+)
+def q_cast_concat_fill(sf_dir: str):
+    """Cast + concat + null-fill in one vectorized pass (reference M8/M9/M12,
+    arches_rascoll/prov_acts.py:52-61)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def build(t: pa.Table) -> pa.Table:
+        status = pc.if_else(
+            pc.equal(t["o_orderstatus"], pa.scalar("P")),
+            pa.scalar("-", pa.string()),
+            t["o_orderstatus"],
+        )
+        status = pc.fill_null(status, "-")
+        tag = pc.binary_join_element_wise(pc.cast(t["o_orderkey"], pa.string()), status, ":")
+        return pa.table({"o_orderkey": t["o_orderkey"], "order_tag": tag})
+
+    return ds.map_batches(build, batch_format="pyarrow")
