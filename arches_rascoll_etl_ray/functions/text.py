@@ -1,0 +1,136 @@
+"""Vectorized text-analysis primitives for training-data pipelines.
+
+All deterministic, all batch-oriented (no per-row Python in hot paths except
+where a tokenizer inherently iterates — those use C-backed pandas/str ops).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# Tokenization: whitespace (matches SQL string_split(text, ' ')) and a
+# BPE-ish regex (words or single non-space punctuation).
+BPE_ISH = re.compile(r"\w+|[^\w\s]")
+
+STOPWORDS_EN = frozenset(
+    "the a of to and in is it that for on as with was at by an be this".split()
+)
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (documents.lang domain: en/es/fr/de/zh-like synthetic text)
+LANG_PROFILES: dict[str, frozenset] = {
+    "en": STOPWORDS_EN,
+    "es": frozenset("el la de que y en los se del las un por con una su para es".split()),
+    "fr": frozenset("le de la et les des en un du une que est pour qui dans ce".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist im nicht".split()),
+    "zh": frozenset("的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国".split()),
+}
+
+
+def ws_token_counts(texts: pd.Series) -> np.ndarray:
+    """Token count under single-space split — exactly len(string_split(t,' '))
+    in DuckDB (empty string → 1, like SQL)."""
+    return (texts.str.count(" ") + 1).to_numpy(dtype=np.int64)
+
+
+def re_token_counts(texts: pd.Series) -> np.ndarray:
+    """BPE-ish token count: words + single punctuation marks."""
+    return texts.str.count(BPE_ISH).to_numpy(dtype=np.int64)
+
+
+def punct_counts(texts: pd.Series) -> np.ndarray:
+    return texts.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
+
+
+def stopword_counts(texts: pd.Series, stopwords: frozenset = STOPWORDS_EN) -> np.ndarray:
+    """Count of whitespace tokens ∈ stopwords (exact token membership, not
+    substring — matches list_filter(string_split(lower(t),' '), …))."""
+    toks = texts.str.lower().str.split(" ")
+    exploded = toks.explode()
+    hits = exploded.isin(stopwords).groupby(level=0).sum()
+    return hits.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+
+
+def lang_scores(texts: pd.Series) -> pd.DataFrame:
+    """Stopword-profile hit-rate per language → argmax language ID.
+
+    The M6/M7-style normalize+lookup recast as a scoring heuristic
+    (arches_rascoll/groups.py:106-116). Deterministic; ties broken by
+    language name order.
+    """
+    toks = texts.str.lower().str.split(" ").explode()
+    out = {}
+    for lang in sorted(LANG_PROFILES):
+        hits = toks.isin(LANG_PROFILES[lang]).groupby(level=0).sum()
+        out[lang] = hits.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+    return pd.DataFrame(out, index=texts.index)
+
+
+def lang_id(texts: pd.Series) -> pd.Series:
+    scores = lang_scores(texts)
+    best = scores.idxmax(axis=1)
+    none = scores.max(axis=1) == 0
+    best[none] = "und"
+    return best
+
+
+def word_ngrams_hashes(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word n-gram shingle hashes.
+
+    Returns (flat_hashes uint64, doc_offsets int64 of len(docs)+1) — a ragged
+    layout suited to np.minimum.reduceat for MinHash.
+    """
+    all_grams: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts.to_numpy(dtype=object)):
+        words = t.split() if t else []
+        if len(words) < n:
+            grams = [" ".join(words)] if words else [""]
+        else:
+            grams = [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
+        all_grams.extend(grams)
+        offsets[i + 1] = len(all_grams)
+    flat = pd.util.hash_array(np.asarray(all_grams, dtype=object), categorize=False)
+    return flat, offsets
+
+
+def word_ngram_sets(text: str, n: int = 3) -> set:
+    words = text.split() if text else []
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[j : j + n]) for j in range(len(words) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return (len(a & b) / u) if u else 0.0
+
+
+def winnowing_fingerprint(texts: pd.Series, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03 — public
+    algorithm): rolling k-gram hashes, min per sliding window, fingerprint =
+    xor-fold of selected mins. Returns uint64 per doc; deterministic."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts.to_numpy(dtype=object)):
+        if not t or len(t) < k:
+            h = pd.util.hash_array(np.asarray([t or ""], dtype=object), categorize=False)
+            out[i] = h[0]
+            continue
+        grams = np.asarray([t[j : j + k] for j in range(len(t) - k + 1)], dtype=object)
+        hs = pd.util.hash_array(grams, categorize=False)
+        if len(hs) <= window:
+            sel = np.array([hs.min()], dtype=np.uint64)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+            sel = np.unique(sw.min(axis=1))
+        fp = 0
+        for v in sel:  # xor-fold in python ints (mod 2^64 wraparound intended)
+            fp ^= (int(v) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        out[i] = np.uint64(fp)
+    return out

@@ -1,0 +1,558 @@
+"""Training-data pipeline operators over `documents` / `embeddings`:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), text analysis (language-ID, quality, token counts, fingerprints),
+similarity search (brute-force and IVF ANN), multimodal feature plumbing.
+
+Shapes are 100-TB-minded: sketching/scoring is stateless map_batches over
+Arrow; candidate generation is an LSH-bucket groupby (shuffle carries
+(band, hash, id) triples, never documents); verification joins text back by
+broadcast at test scale with the hash-partitioned path documented; final
+clustering is driver union-find over the provably-small verified pair set
+(scale path: iterative min-label propagation via groupby).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from arches_rascoll_etl_ray.functions import sketches, text as textfns
+from arches_rascoll_etl_ray.functions.hashing import sha256_hex_column
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _embs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash partition + per-group min-id winner
+    (reference D2 drop_duplicates, arches_rascoll/places.py:52, scaled to a
+    hash shuffle). The shuffle key is sha256(text), so only (hash, id, meta)
+    moves — never two copies of a document's text."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+                "text_sha": sha256_hex_column(t["text"]),
+            }
+        )
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id", kind="mergesort").head(1)[
+            ["doc_id", "lang", "source", "n_chars"]
+        ]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_sha")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+class _MinHashStage:
+    """Actor-pool sketcher: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 128, num_bands: int = 32, ngram: int = 3, seed: int = 1):
+        self.num_perm, self.num_bands, self.ngram, self.seed = num_perm, num_bands, ngram, seed
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        flat, offsets = textfns.word_ngrams_hashes(df["text"].reset_index(drop=True), n=self.ngram)
+        sig = sketches.minhash_signatures(flat, offsets, num_perm=self.num_perm, seed=self.seed)
+        bands = sketches.lsh_band_hashes(sig, num_bands=self.num_bands)
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), self.num_bands),
+                "band_id": np.tile(np.arange(self.num_bands, dtype=np.int32), n),
+                "band_hash": bands.reshape(-1).view(np.int64),
+            }
+        )
+
+
+def _minhash_candidate_pairs(sf_dir: str, threshold: float, ngram: int = 3) -> list[tuple[int, int]]:
+    """shingle → minhash → LSH bucket groupby → verified pairs (exact
+    n-gram Jaccard ≥ threshold)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    triples = ds.map_batches(
+        _MinHashStage, batch_format="pandas", batch_size=2048, concurrency=2
+    )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    pairs = (
+        triples.groupby(["band_id", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+    )
+    pair_rows = pairs.take_all()
+    if not pair_rows:
+        return []
+    # verification: exact Jaccard on the candidate docs' shingle sets.
+    # Broadcast the candidate texts (small: only docs appearing in pairs);
+    # scale path: hash-partition pairs by `a` and join text by id.
+    need = sorted({r["a"] for r in pair_rows} | {r["b"] for r in pair_rows})
+    texts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=pa.array(need, pa.int64()))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    shingle_cache = {i: textfns.word_ngram_sets(tmap[i], n=ngram) for i in need}
+    verified = [
+        (r["a"], r["b"])
+        for r in pair_rows
+        if textfns.jaccard(shingle_cache[r["a"]], shingle_cache[r["b"]]) >= threshold
+    ]
+    return verified
+
+
+def _clusters_output(sf_dir: str, verified_pairs: list[tuple[int, int]]):
+    uf = sketches.UnionFind()
+    for a, b in verified_pairs:
+        uf.union(int(a), int(b))
+    roots = uf.roots()
+    roots_ref = ray.put(roots)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(roots_ref)
+        df["cluster_id"] = df["doc_id"].map(lambda d: r.get(d, d)).astype("int64")
+        return df[["doc_id", "cluster_id"]]
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pandas")
+
+
+@register("dedup_minhash")
+def dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup clustering: (doc_id, cluster_id) where
+    cluster_id = min doc_id of the verified near-dup cluster (Jaccard≥0.8 on
+    word 3-grams). Not SQL-expressible → rows-only driver check; recall is
+    asserted against brute-force Jaccard in tests/test_dedup.py."""
+    return _clusters_output(sf_dir, _minhash_candidate_pairs(sf_dir, threshold=0.8))
+
+
+@register("q_ngram_jaccard_pairs")
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Verified near-dup PAIRS with their exact Jaccard (×1000, int) —
+    the n-gram-Jaccard dedup primitive surfaced directly."""
+    pairs = _minhash_candidate_pairs(sf_dir, threshold=0.5)
+    if not pairs:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard_e3": pa.array([], pa.int64())}
+        )
+    texts = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    rows = []
+    for a, b in pairs:
+        j = textfns.jaccard(textfns.word_ngram_sets(tmap[a]), textfns.word_ngram_sets(tmap[b]))
+        rows.append({"doc_a": int(a), "doc_b": int(b), "jaccard_e3": int(round(j * 1000))})
+    return pa.Table.from_pylist(rows)
+
+
+class _SimHashStage:
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        flat, offsets = textfns.word_ngrams_hashes(df["text"].reset_index(drop=True), n=2)
+        sig = sketches.simhash64(flat, offsets)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sig.view(np.int64)})
+
+
+@register("dedup_simhash")
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup: 64-bit sign-sum sketch, 4×16-bit band bucketing,
+    hamming≤3 verification, min-id clusters. Rows-only driver check; recall
+    asserted in tests."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(_SimHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        sim = df["simhash"].to_numpy().view(np.uint64)
+        n = len(df)
+        band_id = np.tile(np.arange(4, dtype=np.int32), n)
+        band_hash = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            band_hash[b::4] = ((sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+                "simhash": np.repeat(df["simhash"].to_numpy(), 4),
+                "band_id": band_id,
+                "band_hash": band_hash,
+            }
+        )
+
+    def emit_verified(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        ids = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy().view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ham = sketches.hamming64(sims[ii], sims[jj])
+        keep = ham <= 3
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep]})
+
+    pair_rows = (
+        sigs.map_batches(explode_bands, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(emit_verified, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .take_all()
+    )
+    return _clusters_output(sf_dir, [(r["a"], r["b"]) for r in pair_rows])
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens_re
+    FROM documents
+    """,
+)
+def q_token_count(sf_dir: str):
+    """Token counting: whitespace + BPE-ish regex (words/punct marks)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens_ws": textfns.ws_token_counts(df["text"]),
+                "n_tokens_re": textfns.re_token_counts(df["text"]),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+_SW = sorted(textfns.STOPWORDS_EN)
+_SW_SQL = ", ".join(f"'{w}'" for w in _SW)
+
+
+@register(
+    "q_quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_SW_SQL}))) AS BIGINT) AS n_stopwords,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws
+    FROM documents
+    """,
+)
+def q_quality_score(sf_dir: str):
+    """Quality signals (length / punctuation / stopword counts) — integer
+    counts so ratios are derived exactly downstream."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars_m": t.str.len().to_numpy(dtype=np.int64),
+                "n_punct": textfns.punct_counts(t),
+                "n_stopwords": textfns.stopword_counts(t),
+                "n_tokens_ws": textfns.ws_token_counts(t),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+@register("q_lang_id")
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (stopword-profile hit rate; rows-only —
+    prediction has no SQL oracle, determinism tested in pytest)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].reset_index(drop=True)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "lang_pred": textfns.lang_id(t).to_numpy(dtype=object)}
+        )
+
+    return ds.map_batches(ident, batch_format="pandas")
+
+
+@register("q_fingerprint")
+def q_fingerprint(sf_dir: str):
+    """Winnowing rolling-hash document fingerprint (rows-only; determinism
+    across runs tested in pytest)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "fingerprint": textfns.winnowing_fingerprint(t).view(np.int64),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_K = 10
+_NUM_QUERIES = 5
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    q = (
+        _embs(sf_dir, ["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(_NUM_QUERIES))), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids = q["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    return qids, qm
+
+
+def _topk_finalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["sim", "nid"], ascending=[False, True], kind="mergesort").head(_K)
+    df = df.reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "qid": df["qid"].astype("int64"),
+            "nid": df["nid"].astype("int64"),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+        }
+    )
+
+
+@register(
+    "knn_brute",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_NUM_QUERIES}),
+    pairs AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, nid, rank FROM (
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM pairs
+    ) WHERE rank <= {_K}
+    """,
+)
+def knn_brute(sf_dir: str):
+    """Brute-force cosine top-k: broadcast the (tiny) normalized query
+    matrix, per-batch numpy matmul emits each batch's local top-k per query
+    (global top-k ⊆ union of per-batch top-ks), final per-query reduce."""
+    qids, qm = _query_matrix(sf_dir)
+    q_ref = ray.put((qids, qm))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qmat = ray.get(q_ref)
+        em = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        sims = em @ qmat.T  # (batch, nq)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        out = []
+        for j, qid in enumerate(ids):
+            s = sims[:, j].copy()
+            mask = vids == qid
+            s[mask] = -np.inf
+            take = min(_K, len(s))
+            idx = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"qid": qid, "nid": vids[idx], "sim": s[idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        _embs(sf_dir, ["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pandas", batch_size=4096)
+        .groupby("qid")
+        .map_groups(_topk_finalize, batch_format="pandas")
+    )
+
+
+def _kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                centroids[c] = x[m].mean(0)
+    return centroids
+
+
+@register("knn_ivf")
+def knn_ivf(sf_dir: str):
+    """IVF ANN: coarse k-means centroids (trained on a driver-side sample —
+    the scale path trains on ds.random_sample), per-batch inverted-list
+    assignment, queries probe their `nprobe` nearest lists only. Rows-only
+    driver check; recall@10 vs knn_brute asserted in tests."""
+    nlist, nprobe = 16, 6
+    sample = _embs(sf_dir, ["embedding"]).random_sample(1.0, seed=3).limit(2048).to_pandas()
+    x = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    centroids = _kmeans(x, nlist, seed=0)
+
+    qids, qm = _query_matrix(sf_dir)
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe_lists = np.argsort(qd, axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((qids, qm, centroids, probe_lists))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qmat, cents, probes = ray.get(ref)
+        em = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        d = ((em[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        cell = d.argmin(1)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        sims = em @ qmat.T
+        out = []
+        for j, qid in enumerate(ids):
+            in_probe = np.isin(cell, probes[j]) & (vids != qid)
+            if not in_probe.any():
+                continue
+            s = sims[in_probe, j]
+            v = vids[in_probe]
+            take = min(_K, len(s))
+            idx = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"qid": qid, "nid": v[idx], "sim": s[idx]}))
+        if not out:
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"), "nid": pd.Series([], dtype="int64"), "sim": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        _embs(sf_dir, ["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pandas", batch_size=4096)
+        .groupby("qid")
+        .map_groups(_topk_finalize, batch_format="pandas")
+    )
+
+
+@register("q_embedding_nn")
+def q_embedding_nn(sf_dir: str):
+    """Embedding-cosine near-dup primitive: every vector's nearest neighbor
+    (blocked matmul against a broadcast normalized matrix at this scale; the
+    100-TB path replaces the broadcast with IVF/LSH bucketing)."""
+    all_embs = _embs(sf_dir, ["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    mat = np.stack(all_embs["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = all_embs["vec_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((ids, mat))
+
+    def nn(df: pd.DataFrame) -> pd.DataFrame:
+        aids, amat = ray.get(ref)
+        em = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        sims = em @ amat.T
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        sims[np.arange(len(vids)), np.searchsorted(aids, vids)] = -np.inf
+        best = sims.argmax(1)
+        return pd.DataFrame({"vec_id": vids, "nn_id": aids[best].astype(np.int64)})
+
+    return _embs(sf_dir, ["vec_id", "embedding"]).map_batches(nn, batch_format="pandas", batch_size=4096)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed codecs, real actor-pool stage)
+# ---------------------------------------------------------------------------
+
+
+@register("q_multimodal_features")
+def q_multimodal_features(sf_dir: str):
+    """Binary-payload featurization through an actor pool: documents.text is
+    packed into an opaque `binary` column (standing in for stored blobs),
+    then decoded/featurized by BinaryFeatureExtractor (stub codec; real Ray
+    plumbing — schema, batch size, actor signature, output layout)."""
+    from arches_rascoll_etl_ray.stages.multimodal import BinaryFeatureExtractor
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pc.cast(t["text"], pa.binary())}
+        )
+
+    feats = ds.map_batches(to_binary, batch_format="pyarrow").map_batches(
+        BinaryFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=256,  # bytes-aware: payloads are ~0.5 KB here
+        concurrency=2,
+        fn_constructor_kwargs={"decode_mode": "stub", "feature_dims": 16},
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        f = t["feature"].combine_chunks()
+        arr = f.flatten().to_numpy(zero_copy_only=False).reshape(-1, 16)
+        norm_e6 = np.round(np.linalg.norm(arr, axis=1) * 1e6).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload_bytes": t["payload_bytes"], "feature_norm_e6": pa.array(norm_e6)}
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")

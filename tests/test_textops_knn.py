@@ -1,0 +1,86 @@
+"""Text analysis determinism + ANN recall + multimodal stage plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from arches_rascoll_etl_ray.functions import text as textfns
+from tests.conftest import SF_SMOKE
+
+
+def test_lang_id_deterministic_and_sane():
+    s = pd.Series(
+        [
+            "the cat sat on the mat and it was happy in the sun",
+            "el perro y el gato en la casa de la abuela con su comida",
+            "xyzzy qwerty plugh",
+        ]
+    )
+    out = textfns.lang_id(s)
+    assert out.tolist() == textfns.lang_id(s).tolist()
+    assert out[0] == "en" and out[1] == "es" and out[2] == "und"
+
+
+def test_winnowing_fingerprint_properties():
+    s = pd.Series(["the quick brown fox jumps over the lazy dog " * 5, "", "short"])
+    fp1 = textfns.winnowing_fingerprint(s)
+    fp2 = textfns.winnowing_fingerprint(s)
+    assert (fp1 == fp2).all()
+    # a small local edit keeps most window-mins -> usually equal or close;
+    # a different doc gets a different fingerprint
+    other = textfns.winnowing_fingerprint(pd.Series(["completely different content here " * 5]))
+    assert fp1[0] != other[0]
+
+
+def test_token_counts_match_sql_semantics():
+    s = pd.Series(["a b  c", "", "one"])
+    # single-space split: "a b  c" -> ['a','b','','c'] = 4 tokens; "" -> 1
+    assert list(textfns.ws_token_counts(s)) == [4, 1, 1]
+    assert list(textfns.re_token_counts(pd.Series(["a,b c!"]))) == [5]  # a , b c !
+
+
+def test_ivf_recall_vs_brute():
+    from arches_rascoll_etl_ray.pipelines.training import knn_brute, knn_ivf
+
+    brute = knn_brute(SF_SMOKE).to_pandas()
+    ivf = knn_ivf(SF_SMOKE).to_pandas()
+    recalls = []
+    for qid in brute["qid"].unique():
+        b = set(brute[brute["qid"] == qid]["nid"])
+        i = set(ivf[ivf["qid"] == qid]["nid"])
+        recalls.append(len(b & i) / len(b))
+    assert np.mean(recalls) >= 0.5, f"IVF recall@10 too low: {recalls}"
+
+
+def test_embedding_nn_symmetric_sanity():
+    from arches_rascoll_etl_ray.pipelines.training import q_embedding_nn
+
+    out = q_embedding_nn(SF_SMOKE).to_pandas()
+    assert len(out) == 500
+    assert (out["vec_id"] != out["nn_id"]).all()
+
+
+def test_multimodal_stage_direct():
+    """Actor class smoke (init errors surface late in pools — test directly)."""
+    from arches_rascoll_etl_ray.stages.multimodal import BinaryFeatureExtractor
+
+    stage = BinaryFeatureExtractor(decode_mode="stub", feature_dims=8)
+    batch = pa.table({"doc_id": [1, 2], "payload": pa.array([b"abcabc", None], pa.binary())})
+    out = stage(batch)
+    assert out["feature"].type == pa.list_(pa.float32(), 8)
+    assert out["payload_bytes"].to_pylist() == [6, 0]
+    feats = np.array(out["feature"].to_pylist())
+    assert abs(feats[0].sum() - 1.0) < 1e-6  # histogram normalized
+    assert (feats[1] == 0).all()
+
+
+def test_multimodal_real_mode_raises():
+    from arches_rascoll_etl_ray.stages.multimodal import BinaryFeatureExtractor
+
+    stage = BinaryFeatureExtractor(decode_mode="real")
+    batch = pa.table({"doc_id": [1], "payload": pa.array([b"x"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        stage(batch)
+    with pytest.raises(ValueError):
+        BinaryFeatureExtractor(decode_mode="webp")
