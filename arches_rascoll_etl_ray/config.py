@@ -156,6 +156,21 @@ class EngineConfig:
     # ~1/salt of a hot partition's events.
     salt_partitions: int = 1
     batch_size: int = 8192
+    # epoch shuffle implementation:
+    #  - "spill": normalize tasks write per-partition delta pieces
+    #    (deterministic, content-addressed names → retry-idempotent WAL);
+    #    one merge task per partition reads its pieces. No all-to-all sort;
+    #    scales linearly with cores/nodes over a shared filesystem.
+    #  - "sort": groupby('_part').map_groups via Ray's sort shuffle —
+    #    object-store only, no intermediate files; use when no shared
+    #    filesystem exists.
+    shuffle: str = "spill"
+    # where spill pieces live. None → <lake_dir>/_delta. Pieces are
+    # transient AND deterministically re-creatable from the changelog, so
+    # they can safely sit on fast non-durable storage (tmpfs / local NVMe):
+    # correctness only depends on manifests + checkpoints, which always live
+    # in the lake dir.
+    delta_root: str | None = None
     evolution: EvolutionSpec | None = None
     # compute the per-partition content sha256 in each manifest (lineage);
     # costs one hash pass per rewritten partition.

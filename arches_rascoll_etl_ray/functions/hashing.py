@@ -82,18 +82,16 @@ def hex16(values: np.ndarray) -> pd.Series:
 
 
 def table_content_sha256(table: pa.Table, columns: list[str]) -> str:
-    """Canonical sha256 of selected columns of an Arrow table, row-order
-    sensitive. Callers sort by key first so the digest is replay-stable
-    (the determinism role of the reference's ORDER BY resourceinstanceid,
+    """Deterministic, row-order-sensitive digest of selected columns.
+    Vectorized: per-row SipHash via pandas (fixed key, machine-stable) then
+    sha256 over the ordered hash buffer — a stability fingerprint for
+    replay-equality checks, not a cryptographic commitment to the bytes.
+    Callers sort by key first so the digest is replay-stable (the
+    determinism role of the reference's ORDER BY resourceinstanceid,
     arches_rascoll/ref_collection.py:415)."""
     h = hashlib.sha256()
-    for col in columns:
-        arr = table[col]
-        chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
-        for chunk in chunks:
-            for v in chunk:
-                s = v.as_py()
-                h.update(b"\x00" if s is None else str(s).encode("utf-8"))
-            h.update(b"\x01")
-        h.update(col.encode("utf-8"))
+    df = table.select(columns).to_pandas()
+    row_hashes = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    h.update(",".join(columns).encode("utf-8"))
+    h.update(row_hashes.tobytes())
     return h.hexdigest()

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,7 +33,8 @@ import ray.data
 
 from arches_rascoll_etl_ray.config import EngineConfig
 from arches_rascoll_etl_ray.sources.changelog import max_available_lsn, shards_for_range
-from arches_rascoll_etl_ray.stages.merge import lake_columns, make_merge_fn
+from arches_rascoll_etl_ray.stages.merge import delta_dir as delta_dir_for
+from arches_rascoll_etl_ray.stages.merge import lake_columns
 from arches_rascoll_etl_ray.stages.normalize import make_normalize_fn, make_salted_reduce_fn
 from arches_rascoll_etl_ray.state.checkpoint import Checkpoint, load_latest_checkpoint, save_checkpoint
 from arches_rascoll_etl_ray.state.manifest import PartitionManifest
@@ -104,41 +106,32 @@ class CDCEngine:
         epoch = ckpt.epoch + 1
 
         files = shards_for_range(changelog_dir, start_lsn, end_lsn)
-        ds = ray.data.read_parquet(files)
-        normalize = make_normalize_fn(self.cfg)
-        lo, hi = start_lsn, end_lsn
+        # Coalesce read blocks to ~2 per core: spill fan-out (pieces per
+        # epoch = blocks × partitions) and task overhead both scale with
+        # block count, and 2×cores already saturates the pool.
+        import ray as _ray
 
-        def slice_and_normalize(batch: pa.Table) -> pa.Table:
-            lsn = batch["lsn"]
-            mask = pc.and_(pc.greater(lsn, pa.scalar(lo, pa.int64())), pc.less_equal(lsn, pa.scalar(hi, pa.int64())))
-            batch = batch.filter(mask)
-            return normalize(batch)  # handles empty batches (schema-stable)
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        nblocks = min(len(files) * 4, max(2 * ncpu, 8))
+        ds = ray.data.read_parquet(files, override_num_blocks=max(nblocks, 1))
 
-        ds = ds.map_batches(slice_and_normalize, batch_format="pyarrow", batch_size=self.cfg.batch_size)
+        if self.cfg.shuffle == "spill":
+            manifests = self._run_spill_plan(ds, epoch, start_lsn, end_lsn, ckpt)
+        else:
+            normalize = make_normalize_fn(self.cfg)
+            lo, hi = start_lsn, end_lsn
 
-        if self.cfg.salt_partitions > 1:
-            ds = ds.groupby(["_part", "_salt"]).map_groups(
-                make_salted_reduce_fn(), batch_format="pyarrow"
+            def slice_and_normalize(batch: pa.Table) -> pa.Table:
+                lsn = batch["lsn"]
+                mask = pc.and_(
+                    pc.greater(lsn, pa.scalar(lo, pa.int64())),
+                    pc.less_equal(lsn, pa.scalar(hi, pa.int64())),
+                )
+                return normalize(batch.filter(mask))  # empty-safe
+            ds = ds.map_batches(
+                slice_and_normalize, batch_format="pyarrow", batch_size=self.cfg.batch_size
             )
-
-        merge = make_merge_fn(self.cfg, epoch, start_lsn, end_lsn, ckpt.partitions)
-        stats_ds = ds.groupby("_part").map_groups(merge, batch_format="pyarrow")
-        stats = stats_ds.take_all()  # ≤ num_partitions tiny rows
-
-        manifests = [
-            PartitionManifest(
-                partition=r["partition"],
-                epoch=r["epoch"],
-                applied_lsn=r["applied_lsn"],
-                start_lsn=start_lsn,
-                end_lsn=end_lsn,
-                rows=r["rows"],
-                events_applied=r["events_applied"],
-                data_file=r["data_file"],
-                content_sha=r["content_sha"] or None,
-            )
-            for r in stats
-        ]
+            manifests = self._run_sort_plan(ds, epoch, start_lsn, end_lsn, ckpt)
         new_ckpt = ckpt.advanced(
             epoch,
             end_lsn,
@@ -146,11 +139,65 @@ class CDCEngine:
             evolution_version=(self.cfg.evolution.version if self.cfg.evolution else 1),
         )
         save_checkpoint(self.cfg.lake_dir, new_ckpt)
+        self._cleanup_delta(epoch)
         logger.info(
             "epoch %d committed: lsn (%d, %d], %d partitions touched",
             epoch, start_lsn, end_lsn, len(manifests),
         )
         return new_ckpt
+
+    def _run_sort_plan(self, ds, epoch: int, start_lsn: int, end_lsn: int, ckpt: Checkpoint):
+        """groupby('_part') through Ray's sort shuffle (optionally salted
+        two-stage for hot keys)."""
+        from arches_rascoll_etl_ray.stages.merge import make_merge_fn, manifest_from_stats_row
+
+        if self.cfg.salt_partitions > 1:
+            ds = ds.groupby(["_part", "_salt"]).map_groups(
+                make_salted_reduce_fn(), batch_format="pyarrow"
+            )
+        merge = make_merge_fn(self.cfg, epoch, start_lsn, end_lsn, ckpt.partitions)
+        stats = ds.groupby("_part").map_groups(merge, batch_format="pyarrow").take_all()
+        return [manifest_from_stats_row(r, start_lsn, end_lsn) for r in stats]
+
+    def _run_spill_plan(self, ds, epoch: int, start_lsn: int, end_lsn: int, ckpt: Checkpoint):
+        """Filesystem-partitioned shuffle: map tasks spill per-partition
+        delta pieces (retry-idempotent WAL), then one raw Ray merge task per
+        touched partition (the reduce input is a file set each task owns —
+        not expressible as a Dataset op without a sort)."""
+        import ray
+
+        from arches_rascoll_etl_ray.stages.merge import (
+            delta_dir,
+            make_normalize_spill_fn,
+            merge_partition_from_pieces,
+        )
+
+        spill = make_normalize_spill_fn(self.cfg, epoch, start_lsn, end_lsn)
+        # batch_size=None → one spill call per block: fewest, largest pieces
+        spill_stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
+        touched = sorted({r["partition"] for r in spill_stats})
+        if not touched:
+            # pieces may exist from a crashed prior attempt of this epoch
+            droot = delta_dir(self.cfg, epoch)
+            if os.path.isdir(droot):
+                touched = sorted(
+                    int(name.split("=")[1]) for name in os.listdir(droot) if name.startswith("part=")
+                )
+        merge_task = ray.remote(num_cpus=1)(merge_partition_from_pieces)
+        refs = [
+            merge_task.remote(self.cfg, epoch, start_lsn, end_lsn, ckpt.partitions.get(p), p)
+            for p in touched
+        ]
+        return ray.get(refs)
+
+    def _cleanup_delta(self, epoch: int) -> None:
+        """Post-commit piece removal — safe to run concurrently with the
+        next epoch (pieces are per-epoch dirs), so don't stall the driver."""
+        import shutil
+        import threading
+
+        d = delta_dir_for(self.cfg, epoch)
+        threading.Thread(target=shutil.rmtree, args=(d,), kwargs={"ignore_errors": True}, daemon=True).start()
 
     def replay(self, changelog_dir: str, events_per_epoch: int | None = None) -> Checkpoint:
         """Tail the log to exhaustion in deterministic epochs."""

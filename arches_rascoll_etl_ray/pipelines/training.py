@@ -69,86 +69,119 @@ def dedup_exact(sf_dir: str):
     moves — never two copies of a document's text."""
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
 
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
     def add_hash(t: pa.Table) -> pa.Table:
+        sha = sha256_hex_column(t["text"])
+        shard = (stable_hash64(sha) % np.uint64(256)).astype(np.int32)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "lang": t["lang"],
                 "source": t["source"],
                 "n_chars": t["n_chars"],
-                "text_sha": sha256_hex_column(t["text"]),
+                "text_sha": sha,
+                "shard": pa.array(shard),
             }
         )
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("doc_id", kind="mergesort").head(1)[
+    def first_per_sha(df: pd.DataFrame) -> pd.DataFrame:
+        # whole shard (many hashes) deduped vectorized — one UDF call per
+        # shard, not per distinct sha
+        df = df.sort_values(["text_sha", "doc_id"], kind="mergesort")
+        return df.drop_duplicates("text_sha", keep="first")[
             ["doc_id", "lang", "source", "n_chars"]
         ]
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_sha")
-        .map_groups(first, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(first_per_sha, batch_format="pandas")
     )
 
 
-class _MinHashStage:
-    """Actor-pool sketcher: permutation params built once per actor."""
+def _minhash_triples(df: pd.DataFrame, num_perm=128, num_bands=32, ngram=3, seed=1) -> pd.DataFrame:
+    """Stateless sketcher: doc → (band_id, band_hash, doc_id) triples.
+    Only these tiny triples shuffle — never the documents themselves."""
+    flat, offsets = textfns.word_ngrams_hashes(df["text"].reset_index(drop=True), n=ngram)
+    sig = sketches.minhash_signatures(flat, offsets, num_perm=num_perm, seed=seed)
+    bands = sketches.lsh_band_hashes(sig, num_bands=num_bands)
+    n = len(df)
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), num_bands),
+            "band_id": np.tile(np.arange(num_bands, dtype=np.int32), n),
+            "band_hash": bands.reshape(-1).view(np.int64),
+        }
+    )
 
-    def __init__(self, num_perm: int = 128, num_bands: int = 32, ngram: int = 3, seed: int = 1):
-        self.num_perm, self.num_bands, self.ngram, self.seed = num_perm, num_bands, ngram, seed
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        flat, offsets = textfns.word_ngrams_hashes(df["text"].reset_index(drop=True), n=self.ngram)
-        sig = sketches.minhash_signatures(flat, offsets, num_perm=self.num_perm, seed=self.seed)
-        bands = sketches.lsh_band_hashes(sig, num_bands=self.num_bands)
-        n = len(df)
-        return pd.DataFrame(
-            {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), self.num_bands),
-                "band_id": np.tile(np.arange(self.num_bands, dtype=np.int32), n),
-                "band_hash": bands.reshape(-1).view(np.int64),
-            }
-        )
+_NUM_SHARDS_PER_BAND = 64
+
+
+def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized candidate-pair emission for ONE shard (many buckets):
+    sort by band_hash, run-length-encode equal-hash runs, emit pairs only
+    for runs of size ≥ 2. One UDF call per shard (constant count), not per
+    bucket — per-group pandas overhead at bucket granularity is the classic
+    map_groups performance trap."""
+    g = g.sort_values("band_hash", kind="mergesort")
+    bh = g["band_hash"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    if len(bh) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+    ends = np.r_[starts[1:], len(bh)]
+    aa, bb = [], []
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            u = np.unique(ids[s:e])
+            if len(u) >= 2:
+                ii, jj = np.triu_indices(len(u), k=1)
+                aa.append(u[ii])
+                bb.append(u[jj])
+    if not aa:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(aa), "b": np.concatenate(bb)})
 
 
 def _minhash_candidate_pairs(sf_dir: str, threshold: float, ngram: int = 3) -> list[tuple[int, int]]:
     """shingle → minhash → LSH bucket groupby → verified pairs (exact
-    n-gram Jaccard ≥ threshold)."""
+    n-gram Jaccard ≥ threshold). The bucket groupby shards on
+    (band_id, band_hash mod S): a constant number of groups whose size
+    scales as n_docs/S — each processed vectorized."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    triples = ds.map_batches(
-        _MinHashStage, batch_format="pandas", batch_size=2048, concurrency=2
-    )
+    triples = ds.map_batches(_minhash_triples, batch_format="pandas", batch_size=512)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["shard"] = (
+            df["band_id"].to_numpy(dtype=np.int64) * _NUM_SHARDS_PER_BAND
+            + (df["band_hash"].to_numpy().view(np.uint64) % np.uint64(_NUM_SHARDS_PER_BAND)).astype(np.int64)
+        )
+        return df
 
-    pairs = (
-        triples.groupby(["band_id", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+    pair_rows = (
+        triples.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(_emit_bucket_pairs, batch_format="pandas")
+        .take_all()
     )
-    pair_rows = pairs.take_all()
-    if not pair_rows:
+    # distinct on the driver: the verified-candidate set is provably small
+    # (LSH buckets), so this dedup costs no extra Ray job
+    pair_set = sorted({(r["a"], r["b"]) for r in pair_rows})
+    if not pair_set:
         return []
     # verification: exact Jaccard on the candidate docs' shingle sets.
-    # Broadcast the candidate texts (small: only docs appearing in pairs);
-    # scale path: hash-partition pairs by `a` and join text by id.
-    need = sorted({r["a"] for r in pair_rows} | {r["b"] for r in pair_rows})
-    texts = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=pa.array(need, pa.int64()))),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
-    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    # Candidate texts are fetched by id with parquet predicate pushdown
+    # (small set); scale path: hash-partition pairs by `a` and join text
+    # by id inside map_groups.
+    import pyarrow.parquet as pq
+
+    need = sorted({a for a, _ in pair_set} | {b for _, b in pair_set})
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    tbl = tbl.filter(pc.is_in(tbl["doc_id"], value_set=pa.array(need, pa.int64())))
+    tmap = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    pair_rows = [{"a": a, "b": b} for a, b in pair_set]
     shingle_cache = {i: textfns.word_ngram_sets(tmap[i], n=ngram) for i in need}
     verified = [
         (r["a"], r["b"])
@@ -191,8 +224,10 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard_e3": pa.array([], pa.int64())}
         )
-    texts = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    tmap = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
     rows = []
     for a, b in pairs:
         j = textfns.jaccard(textfns.word_ngram_sets(tmap[a]), textfns.word_ngram_sets(tmap[b]))
@@ -200,11 +235,10 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
-class _SimHashStage:
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        flat, offsets = textfns.word_ngrams_hashes(df["text"].reset_index(drop=True), n=2)
-        sig = sketches.simhash64(flat, offsets)
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sig.view(np.int64)})
+def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    flat, offsets = textfns.word_ngrams_hashes(df["text"].reset_index(drop=True), n=2)
+    sig = sketches.simhash64(flat, offsets)
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sig.view(np.int64)})
 
 
 @register("dedup_simhash")
@@ -213,7 +247,7 @@ def dedup_simhash(sf_dir: str):
     hamming≤3 verification, min-id clusters. Rows-only driver check; recall
     asserted in tests."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    sigs = ds.map_batches(_SimHashStage, batch_format="pandas", batch_size=2048, concurrency=2)
+    sigs = ds.map_batches(_simhash_batch, batch_format="pandas", batch_size=4096)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         sim = df["simhash"].to_numpy().view(np.uint64)
@@ -231,26 +265,47 @@ def dedup_simhash(sf_dir: str):
             }
         )
 
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["shard"] = (
+            df["band_id"].to_numpy(dtype=np.int64) * _NUM_SHARDS_PER_BAND
+            + (df["band_hash"].to_numpy() % _NUM_SHARDS_PER_BAND)
+        )
+        return df
+
     def emit_verified(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        """One shard: RLE over equal band_hash runs, hamming-verify within
+        each bucket (vectorized; one UDF call per shard)."""
+        g = g.sort_values(["band_hash", "doc_id"], kind="mergesort")
+        bh = g["band_hash"].to_numpy()
         ids = g["doc_id"].to_numpy()
         sims = g["simhash"].to_numpy().view(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        ham = sketches.hamming64(sims[ii], sims[jj])
-        keep = ham <= 3
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep]})
+        if len(bh) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+        ends = np.r_[starts[1:], len(bh)]
+        aa, bb = [], []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                uids, uidx = np.unique(ids[s:e], return_index=True)
+                if len(uids) < 2:
+                    continue
+                usims = sims[s:e][uidx]
+                ii, jj = np.triu_indices(len(uids), k=1)
+                keep = sketches.hamming64(usims[ii], usims[jj]) <= 3
+                aa.append(uids[ii][keep])
+                bb.append(uids[jj][keep])
+        if not aa:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(aa), "b": np.concatenate(bb)})
 
     pair_rows = (
         sigs.map_batches(explode_bands, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
         .map_groups(emit_verified, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
         .take_all()
     )
-    return _clusters_output(sf_dir, [(r["a"], r["b"]) for r in pair_rows])
+    return _clusters_output(sf_dir, sorted({(r["a"], r["b"]) for r in pair_rows}))
 
 
 # ---------------------------------------------------------------------------

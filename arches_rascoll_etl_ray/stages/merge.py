@@ -16,11 +16,21 @@ key-partitioned, idempotent merge:
                                                   cf. NOT IN guards at
                                                   ref_collection.py:305-314)
 
-Runs inside ``groupby('_part').map_groups(batch_format='pyarrow')`` — one
-task per touched partition per epoch. Partitioning assumption: one
-partition's *epoch delta* (post-combiner: ≤ one row per touched key) fits in
-a task's heap; the full snapshot is streamed from / to Parquet, and
-`num_partitions` is sized so snapshot_rows/P stays bounded at scale.
+Two physical plans feed it (EngineConfig.shuffle):
+
+- "spill" (default): normalize tasks write per-partition DELTA PIECES with
+  deterministic content-addressed names (`piece-<minlsn>-<maxlsn>.parquet`)
+  under `_delta/epoch=N/part=P/` — a retry-idempotent write-ahead log of the
+  epoch — then ONE merge task per touched partition reads its pieces. No
+  all-to-all sort; both sides embarrassingly parallel. Partitioning
+  assumption: a shared filesystem (or object store) visible to all workers.
+- "sort": `groupby('_part').map_groups(merge)` through Ray's sort shuffle —
+  no intermediate files, object store only.
+
+Partitioning assumption for both: one partition's *epoch delta*
+(post-combiner: ≤ one row per touched key per input block) fits in a task's
+heap; the snapshot streams from/to Parquet, and `num_partitions` is sized so
+snapshot_rows/P stays bounded at scale.
 """
 
 from __future__ import annotations
@@ -28,12 +38,13 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from arches_rascoll_etl_ray.config import EngineConfig
-from arches_rascoll_etl_ray.functions.hashing import combine_key, table_content_sha256
+from arches_rascoll_etl_ray.functions.hashing import combine_key, sha256_hex_column, table_content_sha256
 from arches_rascoll_etl_ray.stages.normalize import apply_evolution, evolved_base_columns, lww_reduce
 from arches_rascoll_etl_ray.state.manifest import (
     PartitionManifest,
@@ -73,8 +84,126 @@ def _stats_row(m: PartitionManifest) -> pa.Table:
     )
 
 
+def manifest_from_stats_row(r: dict, start_lsn: int, end_lsn: int) -> PartitionManifest:
+    return PartitionManifest(
+        partition=r["partition"],
+        epoch=r["epoch"],
+        applied_lsn=r["applied_lsn"],
+        start_lsn=start_lsn,
+        end_lsn=end_lsn,
+        rows=r["rows"],
+        events_applied=r["events_applied"],
+        data_file=r["data_file"],
+        content_sha=r["content_sha"] or None,
+    )
+
+
 def lake_columns(cfg: EngineConfig) -> list[str]:
     return evolved_base_columns(cfg.evolution) + ["lsn", "content_sha"]
+
+
+def evolved_content_col(cfg: EngineConfig) -> str:
+    spec = cfg.evolution
+    return spec.renames.get("content", "content") if spec else "content"
+
+
+# ---------------------------------------------------------------- core merge
+
+
+def apply_partition_merge(
+    cfg: EngineConfig,
+    epoch: int,
+    start_lsn: int,
+    end_lsn: int,
+    prev: dict | None,
+    part: int,
+    events: pa.Table,
+) -> PartitionManifest:
+    """Fold one partition's epoch events into its snapshot. Idempotent per
+    (partition, epoch): the manifest is the commit record."""
+    lake_dir = cfg.lake_dir
+    existing = read_manifest(lake_dir, part, epoch)
+    if existing is not None:
+        return existing
+
+    watermark = prev["applied_lsn"] if prev else 0
+    if watermark > 0 and events.num_rows:
+        events = events.filter(pc.greater(events["lsn"], pa.scalar(watermark, pa.int64())))
+
+    pdir = partition_dir(lake_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+
+    if events.num_rows == 0:
+        m = PartitionManifest(
+            partition=part,
+            epoch=epoch,
+            applied_lsn=watermark,
+            start_lsn=start_lsn,
+            end_lsn=end_lsn,
+            rows=prev["rows"] if prev else 0,
+            events_applied=0,
+            data_file=prev["data_file"] if prev else "",
+            content_sha=prev.get("content_sha") if prev else None,
+        )
+        write_manifest(lake_dir, m)
+        return m
+
+    out_cols = lake_columns(cfg)
+    events_applied = events.num_rows
+    winners = lww_reduce(events)
+
+    prev_kept: pa.Table | None = None
+    if prev and prev["data_file"]:
+        prev_tbl = pq.read_table(os.path.join(lake_dir, prev["data_file"]))
+        prev_tbl = apply_evolution(prev_tbl, cfg.evolution)
+        prev_key = combine_key(prev_tbl)
+        winner_keys = combine_key(winners)  # recombined here, not shuffled
+        if isinstance(winner_keys, pa.ChunkedArray):
+            winner_keys = winner_keys.combine_chunks()
+        keep = pc.invert(pc.is_in(prev_key, value_set=winner_keys))
+        prev_kept = prev_tbl.filter(keep).select(out_cols)
+
+    live = winners.filter(pc.not_equal(winners["op"], pa.scalar("D")))
+    if "content_sha" not in live.column_names:
+        # lineage (per-row sha256 invariant) computed on winners only
+        live = live.append_column(
+            "content_sha", sha256_hex_column(live[evolved_content_col(cfg)])
+        )
+    live = live.select(out_cols)
+    tables = [t for t in (prev_kept, live) if t is not None and t.num_rows > 0]
+    result = pa.concat_tables(tables, promote_options="permissive") if tables else live
+    result = result.take(
+        pc.sort_indices(result, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+
+    applied_lsn = max(watermark, pc.max(events["lsn"]).as_py())
+    fname = data_file_name(epoch)
+    final_path = os.path.join(pdir, fname)
+    tmp_path = os.path.join(pdir, "." + fname + ".tmp")
+    pq.write_table(result, tmp_path, row_group_size=128 * 1024)
+    os.replace(tmp_path, final_path)
+
+    sha = None
+    if cfg.manifest_content_sha:
+        sha_cols = [c for c in result.column_names if c != evolved_content_col(cfg)]
+        sha = table_content_sha256(result, sha_cols)
+
+    m = PartitionManifest(
+        partition=part,
+        epoch=epoch,
+        applied_lsn=applied_lsn,
+        start_lsn=start_lsn,
+        end_lsn=end_lsn,
+        rows=result.num_rows,
+        events_applied=events_applied,
+        data_file=os.path.join(f"part={part:05d}", fname),
+        content_sha=sha,
+    )
+    write_manifest(lake_dir, m)
+    return m
+
+
+# ------------------------------------------------------- sort-shuffle plan
 
 
 def make_merge_fn(
@@ -84,100 +213,140 @@ def make_merge_fn(
     end_lsn: int,
     prev_partitions: dict[int, dict],
 ) -> Callable[[pa.Table], pa.Table]:
-    """Build the per-group merge function for one epoch.
-
-    `prev_partitions` (the previous checkpoint's partition map) is small —
-    one dict entry per partition — and is closure-captured, i.e. shipped
-    once per task, not per batch.
-    """
-    lake_dir = cfg.lake_dir
-    out_cols = lake_columns(cfg)
+    """groupby('_part').map_groups merge for the 'sort' shuffle plan.
+    `prev_partitions` is one small dict entry per partition — shipped once
+    per task via closure, not per batch."""
 
     def merge(group: pa.Table) -> pa.Table:
         part = group["_part"][0].as_py()
-        # Idempotent retry / resume guard: the manifest IS the commit record.
-        existing = read_manifest(lake_dir, part, epoch)
-        if existing is not None:
-            return _stats_row(existing)
-
-        prev = prev_partitions.get(part)
-        watermark = prev["applied_lsn"] if prev else 0
-
-        # Drop duplicate deliveries / already-applied events (the anti-join
-        # idempotence semantics, generalized to an LSN watermark).
-        if watermark > 0:
-            group = group.filter(pc.greater(group["lsn"], pa.scalar(watermark, pa.int64())))
-
-        pdir = partition_dir(lake_dir, part)
-        os.makedirs(pdir, exist_ok=True)
-
-        if group.num_rows == 0:
-            # Pure duplicate delivery: commit a manifest that carries the
-            # previous snapshot forward unchanged.
-            m = PartitionManifest(
-                partition=part,
-                epoch=epoch,
-                applied_lsn=watermark,
-                start_lsn=start_lsn,
-                end_lsn=end_lsn,
-                rows=prev["rows"] if prev else 0,
-                events_applied=0,
-                data_file=prev["data_file"] if prev else "",
-                content_sha=prev.get("content_sha") if prev else None,
-            )
-            write_manifest(lake_dir, m)
-            return _stats_row(m)
-
-        events_applied = group.num_rows
-        winners = lww_reduce(group)
-
-        prev_kept: pa.Table | None = None
-        if prev and prev["data_file"]:
-            prev_tbl = pq.read_table(os.path.join(lake_dir, prev["data_file"]))
-            prev_tbl = apply_evolution(prev_tbl, cfg.evolution)
-            prev_key = combine_key(prev_tbl)
-            keep = pc.invert(pc.is_in(prev_key, value_set=winners["_key"].combine_chunks()))
-            prev_kept = prev_tbl.filter(keep).select(out_cols)
-
-        live = winners.filter(pc.not_equal(winners["op"], pa.scalar("D"))).select(out_cols)
-        parts = [t for t in (prev_kept, live) if t is not None and t.num_rows > 0]
-        if parts:
-            result = pa.concat_tables(parts, promote_options="permissive")
-        else:
-            result = live  # empty, correct schema
-        result = result.take(
-            pc.sort_indices(result, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+        m = apply_partition_merge(
+            cfg, epoch, start_lsn, end_lsn, prev_partitions.get(part), part, group
         )
-
-        applied_lsn = max(watermark, pc.max(group["lsn"]).as_py())
-        fname = data_file_name(epoch)
-        final_path = os.path.join(pdir, fname)
-        tmp_path = os.path.join(pdir, "." + fname + ".tmp")
-        pq.write_table(result, tmp_path, row_group_size=128 * 1024)
-        os.replace(tmp_path, final_path)
-
-        sha = None
-        if cfg.manifest_content_sha:
-            sha_cols = [c for c in result.column_names if c != evolved_content_col(cfg)]
-            sha = table_content_sha256(result, sha_cols)
-
-        m = PartitionManifest(
-            partition=part,
-            epoch=epoch,
-            applied_lsn=applied_lsn,
-            start_lsn=start_lsn,
-            end_lsn=end_lsn,
-            rows=result.num_rows,
-            events_applied=events_applied,
-            data_file=os.path.join(f"part={part:05d}", fname),
-            content_sha=sha,
-        )
-        write_manifest(lake_dir, m)
         return _stats_row(m)
 
     return merge
 
 
-def evolved_content_col(cfg: EngineConfig) -> str:
+# ------------------------------------------------------- spill-shuffle plan
+
+
+def delta_dir(cfg_or_lake, epoch: int, part: int | None = None) -> str:
+    if isinstance(cfg_or_lake, EngineConfig):
+        root = cfg_or_lake.delta_root or os.path.join(cfg_or_lake.lake_dir, "_delta")
+    else:  # lake dir string
+        root = os.path.join(cfg_or_lake, "_delta")
+    d = os.path.join(root, f"epoch={epoch:09d}")
+    return d if part is None else os.path.join(d, f"part={part:05d}")
+
+
+_SPILL_STATS_SCHEMA = pa.schema([("partition", pa.int32()), ("rows", pa.int64())])
+
+
+def make_normalize_spill_fn(
+    cfg: EngineConfig, epoch: int, start_lsn: int, end_lsn: int
+) -> Callable[[pa.Table], pa.Table]:
+    """Fused map side of the spill plan: LSN slice → evolution → key hash →
+    ONE sort on (_part, _kh, lsn) → within-batch LWW combiner → run-sliced
+    per-partition Arrow-IPC pieces.
+
+    One sort/take materializes the block exactly once (sorting per concern
+    would copy the full block per pass). The combiner drops a row only when
+    hash AND exact (repo, path) match the next row — collisions keep both
+    rows, the merge-side exact reduce settles them. Piece names derive from
+    the slice's (min,max) LSN — deterministic for a deterministic epoch
+    slice, so task retries overwrite identical bytes (atomic replace)."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+    from arches_rascoll_etl_ray.stages.normalize import _adjacent_key_neq
+
     spec = cfg.evolution
-    return spec.renames.get("content", "content") if spec else "content"
+    num_parts = cfg.num_partitions
+
+    def spill(batch: pa.Table) -> pa.Table:
+        # LSN slice with an all-in-range short-circuit (whole shards usually
+        # fall inside the epoch; only boundary shards pay the filter)
+        if batch.num_rows:
+            mm = pc.min_max(batch["lsn"])
+            if mm["min"].as_py() <= start_lsn or mm["max"].as_py() > end_lsn:
+                mask = pc.and_(
+                    pc.greater(batch["lsn"], pa.scalar(start_lsn, pa.int64())),
+                    pc.less_equal(batch["lsn"], pa.scalar(end_lsn, pa.int64())),
+                )
+                batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_SPILL_STATS_SCHEMA)
+
+        batch = apply_evolution(batch, spec)
+        kh = stable_hash64(combine_key(batch))
+        part = (kh % np.uint64(num_parts)).astype(np.int32)
+        batch = batch.append_column("_kh", pa.array(kh))
+        batch = batch.append_column("_part", pa.array(part))
+
+        idx = pc.sort_indices(
+            batch, sort_keys=[("_part", "ascending"), ("_kh", "ascending"), ("lsn", "ascending")]
+        )
+        batch = batch.take(idx)
+
+        n = batch.num_rows
+        if n > 1:
+            # combiner: drop superseded same-key rows (exactness not needed
+            # here — merge re-reduces; collisions merely stay unreduced)
+            neq = _adjacent_key_neq(batch)
+            mask = np.append(neq, True)
+            if not mask.all():
+                batch = batch.filter(pa.array(mask))
+
+        parts = batch["_part"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1]])
+        ends = np.r_[starts[1:], len(parts)]
+        # _part is encoded by the piece directory; don't pay for it twice
+        piece_tbl = batch.drop_columns(["_part"])
+        out = []
+        for s, e in zip(starts, ends):
+            sub = piece_tbl.slice(s, e - s)
+            part_id = int(parts[s])
+            lo = pc.min(sub["lsn"]).as_py()
+            hi = pc.max(sub["lsn"]).as_py()
+            pdir = delta_dir(cfg, epoch, part_id)
+            os.makedirs(pdir, exist_ok=True)
+            # Arrow IPC, uncompressed: pieces are transient (deleted at
+            # epoch commit) and sit on fast local storage — encode speed is
+            # all that matters, and IPC write is close to memcpy
+            fname = f"piece-{lo:012d}-{hi:012d}.arrow"
+            tmp = os.path.join(pdir, "." + fname + ".tmp")
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_file(sink, sub.schema) as writer:
+                    writer.write_table(sub)
+            os.replace(tmp, os.path.join(pdir, fname))
+            out.append({"partition": part_id, "rows": e - s})
+        return pa.Table.from_pylist(out, schema=_SPILL_STATS_SCHEMA)
+
+    return spill
+
+
+def merge_partition_from_pieces(
+    cfg: EngineConfig,
+    epoch: int,
+    start_lsn: int,
+    end_lsn: int,
+    prev: dict | None,
+    part: int,
+) -> PartitionManifest:
+    """Reduce side of the spill plan: read this partition's delta pieces and
+    fold them into the snapshot. Runs as one Ray task per touched partition
+    (raw task, not Dataset — the reduce input is a set of files this task
+    owns exclusively, not a Dataset shuffle output)."""
+    d = delta_dir(cfg, epoch, part)
+    pieces = sorted(os.listdir(d)) if os.path.isdir(d) else []
+    tables = []
+    for f in pieces:
+        if f.endswith(".arrow"):
+            with pa.memory_map(os.path.join(d, f), "r") as src:
+                tables.append(pa.ipc.open_file(src).read_all())
+        elif f.endswith(".parquet"):  # older pieces
+            tables.append(pq.read_table(os.path.join(d, f)))
+    events = (
+        pa.concat_tables(tables, promote_options="permissive")
+        if tables
+        else pa.table({"lsn": pa.array([], pa.int64())})  # empty → prev carried
+    )
+    return apply_partition_merge(cfg, epoch, start_lsn, end_lsn, prev, part, events)

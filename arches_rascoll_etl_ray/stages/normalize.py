@@ -31,7 +31,7 @@ from arches_rascoll_etl_ray.config import COMPUTED_FNS, EngineConfig, EvolutionS
 from arches_rascoll_etl_ray.functions.hashing import combine_key, sha256_hex_column, stable_hash64
 
 KEY_COLUMNS = ("repo", "path")
-META_COLUMNS = ("_key", "_part", "_salt")
+META_COLUMNS = ("_key", "_kh", "_part", "_salt")
 
 
 def evolved_base_columns(spec: EvolutionSpec | None) -> list[str]:
@@ -78,24 +78,60 @@ def apply_evolution(table: pa.Table, spec: EvolutionSpec | None) -> pa.Table:
     return table
 
 
-def lww_reduce(table: pa.Table, lsn_col: str = "lsn", key_col: str = "_key") -> pa.Table:
-    """Keep exactly the max-`lsn` row per key — the associative/commutative
-    last-writer-wins fold (replaces the reference's dict-overwrite-in-
-    arrival-order, arches_rascoll/ref_collection.py:142). Arrow sort on
-    (key, lsn) + an adjacent-shift boundary mask; exact (no hash collisions:
-    the composite key string is compared, not its hash)."""
+def _adjacent_key_neq(table: pa.Table) -> np.ndarray:
+    """row i differs from row i+1 on the (repo, path) key — O(n) compares."""
+    n = table.num_rows
+    r = table["repo"].combine_chunks()
+    p = table["path"].combine_chunks()
+    neq = pc.or_(
+        pc.not_equal(r.slice(0, n - 1), r.slice(1, n)),
+        pc.not_equal(p.slice(0, n - 1), p.slice(1, n)),
+    )
+    return neq.to_numpy(zero_copy_only=False).astype(bool)
+
+
+def lww_reduce(table: pa.Table, lsn_col: str = "lsn") -> pa.Table:
+    """Keep the max-`lsn` row per (repo, path) key — the associative/
+    commutative last-writer-wins fold (replaces the reference's
+    dict-overwrite-in-arrival-order, arches_rascoll/ref_collection.py:142).
+
+    Sorts on the precomputed 64-bit key hash (`_kh`, integer sort — much
+    cheaper than sorting composite strings), then drops a row only when BOTH
+    its hash AND its exact key equal the next row's (adjacent compares are
+    O(n)). A hash collision between distinct keys keeps both rows (never
+    wrong, merely unreduced — the exactness guard below re-reduces), while a
+    true same-key run keeps exactly its max-lsn row. Idempotent:
+    re-reducing reduced output is a no-op."""
     n = table.num_rows
     if n <= 1:
         return table
-    idx = pc.sort_indices(
-        table, sort_keys=[(key_col, "ascending"), (lsn_col, "ascending")]
-    )
+    if "_kh" in table.column_names:
+        idx = pc.sort_indices(table, sort_keys=[("_kh", "ascending"), (lsn_col, "ascending")])
+    else:
+        idx = pc.sort_indices(
+            table, sort_keys=[("repo", "ascending"), ("path", "ascending"), (lsn_col, "ascending")]
+        )
     table = table.take(idx)
-    keys = table[key_col].combine_chunks()
-    neq = pc.not_equal(keys.slice(0, n - 1), keys.slice(1, n)).to_numpy(zero_copy_only=False)
-    # null-safe: composite keys are never null
-    mask = np.append(neq.astype(bool), True)  # last row of each equal-key run
-    return table.filter(pa.array(mask))
+    mask = np.append(_adjacent_key_neq(table), True)  # last row of each key run
+    kept = table.filter(pa.array(mask))
+    if "_kh" not in kept.column_names or kept.num_rows <= 1:
+        return kept
+    # Exactness guard: if two kept rows share a hash (either a true 64-bit
+    # collision of distinct keys, or the same key interleaved with a
+    # colliding key), re-reduce just those rows with an exact key sort.
+    kh = kept["_kh"].to_numpy(zero_copy_only=False)
+    dup = np.r_[False, kh[1:] == kh[:-1]]
+    if not dup.any():
+        return kept
+    sus = dup | np.r_[dup[1:], False]  # both members of each equal-hash pair
+    clean = kept.filter(pa.array(~sus))
+    suspect = kept.filter(pa.array(sus))
+    sidx = pc.sort_indices(
+        suspect, sort_keys=[("repo", "ascending"), ("path", "ascending"), (lsn_col, "ascending")]
+    )
+    suspect = suspect.take(sidx)
+    suspect = suspect.filter(pa.array(np.append(_adjacent_key_neq(suspect), True)))
+    return pa.concat_tables([clean, suspect], promote_options="permissive")
 
 
 def make_normalize_fn(cfg: EngineConfig) -> Callable[[pa.Table], pa.Table]:
@@ -105,10 +141,10 @@ def make_normalize_fn(cfg: EngineConfig) -> Callable[[pa.Table], pa.Table]:
 
     def normalize(batch: pa.Table) -> pa.Table:
         batch = apply_evolution(batch, spec)
-        # lineage column: sha256(content) — null for deletes
-        content_col = spec.renames.get("content", "content") if spec else "content"
-        if "content_sha" not in batch.column_names:
-            batch = batch.append_column("content_sha", sha256_hex_column(batch[content_col]))
+        # NOTE: the content_sha lineage column is computed at MERGE time on
+        # the per-key winners only (stages/merge.py) — hashing every event
+        # here would do updates-per-key × the useful work and ship 64 more
+        # bytes per row through the shuffle.
         key = combine_key(batch)
         kh = stable_hash64(key)
         part = (kh % np.uint64(num_parts)).astype(np.int32)
@@ -120,9 +156,13 @@ def make_normalize_fn(cfg: EngineConfig) -> Callable[[pa.Table], pa.Table]:
             salt = ((kh // np.uint64(num_parts)) % np.uint64(num_salts)).astype(np.int32)
         else:
             salt = np.zeros(len(kh), dtype=np.int32)
-        batch = batch.append_column("_key", key)
+        # _key itself is NOT carried: the composite string (~bytes of
+        # repo+path again) would double key bandwidth through the shuffle;
+        # merge recombines it only for the small winner/prev sets.
+        batch = batch.append_column("_kh", pa.array(kh))  # int sort key for LWW
         batch = batch.append_column("_part", pa.array(part))
-        batch = batch.append_column("_salt", pa.array(salt))
+        if num_salts > 1:
+            batch = batch.append_column("_salt", pa.array(salt))
         # map-side combiner
         return lww_reduce(batch)
 

@@ -1,0 +1,195 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline CDC replay + representative operator pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) at num_cpus=$RAY_GRAFT_CPUS
+(default 32) and print ONE JSON line.
+
+--scaling: run the headline replay twice in fresh processes (num_cpus=8 and
+32) on the same input and report both throughputs + scaling efficiency
+(the sandbox proxy for the north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = os.path.join("/tmp", "arer_bench_cache")
+
+# headline replay size: ~100k files / 1M events / ~250 B contents (cached
+# one-time generation; replay reads the parquet shards)
+BENCH_FILES = int(os.environ.get("ARER_BENCH_FILES", "1000000"))
+BENCH_EVENTS = int(os.environ.get("ARER_BENCH_EVENTS", "10000000"))
+BENCH_EPOCHS = int(os.environ.get("ARER_BENCH_EPOCHS", "2"))
+NUM_PARTITIONS = 64
+
+
+def _ensure_changelog() -> str:
+    from arches_rascoll_etl_ray.datagen.changelog_gen import ensure_changelog
+
+    return ensure_changelog(
+        CACHE, num_files=BENCH_FILES, num_events=BENCH_EVENTS, seed=42, content_bytes=250, num_shards=128
+    )
+
+
+def _warm(paths: list[str]) -> None:
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def _warm_cluster() -> None:
+    """Spin up the worker pool before timing: we measure steady-state
+    throughput at each parallelism level, not process-spawn latency (which
+    scales with num_cpus and would distort the N-vs-4N comparison)."""
+    import ray
+    import ray.data
+
+    ray.get([ray.remote(num_cpus=1)(lambda: None).remote() for _ in range(NUM_CPUS)])
+    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def run_headline() -> dict:
+    """CDC replay: events/sec over the synthetic changelog."""
+    from arches_rascoll_etl_ray.config import EngineConfig
+    from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+    from arches_rascoll_etl_ray.sources.changelog import list_shards
+
+    clog = _ensure_changelog()
+    _warm([p for _, _, p in list_shards(clog)])
+    _warm_cluster()
+    lake = os.path.join(CACHE, f"lake_cpus{NUM_CPUS}")
+    shutil.rmtree(lake, ignore_errors=True)
+    # delta pieces on tmpfs when available: transient + deterministically
+    # re-creatable, so non-durable fast storage is safe (see EngineConfig)
+    delta = os.path.join("/dev/shm" if os.path.isdir("/dev/shm") else CACHE, f"arer_delta_{NUM_CPUS}")
+    shutil.rmtree(delta, ignore_errors=True)
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=NUM_PARTITIONS, batch_size=32768, delta_root=delta))
+    t0 = time.perf_counter()
+    ckpt = eng.replay(clog, events_per_epoch=max(1, BENCH_EVENTS // BENCH_EPOCHS))
+    dt = time.perf_counter() - t0
+    shutil.rmtree(delta, ignore_errors=True)
+    rows = sum(i["rows"] for i in ckpt.partitions.values())
+    return {
+        "cdc_replay_sec": round(dt, 3),
+        "events": BENCH_EVENTS,
+        "events_per_sec": round(BENCH_EVENTS / dt, 1),
+        "lake_rows": rows,
+        "epochs": ckpt.epoch,
+        "sha": eng.snapshot_sha256(),
+    }
+
+
+def run_queries() -> dict:
+    import ray.data  # noqa: F401
+
+    import __ray_entry__ as em
+
+    picks = [
+        "q_pricing_summary",
+        "q_lww_latest_event",
+        "q_window_tumbling",
+        "q_region_revenue",
+        "dedup_exact",
+        "dedup_minhash",
+        "knn_brute",
+        "q_token_count",
+    ]
+    qs = em.queries()
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res = res.materialize()  # force full execution of the Dataset
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    headline = run_headline()
+    # scaling children time only the headline replay (same input, two levels)
+    queries = {} if os.environ.get("ARER_SCALING_CHILD") else run_queries()
+    total_query_sec = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_events_per_sec",
+                "value": headline["cdc_replay_sec"],
+                "unit": "sec",
+                "events_per_sec": headline["events_per_sec"],
+                "headline": headline,
+                "queries": queries,
+                "total_query_sec": total_query_sec,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same replay at two parallelism levels in fresh processes."""
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), ARER_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    tp_lo = results[lo]["events_per_sec"]
+    tp_hi = results[hi]["events_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    sha_equal = results[lo]["headline"]["sha"] == results[hi]["headline"]["sha"]
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "events_per_sec_lo": tp_lo,
+                "events_per_sec_hi": tp_hi,
+                "sec_lo": results[lo]["value"],
+                "sec_hi": results[hi]["value"],
+                "scaling_efficiency": round(eff, 3),
+                "sha_equal_across_levels": sha_equal,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
