@@ -266,6 +266,29 @@ class CDCEngine:
             "rows": sum(i["rows"] for i in ckpt.partitions.values()),
         }
 
+    def export_snapshot(self, out_dir: str) -> int:
+        """Materialize the live snapshot as a directory of per-partition
+        parquet files (resumable: finished partitions are skipped on rerun —
+        the 'one output per key range + manifest' sink layout)."""
+        import shutil
+
+        ckpt = self.checkpoint()
+        os.makedirs(out_dir, exist_ok=True)
+        total = 0
+        for part, info in sorted(ckpt.partitions.items()):
+            if not info["data_file"] or info["rows"] == 0:
+                continue
+            total += info["rows"]
+            dst = os.path.join(out_dir, f"part-{part:05d}.parquet")
+            marker = dst + ".done"
+            if os.path.exists(marker):
+                continue
+            shutil.copyfile(os.path.join(self.cfg.lake_dir, info["data_file"]), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            with open(marker, "w") as f:
+                f.write(f"{info['epoch']} {info['content_sha']}\n")
+        return total
+
     def vacuum(self, keep_epochs: int = 1) -> int:
         """Delete superseded per-partition data files/manifests (anything
         older than the file referenced by the latest checkpoint)."""

@@ -546,3 +546,157 @@ def q_cast_concat_fill(sf_dir: str):
         return pa.table({"o_orderkey": t["o_orderkey"], "order_tag": tag})
 
     return ds.map_batches(build, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# F. Dimension mining, sessionization, large-side hash join, nested values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dim_mint",
+    """
+    SELECT DISTINCT c_mktsegment AS name, md5(c_mktsegment) AS dim_id
+    FROM customer
+    """,
+)
+def q_dim_mint(sf_dir: str):
+    """Dimension minting: distinct values of a raw column become a
+    (name, deterministic id) dim table — the reference's groups/persons
+    mining with uuid4 replaced by a content-derived id
+    (arches_rascoll/groups.py:39-66, persons.py:7-34; determinism per
+    FIXTURES.md)."""
+    import hashlib
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+
+    def mint(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["c_mktsegment"].drop_duplicates()
+        return pd.DataFrame(
+            {"name": u.to_numpy(), "dim_id": [hashlib.md5(s.encode()).hexdigest() for s in u]}
+        )
+
+    # per-batch distinct (combiner) -> global distinct on the tiny result
+    return (
+        ds.map_batches(mint, batch_format="pandas")
+        .groupby("name")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+@register(
+    "q_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events, MIN(ts) AS session_start
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_session_windows(sf_dir: str):
+    """Session windows (30-min inactivity gap): the streaming-shaped
+    operator from SURVEY.md §2.10, implemented as groupby(user).map_groups
+    over ts-sorted groups. Ordering assumption: one user's events fit in a
+    group task and are sorted within it."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
+        session_no = gap.cumsum().astype("int64")
+        out = (
+            df.assign(session_no=session_no)
+            .groupby("session_no", as_index=False)
+            .agg(user_id=("user_id", "first"), n_events=("ts", "size"), session_start=("ts", "min"))
+        )
+        return out[["user_id", "session_no", "n_events", "session_start"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+@register(
+    "q_join_large",
+    """
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def q_join_large(sf_dir: str):
+    """Both-sides-large join via Dataset.join (hash-partitioned on the key).
+    The filtered side is still semi-joined first at the read (predicate),
+    and revenue is pre-integerized per row before the post-join aggregate."""
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    pa.scalar(10000.0),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_e4": rev})
+
+    lineitem = lineitem.map_batches(pre, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))).select(
+            ["o_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = lineitem.join(
+        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    return (
+        joined.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+
+@register(
+    "q_lang_dict_json",
+    """
+    SELECT doc_id,
+           '{"lang": "' || lang || '", "value": "' || CAST(n_chars AS VARCHAR) || '", "direction": "ltr"}' AS lang_dict
+    FROM documents
+    """,
+)
+def q_lang_dict_json(sf_dir: str):
+    """Language-dict nested value (reference make_lang_dict_value,
+    general_configs.py:61-67) built as a native Arrow struct, serialized to
+    canonical JSON only for the SQL oracle comparison."""
+    from arches_rascoll_etl_ray.functions.nested import make_lang_dict_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def build(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        vals = [str(v) for v in t["n_chars"].to_pylist()]
+        # build the native struct column, then render canonical JSON from it
+        structs = make_lang_dict_column(pa.array(vals, pa.string()))
+        js = pa.array(
+            [
+                f'{{"lang": "{lg}", "value": "{s["value"]}", "direction": "{s["direction"]}"}}'
+                for lg, s in zip(langs, structs.to_pylist())
+            ],
+            pa.string(),
+        )
+        return pa.table({"doc_id": t["doc_id"], "lang_dict": js})
+
+    return ds.map_batches(build, batch_format="pyarrow")

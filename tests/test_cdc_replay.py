@@ -172,3 +172,23 @@ def test_reopen_with_different_partition_count_rejected(changelog, tmp_lake):
     CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8)).replay(changelog)
     with pytest.raises(ValueError, match="num_partitions"):
         CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=4))
+
+
+def test_cli_roundtrip(tmp_path):
+    """CLI surface: generate → replay → status → export in-process."""
+    from arches_rascoll_etl_ray.__main__ import main
+
+    clog, lake, out = str(tmp_path / "clog"), str(tmp_path / "lake"), str(tmp_path / "exp")
+    assert main(["generate", "--out", clog, "--files", "100", "--events", "800"]) == 0
+    assert main(["replay", "--lake", lake, "--partitions", "4", "--changelog", clog]) == 0
+    assert main(["status", "--lake", lake, "--partitions", "4", "--changelog", clog]) == 0
+    assert main(["export", "--lake", lake, "--partitions", "4", "--out", out]) == 0
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert files
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
+    assert rows == sum(i["rows"] for i in eng.checkpoint().partitions.values())
