@@ -124,9 +124,11 @@ def generate_changelog(
     return df[["lsn", "op", "repo", "path", "commit", "lang", "content"]]
 
 
-def write_changelog_shards(df: pd.DataFrame, out_dir: str, num_shards: int = 16) -> list[str]:
+def write_changelog_shards(
+    df: pd.DataFrame, out_dir: str, num_shards: int = 16, fmt: str = "parquet"
+) -> list[str]:
     """Write the stream as LSN-range-named shards so an epoch read can prune
-    at the file level (``changelog-<startlsn>-<endlsn>.parquet``)."""
+    at the file level (``changelog-<startlsn>-<endlsn>.{parquet,csv}``)."""
     os.makedirs(out_dir, exist_ok=True)
     n = len(df)
     bounds = np.linspace(0, n, num_shards + 1, dtype=np.int64)
@@ -145,8 +147,11 @@ def write_changelog_shards(df: pd.DataFrame, out_dir: str, num_shards: int = 16)
         # name by min/max so pruning stays correct for out-of-order streams
         start_lsn = pa.compute.min(shard["lsn"]).as_py()
         end_lsn = pa.compute.max(shard["lsn"]).as_py()
-        p = os.path.join(out_dir, f"changelog-{start_lsn:012d}-{end_lsn:012d}.parquet")
-        pq.write_table(shard, p, row_group_size=64 * 1024)
+        p = os.path.join(out_dir, f"changelog-{start_lsn:012d}-{end_lsn:012d}.{fmt}")
+        if fmt == "csv":
+            shard.to_pandas().to_csv(p, index=False)
+        else:
+            pq.write_table(shard, p, row_group_size=64 * 1024)
         paths.append(p)
     return paths
 

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from arches_rascoll_etl_ray.config import EngineConfig
-from arches_rascoll_etl_ray.sources.changelog import max_available_lsn, shards_for_range
+from arches_rascoll_etl_ray.sources.changelog import max_available_lsn, read_shard_dataset, shards_for_range
 from arches_rascoll_etl_ray.stages.merge import delta_dir as delta_dir_for
 from arches_rascoll_etl_ray.stages.merge import lake_columns
 from arches_rascoll_etl_ray.stages.normalize import make_normalize_fn, make_salted_reduce_fn
@@ -106,14 +106,17 @@ class CDCEngine:
         epoch = ckpt.epoch + 1
 
         files = shards_for_range(changelog_dir, start_lsn, end_lsn)
-        # Coalesce read blocks to ~2 per core: spill fan-out (pieces per
-        # epoch = blocks × partitions) and task overhead both scale with
-        # block count, and 2×cores already saturates the pool.
-        import ray as _ray
-
-        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        nblocks = min(len(files) * 4, max(2 * ncpu, 8))
-        ds = ray.data.read_parquet(files, override_num_blocks=max(nblocks, 1))
+        # Block count is a property of the DATA, not the cluster: a fixed
+        # ~64 MiB (compressed) per block keeps per-task overhead and spill
+        # fan-out (pieces = blocks × partitions) constant across cluster
+        # sizes, so N-vs-4N comparisons measure scheduling, not batching.
+        if files and files[0].endswith(".parquet"):
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            target = int(os.environ.get("ARER_BLOCK_BYTES", str(64 * 1024 * 1024)))
+            nblocks = max(1, min(len(files) * 4, -(-total_bytes // target)))
+            ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
+        else:
+            ds = read_shard_dataset(files)
 
         if self.cfg.shuffle == "spill":
             manifests = self._run_spill_plan(ds, epoch, start_lsn, end_lsn, ckpt)

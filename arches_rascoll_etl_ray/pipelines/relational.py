@@ -700,3 +700,25 @@ def q_lang_dict_json(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "lang_dict": js})
 
     return ds.map_batches(build, batch_format="pyarrow")
+
+
+@register(
+    "q_json_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_json_extract(sf_dir: str):
+    """JSON-cell parsing with error→null (reference make_transformed_value,
+    arches_rascoll/ref_collection.py:74-85) over the events.props column."""
+    from arches_rascoll_etl_ray.functions.json_io import json_extract_int_column
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"], "k_value": json_extract_int_column(t["props"], "k")}
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")

@@ -192,3 +192,19 @@ def test_cli_roundtrip(tmp_path):
     rows = sum(pq.read_metadata(f).num_rows for f in files)
     eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
     assert rows == sum(i["rows"] for i in eng.checkpoint().partitions.values())
+
+
+def test_csv_changelog_source(tmp_path):
+    """Reference's CSV source (S1): replay from CSV shards equals replay
+    from parquet shards (content includes embedded newlines)."""
+    df = generate_changelog(120, 1000, seed=13)
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    write_changelog_shards(df, pdir, num_shards=3)
+    write_changelog_shards(df, cdir, num_shards=3, fmt="csv")
+    ep = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lp"), num_partitions=4))
+    ec = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lc"), num_partitions=4))
+    ep.replay(pdir, events_per_epoch=400)
+    ec.replay(cdir, events_per_epoch=400)
+    a = ep.snapshot_table().select(BASE_COLS)
+    b = ec.snapshot_table().select(BASE_COLS)
+    assert a.cast(b.schema).equals(b)

@@ -38,3 +38,20 @@ def test_geo_point_nan_guard():
     rows = out.to_pylist()
     assert rows[0] == {"type": "Point", "coordinates": [1.5, 2.5]}
     assert rows[1] is None
+
+
+def test_json_roundtrip_and_error_null():
+    from arches_rascoll_etl_ray.functions.json_io import (
+        revive_json_columns,
+        stringify_nested_columns,
+        try_parse_json_column,
+    )
+
+    parsed = try_parse_json_column(pa.array(['{"a": 1}', "not json", None]))
+    assert parsed.to_pylist() == [{"a": 1}, None, None]
+
+    t = pa.table({"id": [1], "geo": make_geo_point_column([1.0], [2.0])})
+    s = stringify_nested_columns(t, ["geo"])
+    assert s["geo"].to_pylist() == ['{"coordinates":[1.0,2.0],"type":"Point"}']
+    r = revive_json_columns(s, ["geo"])
+    assert r["geo"].to_pylist()[0]["type"] == "Point"
