@@ -54,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--delta-root", default=None)
         if name == "export":
             s.add_argument("--out", required=True)
+            s.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
 
     args = p.parse_args(argv)
 
@@ -82,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "status":
         print(json.dumps(eng.lag(args.changelog)))
     elif args.cmd == "export":
-        n = eng.export_snapshot(args.out)
+        n = eng.export_snapshot(args.out, fmt=args.format)
         print(json.dumps({"rows": n, "out": args.out}))
     elif args.cmd == "vacuum":
         print(json.dumps({"removed": eng.vacuum()}))

@@ -78,23 +78,56 @@ def lang_id(texts: pd.Series) -> pd.Series:
 
 
 def word_ngrams_hashes(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc word n-gram shingle hashes.
+    """Per-doc word n-gram shingle hashes, vectorized.
 
-    Returns (flat_hashes uint64, doc_offsets int64 of len(docs)+1) — a ragged
-    layout suited to np.minimum.reduceat for MinHash.
+    Words are hashed once (pd.util.hash_array); an n-gram hash combines the
+    n word hashes positionally (odd-multiplier mix — deterministic, order-
+    sensitive). Docs with <n words get one gram over all their words.
+    Returns (flat_hashes uint64, doc_offsets int64 of len(docs)+1) — a
+    ragged layout suited to np.minimum.reduceat for MinHash.
     """
-    all_grams: list[str] = []
-    offsets = np.empty(len(texts) + 1, dtype=np.int64)
-    offsets[0] = 0
-    for i, t in enumerate(texts.to_numpy(dtype=object)):
-        words = t.split() if t else []
-        if len(words) < n:
-            grams = [" ".join(words)] if words else [""]
-        else:
-            grams = [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
-        all_grams.extend(grams)
-        offsets[i + 1] = len(all_grams)
-    flat = pd.util.hash_array(np.asarray(all_grams, dtype=object), categorize=False)
+    tok = texts.str.split()
+    counts = tok.str.len().fillna(0).to_numpy(dtype=np.int64)
+    flat_words = np.asarray(
+        [w for words in tok for w in (words if isinstance(words, list) else [])], dtype=object
+    )
+    whash = (
+        pd.util.hash_array(flat_words, categorize=False) if len(flat_words) else np.empty(0, np.uint64)
+    )
+    word_starts = np.r_[0, np.cumsum(counts)]
+
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    mults = [np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB), np.uint64(0xD6E8FEB86659FD93),
+             np.uint64(0xFF51AFD7ED558CCD), np.uint64(0xC4CEB9FE1A85EC53)]
+
+    n_grams_per_doc = np.where(counts >= n, counts - n + 1, np.where(counts > 0, 1, 1))
+    offsets = np.r_[0, np.cumsum(n_grams_per_doc)].astype(np.int64)
+    flat = np.zeros(offsets[-1], dtype=np.uint64)
+
+    full = counts >= n
+    if full.any():
+        # positions of each doc's gram starts within flat_words, vectorized:
+        # for doc d: word indices word_starts[d] .. word_starts[d]+counts[d]-n
+        full_ids = np.flatnonzero(full)
+        doc_idx = np.repeat(full_ids, n_grams_per_doc[full])
+        # within-doc gram index: global arange minus each doc's first slot
+        first_slot = np.repeat(offsets[full_ids], n_grams_per_doc[full])
+        slot = np.concatenate(
+            [np.arange(offsets[d], offsets[d + 1]) for d in full_ids]
+        ).astype(np.int64)
+        within = slot - first_slot
+        gstart = word_starts[doc_idx] + within
+        acc = np.full(len(gstart), MIX, dtype=np.uint64)
+        for j in range(n):
+            acc = (acc ^ (whash[gstart + j] * mults[j % len(mults)])) * MIX
+        flat[slot] = acc
+    # short docs: single gram combining all words (or 0 for empty)
+    short = (~full) & (counts > 0)
+    for d in np.flatnonzero(short):
+        acc = MIX
+        for j in range(counts[d]):
+            acc = (acc ^ (whash[word_starts[d] + j] * mults[j % len(mults)])) * MIX
+        flat[offsets[d]] = acc
     return flat, offsets
 
 

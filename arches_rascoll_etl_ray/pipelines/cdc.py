@@ -104,6 +104,9 @@ class CDCEngine:
         if end_lsn <= start_lsn:
             return ckpt
         epoch = ckpt.epoch + 1
+        import time as _time
+
+        t_epoch = _time.perf_counter()
 
         files = shards_for_range(changelog_dir, start_lsn, end_lsn)
         # Block count is a property of the DATA, not the cluster: a fixed
@@ -135,11 +138,22 @@ class CDCEngine:
                 slice_and_normalize, batch_format="pyarrow", batch_size=self.cfg.batch_size
             )
             manifests = self._run_sort_plan(ds, epoch, start_lsn, end_lsn, ckpt)
+        duration = _time.perf_counter() - t_epoch
+        events_applied = sum(m.events_applied for m in manifests)
         new_ckpt = ckpt.advanced(
             epoch,
             end_lsn,
             manifests,
             evolution_version=(self.cfg.evolution.version if self.cfg.evolution else 1),
+            metrics={
+                "epoch": epoch,
+                "start_lsn": start_lsn,
+                "end_lsn": end_lsn,
+                "events_applied": events_applied,
+                "duration_sec": round(duration, 3),
+                "events_per_sec": round(events_applied / duration, 1) if duration > 0 else 0.0,
+                "partitions_touched": len(manifests),
+            },
         )
         save_checkpoint(self.cfg.lake_dir, new_ckpt)
         self._cleanup_delta(epoch)
@@ -210,6 +224,30 @@ class CDCEngine:
             ckpt = self.apply_epoch(changelog_dir, max_events=events_per_epoch)
         return ckpt
 
+    def tail(
+        self,
+        changelog_dir: str,
+        poll_interval_s: float = 1.0,
+        idle_polls: int = 3,
+        events_per_epoch: int | None = None,
+    ) -> Checkpoint:
+        """Continuous binlog tail: apply new epochs as shards appear; stop
+        after `idle_polls` consecutive polls with no new LSNs (the
+        micro-batch CDC loop — each poll that finds data commits ≥1 epoch)."""
+        import time as _time
+
+        idle = 0
+        ckpt = self.checkpoint()
+        while idle < idle_polls:
+            avail = max_available_lsn(changelog_dir)
+            if avail > ckpt.end_lsn:
+                idle = 0
+                ckpt = self.replay(changelog_dir, events_per_epoch=events_per_epoch)
+            else:
+                idle += 1
+                _time.sleep(poll_interval_s)
+        return ckpt
+
     # ------------------------------------------------------------- snapshot
 
     def snapshot_files(self) -> list[str]:
@@ -269,12 +307,20 @@ class CDCEngine:
             "rows": sum(i["rows"] for i in ckpt.partitions.values()),
         }
 
-    def export_snapshot(self, out_dir: str) -> int:
+    def export_snapshot(self, out_dir: str, fmt: str = "parquet") -> int:
         """Materialize the live snapshot as a directory of per-partition
-        parquet files (resumable: finished partitions are skipped on rerun —
-        the 'one output per key range + manifest' sink layout)."""
+        files (resumable: finished partitions are skipped on rerun — the
+        'one output per key range + manifest' sink layout).
+
+        fmt: 'parquet' (zero-rewrite copy), 'csv' or 'jsonl' (text sinks —
+        nested columns are JSON-stringified, the reference's S2 serializer,
+        arches_rascoll/ref_collection.py:30-50)."""
         import shutil
 
+        import pyarrow.parquet as _pq
+
+        if fmt not in ("parquet", "csv", "jsonl"):
+            raise ValueError(f"unknown export format {fmt!r}")
         ckpt = self.checkpoint()
         os.makedirs(out_dir, exist_ok=True)
         total = 0
@@ -282,12 +328,30 @@ class CDCEngine:
             if not info["data_file"] or info["rows"] == 0:
                 continue
             total += info["rows"]
-            dst = os.path.join(out_dir, f"part-{part:05d}.parquet")
+            ext = {"parquet": "parquet", "csv": "csv", "jsonl": "jsonl"}[fmt]
+            dst = os.path.join(out_dir, f"part-{part:05d}.{ext}")
             marker = dst + ".done"
             if os.path.exists(marker):
                 continue
-            shutil.copyfile(os.path.join(self.cfg.lake_dir, info["data_file"]), dst + ".tmp")
-            os.replace(dst + ".tmp", dst)
+            src = os.path.join(self.cfg.lake_dir, info["data_file"])
+            tmp = dst + ".tmp"
+            if fmt == "parquet":
+                shutil.copyfile(src, tmp)
+            else:
+                from arches_rascoll_etl_ray.functions.json_io import stringify_nested_columns
+
+                tbl = _pq.read_table(src)
+                nested = [
+                    f.name for f in tbl.schema
+                    if pa.types.is_struct(f.type) or pa.types.is_list(f.type) or pa.types.is_map(f.type)
+                ]
+                tbl = stringify_nested_columns(tbl, nested)
+                df = tbl.to_pandas()
+                if fmt == "csv":
+                    df.to_csv(tmp, index=False)
+                else:
+                    df.to_json(tmp, orient="records", lines=True, force_ascii=False)
+            os.replace(tmp, dst)
             with open(marker, "w") as f:
                 f.write(f"{info['epoch']} {info['content_sha']}\n")
         return total

@@ -27,6 +27,10 @@ class Checkpoint:
     evolution_version: int = 1
     # partition -> committed snapshot info (only partitions that have data)
     partitions: dict[int, dict] = field(default_factory=dict)
+    # per-epoch lineage/throughput metrics (north-star requirement):
+    # {"epoch", "start_lsn", "end_lsn", "events_applied", "duration_sec",
+    #  "events_per_sec", "partitions_touched"}
+    metrics: dict = field(default_factory=dict)
 
     def applied_lsn(self, partition: int) -> int:
         info = self.partitions.get(partition)
@@ -36,7 +40,14 @@ class Checkpoint:
         info = self.partitions.get(partition)
         return info["data_file"] if info else None
 
-    def advanced(self, epoch: int, end_lsn: int, manifests: list[PartitionManifest], evolution_version: int | None = None) -> "Checkpoint":
+    def advanced(
+        self,
+        epoch: int,
+        end_lsn: int,
+        manifests: list[PartitionManifest],
+        evolution_version: int | None = None,
+        metrics: dict | None = None,
+    ) -> "Checkpoint":
         parts = dict(self.partitions)
         for m in manifests:
             parts[m.partition] = {
@@ -51,6 +62,7 @@ class Checkpoint:
             end_lsn=end_lsn,
             evolution_version=self.evolution_version if evolution_version is None else evolution_version,
             partitions=parts,
+            metrics=metrics or {},
         )
 
     def to_json(self) -> dict:
@@ -59,6 +71,7 @@ class Checkpoint:
             "end_lsn": self.end_lsn,
             "evolution_version": self.evolution_version,
             "committed": True,
+            "metrics": self.metrics,
             "partitions": {str(k): v for k, v in self.partitions.items()},
         }
 
@@ -69,6 +82,7 @@ class Checkpoint:
             end_lsn=d["end_lsn"],
             evolution_version=d.get("evolution_version", 1),
             partitions={int(k): v for k, v in d["partitions"].items()},
+            metrics=d.get("metrics", {}),
         )
 
 

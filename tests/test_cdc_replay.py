@@ -208,3 +208,42 @@ def test_csv_changelog_source(tmp_path):
     a = ep.snapshot_table().select(BASE_COLS)
     b = ec.snapshot_table().select(BASE_COLS)
     assert a.cast(b.schema).equals(b)
+
+
+def test_tail_follows_appended_shards(tmp_path):
+    """Continuous tail: new shards appearing mid-tail are applied."""
+    import threading
+    import time as _t
+
+    df = generate_changelog(80, 900, seed=21)
+    d = str(tmp_path / "log")
+    write_changelog_shards(df.iloc[:500], d, num_shards=2)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+
+    def append_later():
+        _t.sleep(0.8)
+        write_changelog_shards(df.iloc[500:], d, num_shards=2)
+
+    t = threading.Thread(target=append_later)
+    t.start()
+    ckpt = eng.tail(d, poll_interval_s=0.3, idle_polls=4)
+    t.join()
+    assert ckpt.end_lsn == 900
+    assert_matches_fold(eng, d)
+    assert ckpt.metrics["events_per_sec"] > 0  # lineage metrics present
+
+
+def test_export_formats(tmp_path):
+    df = generate_changelog(60, 400, seed=22)
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=2)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2))
+    eng.replay(d)
+    for fmt, ext in (("csv", "csv"), ("jsonl", "jsonl")):
+        out = str(tmp_path / f"exp_{fmt}")
+        n = eng.export_snapshot(out, fmt=fmt)
+        assert n == sum(i["rows"] for i in eng.checkpoint().partitions.values())
+        files = [f for f in os.listdir(out) if f.endswith(ext)]
+        assert files
+    with pytest.raises(ValueError):
+        eng.export_snapshot(str(tmp_path / "x"), fmt="xml")
