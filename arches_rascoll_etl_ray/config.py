@@ -165,6 +165,17 @@ class EngineConfig:
     #    object-store only, no intermediate files; use when no shared
     #    filesystem exists.
     shuffle: str = "spill"
+    # merge mode:
+    #  - "rewrite": every epoch folds the delta into a fresh partition
+    #    snapshot file (exact rows/sha per epoch; best when epochs are
+    #    large relative to the partition).
+    #  - "lsm": the north-star sorted-run design — each epoch appends a
+    #    key-sorted run (tombstones included); reads fold base+runs by LWW;
+    #    when runs reach lsm_compact_threshold the partition compacts into
+    #    a new base. Best for high-frequency small epochs at 10^10 scale
+    #    (write amplification O(1) per event until compaction).
+    merge_mode: str = "rewrite"
+    lsm_compact_threshold: int = 4
     # where spill pieces live. None → <lake_dir>/_delta. Pieces are
     # transient AND deterministically re-creatable from the changelog, so
     # they can safely sit on fast non-durable storage (tmpfs / local NVMe):

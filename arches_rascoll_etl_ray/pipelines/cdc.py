@@ -260,37 +260,119 @@ class CDCEngine:
             if info["data_file"] and info["rows"] > 0
         ]
 
+    def _has_runs(self) -> bool:
+        return any(i.get("runs") for i in self.checkpoint().partitions.values())
+
     def snapshot_dataset(self) -> ray.data.Dataset:
-        """The live lake table as a streaming Dataset (one file per
-        partition; resumable, partition-pruned reads)."""
-        files = self.snapshot_files()
-        if not files:
-            cols = lake_columns(self.cfg)
-            return ray.data.from_arrow(pa.table({c: pa.array([], pa.string()) for c in cols}))
-        return ray.data.read_parquet(files)
+        """The live lake table as a streaming Dataset. Fast path (no LSM
+        runs): a plain partition-pruned read_parquet. With pending runs:
+        one fold task per partition (from_items → map_batches(batch_size=1)),
+        each reading its base+runs and LWW-folding them."""
+        ckpt = self.checkpoint()
+        if not self._has_runs():
+            files = self.snapshot_files()
+            if not files:
+                cols = lake_columns(self.cfg)
+                return ray.data.from_arrow(pa.table({c: pa.array([], pa.string()) for c in cols}))
+            return ray.data.read_parquet(files)
+
+        from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
+
+        cfg = self.cfg
+        items = [
+            {"part": part, "info_json": __import__("json").dumps(info)}
+            for part, info in sorted(ckpt.partitions.items())
+            if info.get("data_file") or info.get("runs")
+        ]
+
+        def fold_one(batch) -> pa.Table:
+            import json as _json
+
+            info = _json.loads(batch["info_json"][0])
+            return fold_partition_tables(cfg, read_partition_state(cfg, info))
+
+        return ray.data.from_items(items).map_batches(
+            fold_one, batch_size=1, batch_format="pandas"
+        )
 
     def snapshot_table(self, sort: bool = True) -> pa.Table:
         """Materialized snapshot (tests / small results only)."""
         import pyarrow.parquet as pq
 
-        files = self.snapshot_files()
-        if not files:
-            return pa.table({c: pa.array([], pa.string()) for c in lake_columns(self.cfg)})
-        tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+        if self._has_runs():
+            from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
+
+            ckpt = self.checkpoint()
+            parts = [
+                fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
+                for _, info in sorted(ckpt.partitions.items())
+                if info.get("data_file") or info.get("runs")
+            ]
+            parts = [t for t in parts if t.num_rows > 0]
+            tbl = (
+                pa.concat_tables(parts, promote_options="permissive")
+                if parts
+                else pa.table({c: pa.array([], pa.string()) for c in lake_columns(self.cfg)})
+            )
+        else:
+            files = self.snapshot_files()
+            if not files:
+                return pa.table({c: pa.array([], pa.string()) for c in lake_columns(self.cfg)})
+            tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
         if sort:
             tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
         return tbl
 
     def snapshot_sha256(self) -> str:
-        """Replay-stable digest of the whole lake from per-partition manifest
-        shas (no data read): equal shas per partition ⇒ equal tables."""
+        """Replay-stable digest of the whole lake. Fast path: per-partition
+        manifest shas (no data read). Partitions with uncompacted LSM runs
+        have no manifest sha yet — those are folded and digested on the fly
+        (equal digests ⇒ equal tables either way)."""
+        from arches_rascoll_etl_ray.functions.hashing import table_content_sha256
+        from arches_rascoll_etl_ray.stages.merge import (
+            evolved_content_col,
+            fold_partition_tables,
+            read_partition_state,
+        )
+
         ckpt = self.checkpoint()
         h = hashlib.sha256()
         for part in sorted(ckpt.partitions):
             info = ckpt.partitions[part]
-            if info["rows"] > 0:
+            if info.get("runs") or not info.get("content_sha"):
+                folded = fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
+                if folded.num_rows == 0:
+                    continue
+                sha_cols = [c for c in folded.column_names if c != evolved_content_col(self.cfg)]
+                h.update(f"{part}:{table_content_sha256(folded, sha_cols)}\n".encode())
+            elif info["rows"] > 0:
                 h.update(f"{part}:{info['content_sha']}\n".encode())
         return h.hexdigest()
+
+    def compact(self) -> int:
+        """Explicit full compaction (LSM): fold every partition that has
+        pending runs into a fresh base via one Ray task per partition, and
+        commit the result as a new epoch (same end_lsn, zero events).
+        Returns the number of partitions compacted."""
+        import ray as _ray
+
+        from arches_rascoll_etl_ray.stages.merge import (
+            compact_partition,
+        )
+
+        ckpt = self.checkpoint()
+        todo = [
+            (part, info) for part, info in sorted(ckpt.partitions.items()) if info.get("runs")
+        ]
+        if not todo:
+            return 0
+        epoch = ckpt.epoch + 1
+        task = _ray.remote(num_cpus=1)(compact_partition)
+        refs = [task.remote(self.cfg, epoch, ckpt.end_lsn, info, part) for part, info in todo]
+        manifests = _ray.get(refs)
+        new_ckpt = ckpt.advanced(epoch, ckpt.end_lsn, manifests)
+        save_checkpoint(self.cfg.lake_dir, new_ckpt)
+        return len(manifests)
 
     # --------------------------------------------------------------- admin
 
@@ -325,7 +407,8 @@ class CDCEngine:
         os.makedirs(out_dir, exist_ok=True)
         total = 0
         for part, info in sorted(ckpt.partitions.items()):
-            if not info["data_file"] or info["rows"] == 0:
+            has_state = info["data_file"] or info.get("runs")
+            if not has_state or info["rows"] == 0:
                 continue
             total += info["rows"]
             ext = {"parquet": "parquet", "csv": "csv", "jsonl": "jsonl"}[fmt]
@@ -333,14 +416,28 @@ class CDCEngine:
             marker = dst + ".done"
             if os.path.exists(marker):
                 continue
-            src = os.path.join(self.cfg.lake_dir, info["data_file"])
             tmp = dst + ".tmp"
+            if info.get("runs"):
+                from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
+
+                folded = fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
+                if fmt == "parquet":
+                    _pq.write_table(folded, tmp)
+                    os.replace(tmp, dst)
+                    with open(marker, "w") as f:
+                        f.write(f"{info['epoch']} folded\n")
+                    continue
+                src = None
+                tbl_override = folded
+            else:
+                src = os.path.join(self.cfg.lake_dir, info["data_file"])
+                tbl_override = None
             if fmt == "parquet":
                 shutil.copyfile(src, tmp)
             else:
                 from arches_rascoll_etl_ray.functions.json_io import stringify_nested_columns
 
-                tbl = _pq.read_table(src)
+                tbl = tbl_override if tbl_override is not None else _pq.read_table(src)
                 nested = [
                     f.name for f in tbl.schema
                     if pa.types.is_struct(f.type) or pa.types.is_list(f.type) or pa.types.is_map(f.type)
@@ -364,8 +461,10 @@ class CDCEngine:
 
         ckpt = self.checkpoint()
         live = {info["data_file"] for info in ckpt.partitions.values() if info["data_file"]}
+        for info in ckpt.partitions.values():
+            live.update(info.get("runs") or [])
         removed = 0
-        data_re = re.compile(r"^data_epoch(\d{9})\.parquet$")
+        data_re = re.compile(r"^(data|run)_epoch(\d{9})\.parquet$")
         for name in os.listdir(self.cfg.lake_dir):
             if not name.startswith("part="):
                 continue

@@ -63,6 +63,8 @@ STATS_SCHEMA = pa.schema(
         ("applied_lsn", pa.int64()),
         ("content_sha", pa.string()),
         ("data_file", pa.string()),
+        ("runs", pa.string()),       # ';'-joined relative run paths (LSM)
+        ("rows_exact", pa.bool_()),
     ]
 )
 
@@ -78,6 +80,8 @@ def _stats_row(m: PartitionManifest) -> pa.Table:
                 "applied_lsn": m.applied_lsn,
                 "content_sha": m.content_sha or "",
                 "data_file": m.data_file,
+                "runs": ";".join(m.runs or []),
+                "rows_exact": m.rows_exact,
             }
         ],
         schema=STATS_SCHEMA,
@@ -95,6 +99,8 @@ def manifest_from_stats_row(r: dict, start_lsn: int, end_lsn: int) -> PartitionM
         events_applied=r["events_applied"],
         data_file=r["data_file"],
         content_sha=r["content_sha"] or None,
+        runs=[x for x in r.get("runs", "").split(";") if x],
+        rows_exact=r.get("rows_exact", True),
     )
 
 
@@ -105,6 +111,147 @@ def lake_columns(cfg: EngineConfig) -> list[str]:
 def evolved_content_col(cfg: EngineConfig) -> str:
     spec = cfg.evolution
     return spec.renames.get("content", "content") if spec else "content"
+
+
+# ------------------------------------------------------------------ LSM fold
+
+
+def run_file_name(epoch: int) -> str:
+    return f"run_epoch{epoch:09d}.parquet"
+
+
+def fold_partition_tables(cfg: EngineConfig, tables: list[pa.Table]) -> pa.Table:
+    """LWW fold of a partition's base + runs: max-LSN row per key wins,
+    tombstones ('D') dropped, result key-sorted. Base rows (no `op`) are
+    treated as live."""
+    out_cols = lake_columns(cfg)
+    prepped = []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        t = apply_evolution(t, cfg.evolution)
+        if "op" not in t.column_names:
+            t = t.append_column("op", pa.array(["U"] * t.num_rows, pa.string()))
+        prepped.append(t.select(out_cols + ["op"]))
+    if not prepped:
+        return pa.table({c: pa.array([], pa.string()) for c in out_cols})
+    allt = pa.concat_tables(prepped, promote_options="permissive")
+    winners = lww_reduce(allt)
+    live = winners.filter(pc.not_equal(winners["op"], pa.scalar("D"))).select(out_cols)
+    return live.take(
+        pc.sort_indices(live, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+
+
+def read_partition_state(cfg: EngineConfig, info: dict) -> list[pa.Table]:
+    """Base + run tables for a partition, oldest first."""
+    tables = []
+    if info.get("data_file"):
+        tables.append(pq.read_table(os.path.join(cfg.lake_dir, info["data_file"])))
+    for r in info.get("runs") or []:
+        tables.append(pq.read_table(os.path.join(cfg.lake_dir, r)))
+    return tables
+
+
+def _apply_lsm_merge(
+    cfg: EngineConfig,
+    epoch: int,
+    start_lsn: int,
+    end_lsn: int,
+    prev: dict | None,
+    part: int,
+    winners: pa.Table,
+    events_applied: int,
+    watermark: int,
+    applied_lsn: int,
+) -> PartitionManifest:
+    """Sorted-run append (north-star LSM design): the epoch's winners —
+    tombstones included — become one key-sorted run file; no base read. When
+    `lsm_compact_threshold` runs accumulate, the partition compacts:
+    base+runs fold into a fresh base (exact rows + content sha)."""
+    pdir = partition_dir(cfg.lake_dir, part)
+    out_cols = lake_columns(cfg)
+
+    if "content_sha" not in winners.column_names:
+        winners = winners.append_column(
+            "content_sha", sha256_hex_column(winners[evolved_content_col(cfg)])
+        )
+    run_tbl = winners.select(out_cols + ["op"])
+    run_tbl = run_tbl.take(
+        pc.sort_indices(run_tbl, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+
+    prev_runs = list(prev.get("runs") or []) if prev else []
+    prev_base = prev.get("data_file", "") if prev else ""
+    prev_rows = prev.get("rows", 0) if prev else 0
+
+    if len(prev_runs) + 1 >= cfg.lsm_compact_threshold:
+        # compaction: fold everything into a new base
+        tables = read_partition_state(cfg, prev or {}) + [run_tbl]
+        folded = fold_partition_tables(cfg, tables)
+        fname = data_file_name(epoch)
+        tmp = os.path.join(pdir, "." + fname + ".tmp")
+        pq.write_table(folded, tmp, row_group_size=128 * 1024)
+        os.replace(tmp, os.path.join(pdir, fname))
+        sha = None
+        if cfg.manifest_content_sha:
+            sha_cols = [c for c in folded.column_names if c != evolved_content_col(cfg)]
+            sha = table_content_sha256(folded, sha_cols)
+        m = PartitionManifest(
+            partition=part, epoch=epoch, applied_lsn=applied_lsn,
+            start_lsn=start_lsn, end_lsn=end_lsn, rows=folded.num_rows,
+            events_applied=events_applied,
+            data_file=os.path.join(f"part={part:05d}", fname),
+            content_sha=sha, runs=[], rows_exact=True,
+        )
+    else:
+        fname = run_file_name(epoch)
+        tmp = os.path.join(pdir, "." + fname + ".tmp")
+        pq.write_table(run_tbl, tmp, row_group_size=128 * 1024)
+        os.replace(tmp, os.path.join(pdir, fname))
+        live_in_run = pc.sum(
+            pc.cast(pc.not_equal(run_tbl["op"], pa.scalar("D")), pa.int64())
+        ).as_py() or 0
+        m = PartitionManifest(
+            partition=part, epoch=epoch, applied_lsn=applied_lsn,
+            start_lsn=start_lsn, end_lsn=end_lsn,
+            rows=prev_rows + live_in_run,  # upper-bound estimate until compaction
+            events_applied=events_applied,
+            data_file=prev_base, content_sha=None,
+            runs=prev_runs + [os.path.join(f"part={part:05d}", fname)],
+            rows_exact=False,
+        )
+    write_manifest(cfg.lake_dir, m)
+    return m
+
+
+def compact_partition(
+    cfg: EngineConfig, epoch: int, end_lsn: int, info: dict, part: int
+) -> PartitionManifest:
+    """Fold one partition's base+runs into a fresh base (explicit
+    compaction; idempotent per (partition, epoch) via the manifest)."""
+    existing = read_manifest(cfg.lake_dir, part, epoch)
+    if existing is not None:
+        return existing
+    pdir = partition_dir(cfg.lake_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
+    fname = data_file_name(epoch)
+    tmp = os.path.join(pdir, "." + fname + ".tmp")
+    pq.write_table(folded, tmp, row_group_size=128 * 1024)
+    os.replace(tmp, os.path.join(pdir, fname))
+    sha = None
+    if cfg.manifest_content_sha:
+        sha_cols = [c for c in folded.column_names if c != evolved_content_col(cfg)]
+        sha = table_content_sha256(folded, sha_cols)
+    m = PartitionManifest(
+        partition=part, epoch=epoch, applied_lsn=info.get("applied_lsn", 0),
+        start_lsn=end_lsn, end_lsn=end_lsn, rows=folded.num_rows,
+        events_applied=0, data_file=os.path.join(f"part={part:05d}", fname),
+        content_sha=sha, runs=[], rows_exact=True,
+    )
+    write_manifest(cfg.lake_dir, m)
+    return m
 
 
 # ---------------------------------------------------------------- core merge
@@ -144,6 +291,8 @@ def apply_partition_merge(
             events_applied=0,
             data_file=prev["data_file"] if prev else "",
             content_sha=prev.get("content_sha") if prev else None,
+            runs=list(prev.get("runs") or []) if prev else [],
+            rows_exact=prev.get("rows_exact", True) if prev else True,
         )
         write_manifest(lake_dir, m)
         return m
@@ -151,6 +300,13 @@ def apply_partition_merge(
     out_cols = lake_columns(cfg)
     events_applied = events.num_rows
     winners = lww_reduce(events)
+    applied_lsn = max(watermark, pc.max(events["lsn"]).as_py())
+
+    if cfg.merge_mode == "lsm":
+        return _apply_lsm_merge(
+            cfg, epoch, start_lsn, end_lsn, prev, part,
+            winners, events_applied, watermark, applied_lsn,
+        )
 
     prev_kept: pa.Table | None = None
     if prev and prev["data_file"]:
@@ -176,7 +332,6 @@ def apply_partition_merge(
         pc.sort_indices(result, sort_keys=[("repo", "ascending"), ("path", "ascending")])
     )
 
-    applied_lsn = max(watermark, pc.max(events["lsn"]).as_py())
     fname = data_file_name(epoch)
     final_path = os.path.join(pdir, fname)
     tmp_path = os.path.join(pdir, "." + fname + ".tmp")

@@ -56,6 +56,8 @@ class Checkpoint:
                 "rows": m.rows,
                 "data_file": m.data_file,
                 "content_sha": m.content_sha,
+                "runs": list(m.runs or []),
+                "rows_exact": m.rows_exact,
             }
         return Checkpoint(
             epoch=epoch,

@@ -30,8 +30,13 @@ class PartitionManifest:
     end_lsn: int
     rows: int
     events_applied: int
-    data_file: str            # relative to the lake dir
-    content_sha: str | None   # sha256 over key-sorted (repo,path,commit,content_sha)
+    data_file: str            # relative to the lake dir (the base snapshot)
+    content_sha: str | None   # digest over key-sorted folded rows (None until
+                              # a rewrite/compaction makes it cheap to know)
+    # LSM mode: key-sorted delta runs (relative paths, oldest→newest) not yet
+    # compacted into the base; reads fold base+runs by max-LSN
+    runs: list | None = None
+    rows_exact: bool = True   # False when `rows` is the LSM upper-bound estimate
 
     def to_json(self) -> dict:
         return asdict(self)
