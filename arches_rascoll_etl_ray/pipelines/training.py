@@ -611,3 +611,67 @@ def q_multimodal_features(sf_dir: str):
         )
 
     return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+@register("dedup_embedding")
+def dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup clustering: pairs with cosine ≥ threshold
+    (blocked matmul vs broadcast normalized matrix; IVF/LSH at scale) →
+    union-find → (vec_id, cluster_id). Driver check rows-only; with random
+    embeddings most clusters are singletons — planted-dup recall is covered
+    by the text dedup tests."""
+    threshold = 0.9
+    all_embs = _embs(sf_dir, ["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    mat = np.stack(all_embs["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = all_embs["vec_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((ids, mat))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        aids, amat = ray.get(ref)
+        em = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        sims = em @ amat.T
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        rr, cc = np.nonzero(sims >= threshold)
+        keep = vids[rr] < aids[cc]  # each unordered pair once
+        return pd.DataFrame({"a": vids[rr][keep], "b": aids[cc][keep]})
+
+    pair_rows = (
+        _embs(sf_dir, ["vec_id", "embedding"])
+        .map_batches(pairs, batch_format="pandas", batch_size=2048)
+        .take_all()
+    )
+    verified = sorted({(r["a"], r["b"]) for r in pair_rows})
+    uf = sketches.UnionFind()
+    for a, b in verified:
+        uf.union(int(a), int(b))
+    roots = uf.roots()
+    roots_ref = ray.put(roots)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(roots_ref)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "cluster_id": df["vec_id"].map(lambda v: r.get(v, v)).astype("int64"),
+            }
+        )
+
+    return _embs(sf_dir, ["vec_id"]).map_batches(assign, batch_format="pandas")
+
+
+@register("q_sample_deterministic")
+def q_sample_deterministic(sf_dir: str):
+    """Deterministic hash-based sampling (training-data subsetting): keep a
+    doc iff stable_hash(doc_id) mod 100 < 20 — reproducible across runs and
+    cluster sizes, unlike random_sample without a fixed layout."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        h = stable_hash64(df["doc_id"].astype(str).to_numpy(dtype=object))
+        return df[(h % np.uint64(100)) < 20]
+
+    return ds.map_batches(sample, batch_format="pandas")

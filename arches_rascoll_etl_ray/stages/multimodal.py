@@ -68,3 +68,40 @@ class BinaryFeatureExtractor:
             }
         )
         return out
+
+
+class FrameSampler:
+    """Actor-pool stage for time-series binary payloads (audio/video):
+    sample fixed-rate frames from an opaque byte stream. The codec is
+    stubbed (raw bytes = samples; 'real' raises NotImplementedError) but the
+    plumbing is real: list<list<float>> frame output, bytes-aware batching.
+    """
+
+    def __init__(self, decode_mode: str = "stub", frame_size: int = 64, hop: int = 128):
+        if decode_mode not in ("stub", "real"):
+            raise ValueError(f"unknown decode_mode {decode_mode!r}")
+        self.decode_mode = decode_mode
+        self.frame_size = frame_size
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode_mode == "real":
+            raise NotImplementedError("audio/video codecs not available in this environment")
+        n_frames = np.zeros(batch.num_rows, dtype=np.int64)
+        frames_col = []
+        for i, v in enumerate(batch["payload"]):
+            raw = v.as_py() or b""
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) / 255.0
+            frames = [
+                samples[o : o + self.frame_size].tolist()
+                for o in range(0, max(0, len(samples) - self.frame_size + 1), self.hop)
+            ]
+            n_frames[i] = len(frames)
+            frames_col.append(frames)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "frames": pa.array(frames_col, pa.list_(pa.list_(pa.float32()))),
+                "n_frames": pa.array(n_frames),
+            }
+        )

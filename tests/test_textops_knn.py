@@ -84,3 +84,21 @@ def test_multimodal_real_mode_raises():
         stage(batch)
     with pytest.raises(ValueError):
         BinaryFeatureExtractor(decode_mode="webp")
+
+
+def test_frame_sampler_stage():
+    from arches_rascoll_etl_ray.stages.multimodal import FrameSampler
+
+    stage = FrameSampler(frame_size=4, hop=4)
+    batch = pa.table({"doc_id": [1, 2], "payload": pa.array([bytes(range(12)), b""], pa.binary())})
+    out = stage(batch)
+    assert out["n_frames"].to_pylist() == [3, 0]
+    assert len(out["frames"].to_pylist()[0][0]) == 4
+
+
+def test_dedup_embedding_runs():
+    from arches_rascoll_etl_ray.pipelines.training import dedup_embedding
+
+    out = dedup_embedding(SF_SMOKE).to_pandas()
+    assert len(out) == 500
+    assert (out["cluster_id"] <= out["vec_id"]).all()  # min-id roots
