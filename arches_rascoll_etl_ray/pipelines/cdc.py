@@ -176,19 +176,25 @@ class CDCEngine:
         stats = ds.groupby("_part").map_groups(merge, batch_format="pyarrow").take_all()
         return [manifest_from_stats_row(r, start_lsn, end_lsn) for r in stats]
 
-    def _run_spill_plan(self, ds, epoch: int, start_lsn: int, end_lsn: int, ckpt: Checkpoint):
-        """Filesystem-partitioned shuffle: map tasks spill per-partition
-        delta pieces (retry-idempotent WAL), then one raw Ray merge task per
-        touched partition (the reduce input is a file set each task owns —
-        not expressible as a Dataset op without a sort)."""
-        import ray
+    def _build_epoch_ds(self, changelog_dir: str, start_lsn: int, end_lsn: int):
+        files = shards_for_range(changelog_dir, start_lsn, end_lsn)
+        # Block count is a property of the DATA, not the cluster (fixed
+        # ~64 MiB per block) — see apply_epoch.
+        if files and files[0].endswith(".parquet"):
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            target = int(os.environ.get("ARER_BLOCK_BYTES", str(64 * 1024 * 1024)))
+            nblocks = max(1, min(len(files) * 4, -(-total_bytes // target)))
+            return ray.data.read_parquet(files, override_num_blocks=nblocks)
+        return read_shard_dataset(files)
 
-        from arches_rascoll_etl_ray.stages.merge import (
-            delta_dir,
-            make_normalize_spill_fn,
-            merge_partition_from_pieces,
-        )
+    def _spill_epoch(self, changelog_dir: str, epoch: int, start_lsn: int, end_lsn: int) -> list[int]:
+        """Map side of the spill plan for one epoch. Depends only on the
+        deterministic LSN slice — NOT on any prior epoch's merge state — so
+        it can run concurrently with the previous epoch's merge (pipelined
+        replay). Returns the touched partition ids."""
+        from arches_rascoll_etl_ray.stages.merge import delta_dir, make_normalize_spill_fn
 
+        ds = self._build_epoch_ds(changelog_dir, start_lsn, end_lsn)
         spill = make_normalize_spill_fn(self.cfg, epoch, start_lsn, end_lsn)
         # batch_size=None → one spill call per block: fewest, largest pieces
         spill_stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
@@ -200,12 +206,39 @@ class CDCEngine:
                 touched = sorted(
                     int(name.split("=")[1]) for name in os.listdir(droot) if name.startswith("part=")
                 )
-        merge_task = ray.remote(num_cpus=1)(merge_partition_from_pieces)
+        return touched
+
+    def _merge_epoch(
+        self, epoch: int, start_lsn: int, end_lsn: int, touched: list[int], ckpt: Checkpoint
+    ) -> list[PartitionManifest]:
+        import ray as _ray
+
+        from arches_rascoll_etl_ray.stages.merge import merge_partition_from_pieces
+
+        merge_task = _ray.remote(num_cpus=1)(merge_partition_from_pieces)
         refs = [
             merge_task.remote(self.cfg, epoch, start_lsn, end_lsn, ckpt.partitions.get(p), p)
             for p in touched
         ]
-        return ray.get(refs)
+        return _ray.get(refs)
+
+    def _run_spill_plan(self, ds, epoch: int, start_lsn: int, end_lsn: int, ckpt: Checkpoint):
+        """Filesystem-partitioned shuffle: map tasks spill per-partition
+        delta pieces (retry-idempotent WAL), then one raw Ray merge task per
+        touched partition (the reduce input is a file set each task owns —
+        not expressible as a Dataset op without a sort)."""
+        from arches_rascoll_etl_ray.stages.merge import delta_dir, make_normalize_spill_fn
+
+        spill = make_normalize_spill_fn(self.cfg, epoch, start_lsn, end_lsn)
+        spill_stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
+        touched = sorted({r["partition"] for r in spill_stats})
+        if not touched:
+            droot = delta_dir(self.cfg, epoch)
+            if os.path.isdir(droot):
+                touched = sorted(
+                    int(name.split("=")[1]) for name in os.listdir(droot) if name.startswith("part=")
+                )
+        return self._merge_epoch(epoch, start_lsn, end_lsn, touched, ckpt)
 
     def _cleanup_delta(self, epoch: int) -> None:
         """Post-commit piece removal — safe to run concurrently with the
@@ -216,12 +249,74 @@ class CDCEngine:
         d = delta_dir_for(self.cfg, epoch)
         threading.Thread(target=shutil.rmtree, args=(d,), kwargs={"ignore_errors": True}, daemon=True).start()
 
-    def replay(self, changelog_dir: str, events_per_epoch: int | None = None) -> Checkpoint:
-        """Tail the log to exhaustion in deterministic epochs."""
+    def replay(
+        self,
+        changelog_dir: str,
+        events_per_epoch: int | None = None,
+        pipelined: bool | str = "auto",
+    ) -> Checkpoint:
+        """Tail the log to exhaustion in deterministic epochs.
+
+        With the spill plan and MANY epochs, epochs are PIPELINED: epoch
+        N+1's spill (which depends only on its LSN slice) runs concurrently
+        with epoch N's merge + checkpoint commit, hiding the reduce phase
+        behind the next map phase (2× at 40 small epochs). With FEW large
+        epochs the overlap just contends for the same cores, so "auto"
+        pipelines only when ≥4 epochs remain. Commits stay strictly ordered;
+        a crash mid-pipeline leaves at most one epoch of orphan pieces,
+        which the deterministic re-spill overwrites byte-identically."""
         ckpt = self.checkpoint()
         avail = max_available_lsn(changelog_dir)
-        while ckpt.end_lsn < avail:
-            ckpt = self.apply_epoch(changelog_dir, max_events=events_per_epoch)
+        bounds: list[tuple[int, int]] = []
+        s = ckpt.end_lsn
+        while s < avail:
+            e = avail if events_per_epoch is None else min(avail, s + events_per_epoch)
+            bounds.append((s, e))
+            s = e
+        if not bounds:
+            return ckpt
+        if pipelined == "auto":
+            pipelined = len(bounds) >= 4
+        if not pipelined or self.cfg.shuffle != "spill":
+            while ckpt.end_lsn < avail:
+                ckpt = self.apply_epoch(changelog_dir, max_events=events_per_epoch)
+            return ckpt
+
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        base_epoch = ckpt.epoch
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(self._spill_epoch, changelog_dir, base_epoch + 1, *bounds[0])
+            for i, (start_lsn, end_lsn) in enumerate(bounds):
+                epoch = base_epoch + i + 1
+                t_epoch = _time.perf_counter()
+                touched = fut.result()
+                if i + 1 < len(bounds):
+                    fut = ex.submit(
+                        self._spill_epoch, changelog_dir, epoch + 1, *bounds[i + 1]
+                    )
+                manifests = self._merge_epoch(epoch, start_lsn, end_lsn, touched, ckpt)
+                duration = _time.perf_counter() - t_epoch
+                events_applied = sum(m.events_applied for m in manifests)
+                ckpt = ckpt.advanced(
+                    epoch,
+                    end_lsn,
+                    manifests,
+                    evolution_version=(self.cfg.evolution.version if self.cfg.evolution else 1),
+                    metrics={
+                        "epoch": epoch,
+                        "start_lsn": start_lsn,
+                        "end_lsn": end_lsn,
+                        "events_applied": events_applied,
+                        "duration_sec": round(duration, 3),
+                        "events_per_sec": round(events_applied / duration, 1) if duration > 0 else 0.0,
+                        "partitions_touched": len(manifests),
+                        "pipelined": True,
+                    },
+                )
+                save_checkpoint(self.cfg.lake_dir, ckpt)
+                self._cleanup_delta(epoch)
         return ckpt
 
     def tail(

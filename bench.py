@@ -79,13 +79,17 @@ def run_headline() -> dict:
     dt = time.perf_counter() - t0
     shutil.rmtree(delta, ignore_errors=True)
     rows = sum(i["rows"] for i in ckpt.partitions.values())
+    sha = eng.snapshot_sha256()
+    # drop the lake after measuring: leftover gigabytes of dirty pages from
+    # prior runs skew later runs' I/O (observed ±50% on this node)
+    shutil.rmtree(lake, ignore_errors=True)
     return {
         "cdc_replay_sec": round(dt, 3),
         "events": BENCH_EVENTS,
         "events_per_sec": round(BENCH_EVENTS / dt, 1),
         "lake_rows": rows,
         "epochs": ckpt.epoch,
-        "sha": eng.snapshot_sha256(),
+        "sha": sha,
     }
 
 
