@@ -138,6 +138,17 @@ COMPUTED_FNS: dict[str, Callable[[pa.ChunkedArray], pa.Array]] = {
 }
 
 
+def register_computed_fn(name: str, fn: Callable) -> None:
+    """User-extension hook: register a named column transform usable from
+    EvolutionSpec.computed — the engine's analogue of the reference's
+    `value_transform` callable in mapping configs
+    (arches_rascoll/general_configs.py:98-162). Must be pure and
+    deterministic (replays re-run it)."""
+    if name in COMPUTED_FNS:
+        raise ValueError(f"computed fn {name!r} already registered")
+    COMPUTED_FNS[name] = fn
+
+
 @dataclass
 class EngineConfig:
     """Physical configuration of one CDC lake.

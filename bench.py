@@ -4,9 +4,11 @@ Default: run the headline CDC replay + representative operator pipelines over
 $GRAFT_SF_DIR (default /root/testdata/sf0.1) at num_cpus=$RAY_GRAFT_CPUS
 (default 32) and print ONE JSON line.
 
---scaling: run the headline replay twice in fresh processes (num_cpus=8 and
-32) on the same input and report both throughputs + scaling efficiency
-(the sandbox proxy for the north rule's N vs 4N cluster sizes).
+--scaling: run the headline replay at two parallelism levels in fresh
+processes (default num_cpus=4 and 16, best-of-2 each; override with
+ARER_SCALING_LO/HI) on the same input and report both throughputs +
+scaling efficiency (the sandbox proxy for the north rule's N vs 4N
+cluster sizes).
 """
 
 from __future__ import annotations

@@ -71,3 +71,18 @@ def test_mid_stream_evolution_matches_full_v2_replay(tmp_path):
 def test_spec_json_roundtrip():
     d = SPEC_V2.to_json()
     assert EvolutionSpec.from_json(d) == SPEC_V2
+
+
+def test_register_computed_fn(tmp_path):
+    import pyarrow.compute as pc
+
+    from arches_rascoll_etl_ray.config import COMPUTED_FNS, register_computed_fn
+
+    if "upper3" not in COMPUTED_FNS:
+        register_computed_fn("upper3", lambda arr: pc.utf8_upper(pc.utf8_slice_codeunits(arr, 0, 3)))
+    with pytest.raises(ValueError):
+        register_computed_fn("upper3", lambda arr: arr)
+    spec = EvolutionSpec(version=3, computed=(ComputedColumn(name="tag", source="lang", fn="upper3"),))
+    t = pa.table({"repo": ["r"], "path": ["p"], "lang": ["python"], "content": ["x"], "commit": ["c"]})
+    out = apply_evolution(t, spec)
+    assert out["tag"].to_pylist() == ["PYT"]
