@@ -101,17 +101,23 @@ def save_checkpoint(lake_dir: str, ckpt: Checkpoint) -> str:
 
 
 def load_latest_checkpoint(lake_dir: str) -> Checkpoint:
-    """Max committed epoch, or the empty epoch-0 checkpoint."""
+    """Max committed *parseable* epoch, or the empty epoch-0 checkpoint.
+
+    Checkpoints are written atomically (tmp+rename), but a disk-full or
+    torn write can still leave an unparseable file; recovery falls back to
+    the newest epoch that parses (replaying the skipped epoch is safe —
+    manifests make it a no-op)."""
     d = checkpoint_dir(lake_dir)
-    best: tuple[int, str] | None = None
+    candidates: list[tuple[int, str]] = []
     if os.path.isdir(d):
         for name in os.listdir(d):
             m = _CKPT_RE.match(name)
             if m:
-                e = int(m.group(1))
-                if best is None or e > best[0]:
-                    best = (e, os.path.join(d, name))
-    if best is None:
-        return Checkpoint()
-    with open(best[1]) as f:
-        return Checkpoint.from_json(json.load(f))
+                candidates.append((int(m.group(1)), os.path.join(d, name)))
+    for _, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as f:
+                return Checkpoint.from_json(json.load(f))
+        except (json.JSONDecodeError, KeyError, ValueError):
+            continue  # torn/corrupt — fall back to the previous epoch
+    return Checkpoint()

@@ -71,8 +71,13 @@ def read_manifest(lake_dir: str, partition: int, epoch: int) -> PartitionManifes
     p = manifest_path(lake_dir, partition, epoch)
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        return PartitionManifest.from_json(json.load(f))
+    try:
+        with open(p) as f:
+            return PartitionManifest.from_json(json.load(f))
+    except (json.JSONDecodeError, KeyError, TypeError, ValueError):
+        # torn write → treat as uncommitted; the deterministic merge will
+        # rewrite data + manifest identically
+        return None
 
 
 def write_manifest(lake_dir: str, m: PartitionManifest) -> None:

@@ -247,3 +247,60 @@ def test_export_formats(tmp_path):
         assert files
     with pytest.raises(ValueError):
         eng.export_snapshot(str(tmp_path / "x"), fmt="xml")
+
+
+def test_corrupt_checkpoint_falls_back(changelog, tmp_lake):
+    """A torn/truncated latest checkpoint must not brick the lake: resume
+    falls back to the newest parseable epoch and replays the gap."""
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.replay(changelog, events_per_epoch=1000)
+    sha = eng.snapshot_sha256()
+    ckpt_dir = os.path.join(tmp_lake, "_checkpoints")
+    latest = sorted(os.listdir(ckpt_dir))[-1]
+    with open(os.path.join(ckpt_dir, latest), "w") as f:
+        f.write('{"epoch": 4, "end_l')  # torn write
+    eng2 = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    assert eng2.checkpoint().epoch == 3  # fell back
+    eng2.replay(changelog, events_per_epoch=1000)  # replays epoch 4
+    assert eng2.snapshot_sha256() == sha
+    assert_matches_fold(eng2, changelog)
+
+
+def test_corrupt_manifest_rewritten(changelog, tmp_lake):
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.apply_epoch(changelog, max_events=2000)
+    # corrupt one partition manifest of a *pending* epoch scenario:
+    # simulate by truncating an existing manifest then re-reading
+    from arches_rascoll_etl_ray.state.manifest import read_manifest
+
+    mpath = None
+    for name in os.listdir(tmp_lake):
+        if name.startswith("part="):
+            cands = [f for f in os.listdir(os.path.join(tmp_lake, name)) if f.startswith("manifest")]
+            if cands:
+                mpath = os.path.join(tmp_lake, name, cands[0])
+                part = int(name.split("=")[1])
+                break
+    with open(mpath, "w") as f:
+        f.write("{broken")
+    assert read_manifest(tmp_lake, part, 1) is None  # treated as uncommitted
+
+
+def test_hot_key_stress(tmp_path):
+    """50% of all events hit ONE key: correctness must hold and the
+    combiner must keep the hot partition's delta bounded."""
+    import pandas as pd
+
+    n = 4000
+    rng = np.random.default_rng(5)
+    hot = rng.random(n) < 0.5
+    fids = np.where(hot, 0, rng.integers(1, 200, size=n))
+    rows = []
+    for lsn, fid in enumerate(fids, start=1):
+        rows.append((lsn, "U" if lsn > 200 else "I", f"org/r{fid % 20}", f"f{fid}.py", f"c{lsn}", "py", f"v{lsn}"))
+    df = pd.DataFrame(rows, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=8)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.replay(d, events_per_epoch=1000)
+    assert_matches_fold(eng, d)
