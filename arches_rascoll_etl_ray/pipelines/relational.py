@@ -722,3 +722,122 @@ def q_json_extract(sf_dir: str):
         )
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+@register(
+    "q_pivot_wide",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_wide(sf_dir: str):
+    """Long→wide pivot: one wide row per key with per-category columns —
+    the reference's central reshape (one wide staging row per resource
+    instance, arches_rascoll/ref_collection.py:88-198) as a partial-
+    aggregated pivot."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cats = ["click", "view", "purchase", "signup", "error"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": df["user_id"]}
+        for c in cats:
+            out[f"n_{c}"] = (df["event_type"] == c).astype("int64")
+        return (
+            pd.DataFrame(out)
+            .groupby("user_id", as_index=False)
+            .sum()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=64 * 1024)
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in cats])
+    )
+
+
+@register(
+    "q_running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_cents
+    FROM events
+    """,
+)
+def q_running_total(sf_dir: str):
+    """Per-key running total over event time (ordered window) —
+    groupby(key).map_groups with a ts-sorted cumulative sum."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "running_cents": np.cumsum(cents),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT event_type,
+           CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type, CAST(least(floor(value / 50.0), 9) AS BIGINT)
+    """,
+)
+def q_histogram(sf_dir: str):
+    """Fixed-width bucketed histogram per category (vectorized digitize +
+    partial counts)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(np.floor(df["value"].to_numpy() / 50.0), 9).astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"], "bucket": b})
+        return out.groupby(["event_type", "bucket"], as_index=False).size().rename(columns={"size": "n"})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+@register(
+    "q_median_exact",
+    """
+    SELECT event_type,
+           CAST(ROUND(median(value) * 200) AS BIGINT) AS median_x200
+    FROM events GROUP BY event_type
+    """,
+)
+def q_median_exact(sf_dir: str):
+    """Exact per-group median — a holistic aggregate that genuinely needs
+    the group together (no combiner exists); per-group task is the honest
+    plan, with group count = category cardinality (small)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        # values have 2 decimals; the median of an even-sized group is a
+        # half-cent multiple, so ×200 is exactly integral in BOTH engines —
+        # no round-half-even (numpy) vs round-half-up (SQL) ambiguity
+        m = float(np.median(df["value"].to_numpy()))
+        return pd.DataFrame(
+            {"event_type": [df["event_type"].iloc[0]], "median_x200": [int(round(m * 200))]}
+        )
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
