@@ -101,3 +101,33 @@ def cdc_replay_synthetic(sf_dir: str):
 
 
 QUERIES["cdc_replay_synthetic"] = cdc_replay_synthetic
+
+
+def cdc_evolution_replay(sf_dir: str):
+    """Mid-stream schema evolution through the real engine: first half of
+    the synthetic log under spec v1, second half (and the old snapshots,
+    cast at merge time) under spec v2 (rename lang→language, add
+    size_bytes, computed content_len). Rows-only driver check; the
+    equivalence-to-full-v2-replay gate lives in tests/test_evolution.py."""
+    from arches_rascoll_etl_ray.config import AddColumn, ComputedColumn, EvolutionSpec
+
+    spec_v2 = EvolutionSpec(
+        version=2,
+        renames={"lang": "language"},
+        adds=(AddColumn(name="size_bytes", type="int64", default=None),),
+        computed=(ComputedColumn(name="content_len", source="content", fn="len"),),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    scale = {"sf0.001": (300, 3000), "sf0.01": (2000, 30000), "sf0.1": (20000, 300000)}.get(
+        tag, (300, 3000)
+    )
+    clog = ensure_changelog(_CACHE_ROOT, num_files=scale[0], num_events=scale[1], seed=42)
+    lake = _fresh_lake(f"evo_{tag}")
+    e1 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8, evolution=None))
+    e1.apply_epoch(clog, max_events=scale[1] // 2)
+    e2 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8, evolution=spec_v2))
+    e2.replay(clog, events_per_epoch=scale[1] // 4)
+    return e2.snapshot_table()
+
+
+QUERIES["cdc_evolution_replay"] = cdc_evolution_replay

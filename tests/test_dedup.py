@@ -114,3 +114,11 @@ def test_union_find_deterministic_roots():
     r = uf.roots()
     assert r[5] == r[3] == r[9] == 3
     assert r[1] == r[2] == 1
+
+
+def test_minhash_clusters_deterministic_across_runs(corpus):
+    from arches_rascoll_etl_ray.pipelines.training import dedup_minhash
+
+    a = dedup_minhash(corpus).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dedup_minhash(corpus).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
