@@ -10,7 +10,6 @@ a row loop.
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -111,18 +110,12 @@ class EvolutionSpec:
 
 
 def _sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """sha256 hex per row. hashlib releases work to C; a Python loop here is
-    the per-row cost floor for a cryptographic hash (~1 GB/s/core)."""
-    out: list[str | None] = []
-    if isinstance(arr, pa.ChunkedArray):
-        chunks = arr.chunks
-    else:
-        chunks = [arr]
-    for chunk in chunks:
-        for v in chunk:
-            s = v.as_py()
-            out.append(None if s is None else hashlib.sha256(s.encode("utf-8")).hexdigest())
-    return pa.array(out, type=pa.string())
+    """sha256 hex per row — single implementation shared with the merge-time
+    lineage column (functions/hashing.sha256_hex_column) so EvolutionSpec-
+    computed shas can never diverge from engine-computed ones."""
+    from arches_rascoll_etl_ray.functions.hashing import sha256_hex_column
+
+    return sha256_hex_column(arr)
 
 
 def _utf8_len_array(arr):

@@ -108,22 +108,11 @@ class CDCEngine:
 
         t_epoch = _time.perf_counter()
 
-        files = shards_for_range(changelog_dir, start_lsn, end_lsn)
-        # Block count is a property of the DATA, not the cluster: a fixed
-        # ~64 MiB (compressed) per block keeps per-task overhead and spill
-        # fan-out (pieces = blocks × partitions) constant across cluster
-        # sizes, so N-vs-4N comparisons measure scheduling, not batching.
-        if files and files[0].endswith(".parquet"):
-            total_bytes = sum(os.path.getsize(f) for f in files)
-            target = int(os.environ.get("ARER_BLOCK_BYTES", str(64 * 1024 * 1024)))
-            nblocks = max(1, min(len(files) * 4, -(-total_bytes // target)))
-            ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
-        else:
-            ds = read_shard_dataset(files)
-
         if self.cfg.shuffle == "spill":
-            manifests = self._run_spill_plan(ds, epoch, start_lsn, end_lsn, ckpt)
+            touched = self._spill_epoch(changelog_dir, epoch, start_lsn, end_lsn)
+            manifests = self._merge_epoch(epoch, start_lsn, end_lsn, touched, ckpt)
         else:
+            ds = self._build_epoch_ds(changelog_dir, start_lsn, end_lsn)
             normalize = make_normalize_fn(self.cfg)
             lo, hi = start_lsn, end_lsn
 
@@ -221,24 +210,6 @@ class CDCEngine:
             for p in touched
         ]
         return _ray.get(refs)
-
-    def _run_spill_plan(self, ds, epoch: int, start_lsn: int, end_lsn: int, ckpt: Checkpoint):
-        """Filesystem-partitioned shuffle: map tasks spill per-partition
-        delta pieces (retry-idempotent WAL), then one raw Ray merge task per
-        touched partition (the reduce input is a file set each task owns —
-        not expressible as a Dataset op without a sort)."""
-        from arches_rascoll_etl_ray.stages.merge import delta_dir, make_normalize_spill_fn
-
-        spill = make_normalize_spill_fn(self.cfg, epoch, start_lsn, end_lsn)
-        spill_stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
-        touched = sorted({r["partition"] for r in spill_stats})
-        if not touched:
-            droot = delta_dir(self.cfg, epoch)
-            if os.path.isdir(droot):
-                touched = sorted(
-                    int(name.split("=")[1]) for name in os.listdir(droot) if name.startswith("part=")
-                )
-        return self._merge_epoch(epoch, start_lsn, end_lsn, touched, ckpt)
 
     def _cleanup_delta(self, epoch: int) -> None:
         """Post-commit piece removal — safe to run concurrently with the
@@ -363,13 +334,24 @@ class CDCEngine:
         runs): a plain partition-pruned read_parquet. With pending runs:
         one fold task per partition (from_items → map_batches(batch_size=1)),
         each reading its base+runs and LWW-folding them."""
+        from arches_rascoll_etl_ray.stages.merge import empty_lake_table
+        from arches_rascoll_etl_ray.stages.normalize import apply_evolution
+
         ckpt = self.checkpoint()
         if not self._has_runs():
             files = self.snapshot_files()
             if not files:
+                return ray.data.from_arrow(empty_lake_table(self.cfg))
+            ds = ray.data.read_parquet(files)
+            if self.cfg.evolution is not None:
+                # partitions untouched since a spec change still carry the
+                # old schema on disk — project every block forward
+                spec = self.cfg.evolution
                 cols = lake_columns(self.cfg)
-                return ray.data.from_arrow(pa.table({c: pa.array([], pa.string()) for c in cols}))
-            return ray.data.read_parquet(files)
+                ds = ds.map_batches(
+                    lambda t: apply_evolution(t, spec).select(cols), batch_format="pyarrow"
+                )
+            return ds
 
         from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
 
@@ -394,6 +376,10 @@ class CDCEngine:
         """Materialized snapshot (tests / small results only)."""
         import pyarrow.parquet as pq
 
+        from arches_rascoll_etl_ray.stages.merge import empty_lake_table
+        from arches_rascoll_etl_ray.stages.normalize import apply_evolution
+
+        cols = lake_columns(self.cfg)
         if self._has_runs():
             from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
 
@@ -407,13 +393,16 @@ class CDCEngine:
             tbl = (
                 pa.concat_tables(parts, promote_options="permissive")
                 if parts
-                else pa.table({c: pa.array([], pa.string()) for c in lake_columns(self.cfg)})
+                else empty_lake_table(self.cfg)
             )
         else:
             files = self.snapshot_files()
             if not files:
-                return pa.table({c: pa.array([], pa.string()) for c in lake_columns(self.cfg)})
-            tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+                return empty_lake_table(self.cfg)
+            tbl = pa.concat_tables(
+                [apply_evolution(pq.read_table(f), self.cfg.evolution).select(cols) for f in files],
+                promote_options="permissive",
+            )
         if sort:
             tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
         return tbl
@@ -430,11 +419,18 @@ class CDCEngine:
             read_partition_state,
         )
 
+        from arches_rascoll_etl_ray.stages.merge import spec_version
+
         ckpt = self.checkpoint()
+        current_v = spec_version(self.cfg)
         h = hashlib.sha256()
         for part in sorted(ckpt.partitions):
             info = ckpt.partitions[part]
-            if info.get("runs") or not info.get("content_sha"):
+            if (
+                info.get("runs")
+                or not info.get("content_sha")
+                or info.get("evolution_version", 1) != current_v
+            ):
                 folded = fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
                 if folded.num_rows == 0:
                     continue
@@ -487,86 +483,110 @@ class CDCEngine:
     def export_snapshot(self, out_dir: str, fmt: str = "parquet") -> int:
         """Materialize the live snapshot as a directory of per-partition
         files (resumable: finished partitions are skipped on rerun — the
-        'one output per key range + manifest' sink layout).
+        'one output per key range + manifest' sink layout). Returns the
+        ACTUAL number of exported rows (recorded in the .done markers).
 
-        fmt: 'parquet' (zero-rewrite copy), 'csv' or 'jsonl' (text sinks —
-        nested columns are JSON-stringified, the reference's S2 serializer,
-        arches_rascoll/ref_collection.py:30-50)."""
+        fmt: 'parquet' (zero-rewrite copy when no transform is needed),
+        'csv' or 'jsonl' (text sinks — nested columns JSON-stringified, the
+        reference's S2 serializer, arches_rascoll/ref_collection.py:30-50).
+        Partitions with pending LSM runs or a stale evolution version are
+        folded/projected before export."""
         import shutil
 
         import pyarrow.parquet as _pq
 
+        from arches_rascoll_etl_ray.stages.merge import (
+            fold_partition_tables,
+            read_partition_state,
+            spec_version,
+        )
+        from arches_rascoll_etl_ray.stages.normalize import apply_evolution
+
         if fmt not in ("parquet", "csv", "jsonl"):
             raise ValueError(f"unknown export format {fmt!r}")
         ckpt = self.checkpoint()
+        current_v = spec_version(self.cfg)
+        cols = lake_columns(self.cfg)
         os.makedirs(out_dir, exist_ok=True)
         total = 0
         for part, info in sorted(ckpt.partitions.items()):
-            has_state = info["data_file"] or info.get("runs")
-            if not has_state or info["rows"] == 0:
+            if not (info["data_file"] or info.get("runs")):
                 continue
-            total += info["rows"]
             ext = {"parquet": "parquet", "csv": "csv", "jsonl": "jsonl"}[fmt]
             dst = os.path.join(out_dir, f"part-{part:05d}.{ext}")
             marker = dst + ".done"
             if os.path.exists(marker):
+                with open(marker) as f:
+                    parts_ = f.read().split()
+                total += int(parts_[-1]) if parts_ and parts_[-1].isdigit() else 0
                 continue
             tmp = dst + ".tmp"
-            if info.get("runs"):
-                from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
-
-                folded = fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
-                if fmt == "parquet":
-                    _pq.write_table(folded, tmp)
-                    os.replace(tmp, dst)
-                    with open(marker, "w") as f:
-                        f.write(f"{info['epoch']} folded\n")
-                    continue
-                src = None
-                tbl_override = folded
+            needs_transform = bool(info.get("runs")) or (
+                info.get("evolution_version", 1) != current_v
+            )
+            if needs_transform:
+                tbl = fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
             else:
-                src = os.path.join(self.cfg.lake_dir, info["data_file"])
-                tbl_override = None
+                tbl = _pq.read_table(os.path.join(self.cfg.lake_dir, info["data_file"]))
+            if tbl.num_rows == 0:
+                with open(marker, "w") as f:
+                    f.write(f"{info['epoch']} - 0\n")
+                continue
             if fmt == "parquet":
-                shutil.copyfile(src, tmp)
+                if needs_transform:
+                    _pq.write_table(tbl, tmp)
+                else:
+                    shutil.copyfile(os.path.join(self.cfg.lake_dir, info["data_file"]), tmp)
             else:
                 from arches_rascoll_etl_ray.functions.json_io import stringify_nested_columns
 
-                tbl = tbl_override if tbl_override is not None else _pq.read_table(src)
+                tbl2 = apply_evolution(tbl, self.cfg.evolution).select(cols) if not needs_transform else tbl
                 nested = [
-                    f.name for f in tbl.schema
+                    f.name for f in tbl2.schema
                     if pa.types.is_struct(f.type) or pa.types.is_list(f.type) or pa.types.is_map(f.type)
                 ]
-                tbl = stringify_nested_columns(tbl, nested)
-                df = tbl.to_pandas()
+                df = stringify_nested_columns(tbl2, nested).to_pandas()
                 if fmt == "csv":
                     df.to_csv(tmp, index=False)
                 else:
                     df.to_json(tmp, orient="records", lines=True, force_ascii=False)
             os.replace(tmp, dst)
+            total += tbl.num_rows
             with open(marker, "w") as f:
-                f.write(f"{info['epoch']} {info['content_sha']}\n")
+                f.write(f"{info['epoch']} {info.get('content_sha') or '-'} {tbl.num_rows}\n")
         return total
 
-    def vacuum(self, keep_epochs: int = 1) -> int:
-        """Delete superseded per-partition data files/manifests (anything
-        older than the file referenced by the latest checkpoint)."""
+    def vacuum(self) -> int:
+        """Delete superseded per-partition data/run files AND their
+        manifests. Manifests are removed together with unreferenced data:
+        an orphan manifest whose data file is gone would make a future
+        epoch's merge skip as 'already committed' and reference deleted
+        files — a bricked lake (found by review; regression-tested)."""
         import os
         import re
 
         ckpt = self.checkpoint()
         live = {info["data_file"] for info in ckpt.partitions.values() if info["data_file"]}
+        committed_epoch = {p: info["epoch"] for p, info in ckpt.partitions.items()}
         for info in ckpt.partitions.values():
             live.update(info.get("runs") or [])
         removed = 0
         data_re = re.compile(r"^(data|run)_epoch(\d{9})\.parquet$")
+        mani_re = re.compile(r"^manifest_epoch(\d{9})\.json$")
         for name in os.listdir(self.cfg.lake_dir):
             if not name.startswith("part="):
                 continue
+            part = int(name.split("=")[1])
             pdir = os.path.join(self.cfg.lake_dir, name)
             for f in os.listdir(pdir):
                 m = data_re.match(f)
                 if m and os.path.join(name, f) not in live:
+                    os.remove(os.path.join(pdir, f))
+                    removed += 1
+                    continue
+                mm = mani_re.match(f)
+                if mm and int(mm.group(1)) != committed_epoch.get(part):
+                    # stale (superseded) or uncommitted-future manifest
                     os.remove(os.path.join(pdir, f))
                     removed += 1
         return removed

@@ -17,6 +17,10 @@ _SHARD_RE = re.compile(r"^changelog-(\d+)-(\d+)\.(parquet|csv)$")
 
 
 def list_shards(changelog_dir: str) -> list[tuple[int, int, str]]:
+    """Missing dir → no shards yet (lets `tail`/`status` start before the
+    producer creates the WAL directory)."""
+    if not os.path.isdir(changelog_dir):
+        return []
     out = []
     for name in sorted(os.listdir(changelog_dir)):
         m = _SHARD_RE.match(name)

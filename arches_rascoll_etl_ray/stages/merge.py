@@ -65,6 +65,7 @@ STATS_SCHEMA = pa.schema(
         ("data_file", pa.string()),
         ("runs", pa.string()),       # ';'-joined relative run paths (LSM)
         ("rows_exact", pa.bool_()),
+        ("evolution_version", pa.int64()),
     ]
 )
 
@@ -82,6 +83,7 @@ def _stats_row(m: PartitionManifest) -> pa.Table:
                 "data_file": m.data_file,
                 "runs": ";".join(m.runs or []),
                 "rows_exact": m.rows_exact,
+                "evolution_version": m.evolution_version,
             }
         ],
         schema=STATS_SCHEMA,
@@ -101,11 +103,38 @@ def manifest_from_stats_row(r: dict, start_lsn: int, end_lsn: int) -> PartitionM
         content_sha=r["content_sha"] or None,
         runs=[x for x in r.get("runs", "").split(";") if x],
         rows_exact=r.get("rows_exact", True),
+        evolution_version=r.get("evolution_version", 1),
     )
+
+
+def spec_version(cfg: EngineConfig) -> int:
+    return cfg.evolution.version if cfg.evolution else 1
 
 
 def lake_columns(cfg: EngineConfig) -> list[str]:
     return evolved_base_columns(cfg.evolution) + ["lsn", "content_sha"]
+
+
+def empty_lake_table(cfg: EngineConfig) -> pa.Table:
+    """Schema-correct empty snapshot (lsn is int64, not a stringly-typed
+    placeholder; added columns keep their declared types)."""
+    from arches_rascoll_etl_ray.config import arrow_type
+
+    spec = cfg.evolution
+    types: dict[str, pa.DataType] = {
+        "lsn": pa.int64(),
+        "content_sha": pa.string(),
+        (spec.renames.get("content", "content") if spec else "content"): pa.large_string(),
+    }
+    if spec:
+        for a in spec.adds:
+            types[a.name] = arrow_type(a.type)
+        for c in spec.computed:
+            if c.fn == "len":
+                types[c.name] = pa.int64()
+    return pa.table(
+        {c: pa.array([], types.get(c, pa.string())) for c in lake_columns(cfg)}
+    )
 
 
 def evolved_content_col(cfg: EngineConfig) -> str:
@@ -134,7 +163,7 @@ def fold_partition_tables(cfg: EngineConfig, tables: list[pa.Table]) -> pa.Table
             t = t.append_column("op", pa.array(["U"] * t.num_rows, pa.string()))
         prepped.append(t.select(out_cols + ["op"]))
     if not prepped:
-        return pa.table({c: pa.array([], pa.string()) for c in out_cols})
+        return empty_lake_table(cfg)
     allt = pa.concat_tables(prepped, promote_options="permissive")
     winners = lww_reduce(allt)
     live = winners.filter(pc.not_equal(winners["op"], pa.scalar("D"))).select(out_cols)
@@ -203,6 +232,7 @@ def _apply_lsm_merge(
             events_applied=events_applied,
             data_file=os.path.join(f"part={part:05d}", fname),
             content_sha=sha, runs=[], rows_exact=True,
+            evolution_version=spec_version(cfg),
         )
     else:
         fname = run_file_name(epoch)
@@ -220,6 +250,7 @@ def _apply_lsm_merge(
             data_file=prev_base, content_sha=None,
             runs=prev_runs + [os.path.join(f"part={part:05d}", fname)],
             rows_exact=False,
+            evolution_version=(prev.get("evolution_version", 1) if prev else spec_version(cfg)),
         )
     write_manifest(cfg.lake_dir, m)
     return m
@@ -249,6 +280,7 @@ def compact_partition(
         start_lsn=end_lsn, end_lsn=end_lsn, rows=folded.num_rows,
         events_applied=0, data_file=os.path.join(f"part={part:05d}", fname),
         content_sha=sha, runs=[], rows_exact=True,
+        evolution_version=spec_version(cfg),
     )
     write_manifest(cfg.lake_dir, m)
     return m
@@ -293,6 +325,7 @@ def apply_partition_merge(
             content_sha=prev.get("content_sha") if prev else None,
             runs=list(prev.get("runs") or []) if prev else [],
             rows_exact=prev.get("rows_exact", True) if prev else True,
+            evolution_version=prev.get("evolution_version", 1) if prev else spec_version(cfg),
         )
         write_manifest(lake_dir, m)
         return m
@@ -353,6 +386,7 @@ def apply_partition_merge(
         events_applied=events_applied,
         data_file=os.path.join(f"part={part:05d}", fname),
         content_sha=sha,
+        evolution_version=spec_version(cfg),
     )
     write_manifest(lake_dir, m)
     return m
@@ -459,15 +493,26 @@ def make_normalize_spill_fn(
         for s, e in zip(starts, ends):
             sub = piece_tbl.slice(s, e - s)
             part_id = int(parts[s])
-            lo = pc.min(sub["lsn"]).as_py()
-            hi = pc.max(sub["lsn"]).as_py()
+            lsns = sub["lsn"].to_numpy(zero_copy_only=False)
+            lo, hi = int(lsns.min()), int(lsns.max())
+            # content-hash suffix: (lo,hi) alone is NOT unique under
+            # duplicate-LSN delivery split across blocks — two slices with
+            # the same range but different membership must not share a name.
+            # Identical lsn multisets imply identical (deterministically
+            # sorted) bytes, so equal names still overwrite safely.
+            lh = int(np.bitwise_xor.reduce(
+                (lsns.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+                * np.uint64(0xBF58476D1CE4E5B9)
+            )) if len(lsns) else 0
             pdir = delta_dir(cfg, epoch, part_id)
             os.makedirs(pdir, exist_ok=True)
             # Arrow IPC, uncompressed: pieces are transient (deleted at
             # epoch commit) and sit on fast local storage — encode speed is
             # all that matters, and IPC write is close to memcpy
-            fname = f"piece-{lo:012d}-{hi:012d}.arrow"
-            tmp = os.path.join(pdir, "." + fname + ".tmp")
+            fname = f"piece-{lo:012d}-{hi:012d}-{lh & 0xFFFFFFFFFFFFFFFF:016x}.arrow"
+            # per-writer tmp: concurrent tasks must never interleave writes
+            # into the same tmp file
+            tmp = os.path.join(pdir, f".{fname}.tmp.{os.getpid()}")
             with pa.OSFile(tmp, "wb") as sink:
                 with pa.ipc.new_file(sink, sub.schema) as writer:
                     writer.write_table(sub)

@@ -58,6 +58,7 @@ class Checkpoint:
                 "content_sha": m.content_sha,
                 "runs": list(m.runs or []),
                 "rows_exact": m.rows_exact,
+                "evolution_version": m.evolution_version,
             }
         return Checkpoint(
             epoch=epoch,

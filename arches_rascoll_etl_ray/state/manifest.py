@@ -37,6 +37,9 @@ class PartitionManifest:
     # compacted into the base; reads fold base+runs by max-LSN
     runs: list | None = None
     rows_exact: bool = True   # False when `rows` is the LSM upper-bound estimate
+    # EvolutionSpec version the on-disk bytes were written under; snapshot
+    # digests recompute when this lags the engine's current spec
+    evolution_version: int = 1
 
     def to_json(self) -> dict:
         return asdict(self)

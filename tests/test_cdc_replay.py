@@ -304,3 +304,23 @@ def test_hot_key_stress(tmp_path):
     eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
     eng.replay(d, events_per_epoch=1000)
     assert_matches_fold(eng, d)
+
+
+def test_vacuum_after_crash_window_does_not_brick(changelog, tmp_lake):
+    """Review-found bug: manifests committed but checkpoint lost (torn
+    write) + vacuum used to delete the data files while leaving the
+    manifests — resume then referenced deleted files. Fixed: vacuum removes
+    non-committed-epoch manifests together with unreferenced data."""
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.replay(changelog, events_per_epoch=1000)  # epochs 1..4
+    sha = eng.snapshot_sha256()
+    # simulate the crash window: epoch-4 checkpoint lost, manifests remain
+    os.remove(os.path.join(tmp_lake, "_checkpoints", "epoch_000000004.json"))
+    eng2 = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    assert eng2.checkpoint().epoch == 3
+    eng2.vacuum()  # used to brick here
+    ckpt = eng2.replay(changelog, events_per_epoch=1000)  # redo epoch 4
+    assert ckpt.epoch == 4
+    assert eng2.snapshot_sha256() == sha
+    assert_matches_fold(eng2, changelog)
+    eng2.snapshot_table()  # all referenced files must exist

@@ -86,3 +86,39 @@ def test_register_computed_fn(tmp_path):
     t = pa.table({"repo": ["r"], "path": ["p"], "lang": ["python"], "content": ["x"], "commit": ["c"]})
     out = apply_evolution(t, spec)
     assert out["tag"].to_pylist() == ["PYT"]
+
+
+def test_untouched_partition_snapshot_is_evolved(tmp_path):
+    """Review-found bug: snapshot fast paths skipped apply_evolution, so a
+    partition untouched after a spec change leaked its old schema."""
+    import pandas as pd
+
+    from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
+
+    # epoch 1 touches many keys; epoch 2 touches ONE key — with P=4 some
+    # partitions are guaranteed untouched post-evolution
+    rows = [(i, "I", f"r{i % 7}", f"f{i}.py", f"c{i}", "py", f"v{i}") for i in range(1, 41)]
+    rows += [(41, "U", "r1", "f8.py", "c41", "py", "v41")]
+    df = pd.DataFrame(rows, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=2)
+
+    lake = str(tmp_path / "lake")
+    CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4, evolution=None)).apply_epoch(
+        d, max_events=40
+    )
+    evolved = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4, evolution=SPEC_V2))
+    evolved.replay(d)
+
+    full = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "full"), num_partitions=4, evolution=SPEC_V2))
+    full.replay(d)
+
+    t = evolved.snapshot_table()
+    assert "lang" not in t.column_names and "language" in t.column_names
+    assert t.column_names == full.snapshot_table().column_names
+    assert t.equals(full.snapshot_table())
+    # digest recomputes for stale-evolution partitions -> matches full v2 replay
+    assert evolved.snapshot_sha256() == full.snapshot_sha256()
+    # dataset fast path evolved too
+    ds_cols = evolved.snapshot_dataset().schema().names
+    assert "language" in ds_cols and "lang" not in ds_cols
