@@ -134,15 +134,24 @@ def test_delete_semantics(tmp_path):
     assert got == {("r/a", "g.py"): ("c4", "v3")}
 
 
-def test_salted_path_equals_unsalted(changelog, tmp_path):
-    """North-rule skew handling: the two-stage salted reduce must be
-    semantically invisible (stale-salted-winner bug guard)."""
-    e1 = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "l1"), num_partitions=4, salt_partitions=1))
-    e2 = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "l2"), num_partitions=4, salt_partitions=4))
-    e1.replay(changelog, events_per_epoch=1500)
-    e2.replay(changelog, events_per_epoch=1500)
+def test_sort_plan_and_salted_path_equal_spill(changelog, tmp_path):
+    """All three physical plans — spill (default), sort-shuffle, and the
+    salted two-stage sort-shuffle (north-rule skew handling) — must be
+    semantically identical (stale-salted-winner bug guard)."""
+    e1 = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "l1"), num_partitions=4))
+    e2 = CDCEngine(
+        EngineConfig(lake_dir=str(tmp_path / "l2"), num_partitions=4, shuffle="sort")
+    )
+    e3 = CDCEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "l3"), num_partitions=4, shuffle="sort", salt_partitions=4
+        )
+    )
+    for e in (e1, e2, e3):
+        e.replay(changelog, events_per_epoch=1500)
     assert e1.snapshot_table().equals(e2.snapshot_table())
-    assert e1.snapshot_sha256() == e2.snapshot_sha256()
+    assert e1.snapshot_table().equals(e3.snapshot_table())
+    assert e1.snapshot_sha256() == e2.snapshot_sha256() == e3.snapshot_sha256()
 
 
 def test_vacuum_keeps_live_snapshot(changelog, tmp_lake):
