@@ -42,6 +42,38 @@ from arches_rascoll_etl_ray.state.manifest import PartitionManifest
 logger = logging.getLogger(__name__)
 
 
+class _WriterLock:
+    """Single-writer guard per lake (epochs are serial by design). flock is
+    kernel-released on process death, so a crashed writer never wedges the
+    lake. NB: advisory and local-host only — on a shared filesystem run one
+    driver (the normal `ray job submit` deployment)."""
+
+    def __init__(self, lake_dir: str):
+        self.path = os.path.join(lake_dir, "_writer.lock")
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self.path, "w")
+        try:
+            fcntl.flock(self._f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            self._f.close()
+            raise RuntimeError(
+                f"another writer holds {self.path}; one writer per lake at a time"
+            ) from None
+        self._f.write(f"{os.getpid()}\n")
+        self._f.flush()
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+        return False
+
+
 class CDCEngine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
@@ -107,6 +139,15 @@ class CDCEngine:
         import time as _time
 
         t_epoch = _time.perf_counter()
+        with _WriterLock(self.cfg.lake_dir):
+            return self._apply_epoch_locked(
+                changelog_dir, ckpt, epoch, start_lsn, end_lsn, t_epoch
+            )
+
+    def _apply_epoch_locked(
+        self, changelog_dir: str, ckpt: Checkpoint, epoch: int, start_lsn: int, end_lsn: int, t_epoch: float
+    ) -> Checkpoint:
+        import time as _time
 
         if self.cfg.shuffle == "spill":
             touched = self._spill_epoch(changelog_dir, epoch, start_lsn, end_lsn)
@@ -257,7 +298,7 @@ class CDCEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         base_epoch = ckpt.epoch
-        with ThreadPoolExecutor(max_workers=1) as ex:
+        with _WriterLock(self.cfg.lake_dir), ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(self._spill_epoch, changelog_dir, base_epoch + 1, *bounds[0])
             for i, (start_lsn, end_lsn) in enumerate(bounds):
                 epoch = base_epoch + i + 1
@@ -458,11 +499,16 @@ class CDCEngine:
         if not todo:
             return 0
         epoch = ckpt.epoch + 1
+        lock = _WriterLock(self.cfg.lake_dir)
+        lock.__enter__()
         task = _ray.remote(num_cpus=1)(compact_partition)
         refs = [task.remote(self.cfg, epoch, ckpt.end_lsn, info, part) for part, info in todo]
-        manifests = _ray.get(refs)
-        new_ckpt = ckpt.advanced(epoch, ckpt.end_lsn, manifests)
-        save_checkpoint(self.cfg.lake_dir, new_ckpt)
+        try:
+            manifests = _ray.get(refs)
+            new_ckpt = ckpt.advanced(epoch, ckpt.end_lsn, manifests)
+            save_checkpoint(self.cfg.lake_dir, new_ckpt)
+        finally:
+            lock.__exit__(None, None, None)
         return len(manifests)
 
     # --------------------------------------------------------------- admin

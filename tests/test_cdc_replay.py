@@ -333,3 +333,16 @@ def test_vacuum_after_crash_window_does_not_brick(changelog, tmp_lake):
     assert eng2.snapshot_sha256() == sha
     assert_matches_fold(eng2, changelog)
     eng2.snapshot_table()  # all referenced files must exist
+
+
+def test_single_writer_lock(changelog, tmp_lake):
+    from arches_rascoll_etl_ray.pipelines.cdc import _WriterLock
+
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.apply_epoch(changelog, max_events=1000)  # lock released after
+    with _WriterLock(tmp_lake):
+        with pytest.raises(RuntimeError, match="another writer"):
+            eng.apply_epoch(changelog, max_events=1000)
+    # released → works again
+    eng.replay(changelog, events_per_epoch=1000)
+    assert_matches_fold(eng, changelog)
