@@ -245,7 +245,12 @@ class CDCEngine:
 
         from arches_rascoll_etl_ray.stages.merge import merge_partition_from_pieces
 
-        merge_task = _ray.remote(num_cpus=1)(merge_partition_from_pieces)
+        # retry_exceptions: transient app-level failures (fs hiccups, OOM
+        # kills surfacing as exceptions) retry safely — the per-(partition,
+        # epoch) manifest makes any re-run a no-op
+        merge_task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(
+            merge_partition_from_pieces
+        )
         refs = [
             merge_task.remote(self.cfg, epoch, start_lsn, end_lsn, ckpt.partitions.get(p), p)
             for p in touched
@@ -501,7 +506,7 @@ class CDCEngine:
         epoch = ckpt.epoch + 1
         lock = _WriterLock(self.cfg.lake_dir)
         lock.__enter__()
-        task = _ray.remote(num_cpus=1)(compact_partition)
+        task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(compact_partition)
         refs = [task.remote(self.cfg, epoch, ckpt.end_lsn, info, part) for part, info in todo]
         try:
             manifests = _ray.get(refs)
