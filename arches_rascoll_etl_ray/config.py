@@ -190,3 +190,5 @@ class EngineConfig:
     # compute the per-partition content sha256 in each manifest (lineage);
     # costs one hash pass per rewritten partition.
     manifest_content_sha: bool = True
+    # test-only: enable the one-shot merge fault hook (see stages/merge.py)
+    fault_injection: bool = False

@@ -54,7 +54,8 @@ class _WriterLock:
     def __enter__(self):
         import fcntl
 
-        self._f = open(self.path, "w")
+        # "a" so a failed acquire never truncates the holder's pid record
+        self._f = open(self.path, "a+")
         try:
             fcntl.flock(self._f, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
@@ -62,6 +63,8 @@ class _WriterLock:
             raise RuntimeError(
                 f"another writer holds {self.path}; one writer per lake at a time"
             ) from None
+        self._f.seek(0)
+        self._f.truncate()
         self._f.write(f"{os.getpid()}\n")
         self._f.flush()
         return self
@@ -128,18 +131,22 @@ class CDCEngine:
         defaults to everything available (or start+max_events). Re-running a
         crashed epoch is safe — per-partition manifests make reapply a no-op.
         """
-        ckpt = self.checkpoint()
-        start_lsn = ckpt.end_lsn
-        avail = max_available_lsn(changelog_dir)
-        if end_lsn is None:
-            end_lsn = avail if max_events is None else min(avail, start_lsn + max_events)
-        if end_lsn <= start_lsn:
-            return ckpt
-        epoch = ckpt.epoch + 1
         import time as _time
 
-        t_epoch = _time.perf_counter()
+        # the checkpoint and epoch bounds are decision inputs — they must be
+        # read INSIDE the lock, or a concurrent writer's commit between read
+        # and lock would silently skip events (manifest idempotency would
+        # no-op the re-run of its epoch number over a wider LSN range)
         with _WriterLock(self.cfg.lake_dir):
+            ckpt = self.checkpoint()
+            start_lsn = ckpt.end_lsn
+            avail = max_available_lsn(changelog_dir)
+            if end_lsn is None:
+                end_lsn = avail if max_events is None else min(avail, start_lsn + max_events)
+            if end_lsn <= start_lsn:
+                return ckpt
+            epoch = ckpt.epoch + 1
+            t_epoch = _time.perf_counter()
             return self._apply_epoch_locked(
                 changelog_dir, ckpt, epoch, start_lsn, end_lsn, t_epoch
             )
@@ -493,27 +500,27 @@ class CDCEngine:
         Returns the number of partitions compacted."""
         import ray as _ray
 
-        from arches_rascoll_etl_ray.stages.merge import (
-            compact_partition,
-        )
+        from arches_rascoll_etl_ray.stages.merge import compact_partition, spec_version
 
-        ckpt = self.checkpoint()
-        todo = [
-            (part, info) for part, info in sorted(ckpt.partitions.items()) if info.get("runs")
-        ]
-        if not todo:
-            return 0
-        epoch = ckpt.epoch + 1
-        lock = _WriterLock(self.cfg.lake_dir)
-        lock.__enter__()
-        task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(compact_partition)
-        refs = [task.remote(self.cfg, epoch, ckpt.end_lsn, info, part) for part, info in todo]
-        try:
+        with _WriterLock(self.cfg.lake_dir):
+            ckpt = self.checkpoint()
+            current_v = spec_version(self.cfg)
+            todo = [
+                (part, info)
+                for part, info in sorted(ckpt.partitions.items())
+                if info.get("runs")
+                # stale-evolution partitions rewrite to the current spec so
+                # snapshot digests stop re-folding them on every call
+                or (info.get("data_file") and info.get("evolution_version", 1) != current_v)
+            ]
+            if not todo:
+                return 0
+            epoch = ckpt.epoch + 1
+            task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(compact_partition)
+            refs = [task.remote(self.cfg, epoch, ckpt.end_lsn, info, part) for part, info in todo]
             manifests = _ray.get(refs)
             new_ckpt = ckpt.advanced(epoch, ckpt.end_lsn, manifests)
             save_checkpoint(self.cfg.lake_dir, new_ckpt)
-        finally:
-            lock.__exit__(None, None, None)
         return len(manifests)
 
     # --------------------------------------------------------------- admin
@@ -569,8 +576,11 @@ class CDCEngine:
             if os.path.exists(marker):
                 with open(marker) as f:
                     parts_ = f.read().split()
-                total += int(parts_[-1]) if parts_ and parts_[-1].isdigit() else 0
-                continue
+                if parts_ and parts_[-1].isdigit():
+                    total += int(parts_[-1])
+                    continue
+                # marker from an older format (no row count): re-export
+                os.remove(marker)
             tmp = dst + ".tmp"
             needs_transform = bool(info.get("runs")) or (
                 info.get("evolution_version", 1) != current_v
@@ -616,6 +626,10 @@ class CDCEngine:
         import os
         import re
 
+        with _WriterLock(self.cfg.lake_dir):
+            return self._vacuum_locked(os, re)
+
+    def _vacuum_locked(self, os, re) -> int:
         ckpt = self.checkpoint()
         live = {info["data_file"] for info in ckpt.partitions.values() if info["data_file"]}
         committed_epoch = {p: info["epoch"] for p, info in ckpt.partitions.items()}

@@ -531,21 +531,21 @@ def merge_partition_from_pieces(
     prev: dict | None,
     part: int,
 ) -> PartitionManifest:
-    # test-only fault injection (flag DIRECTORY under the lake, visible to
-    # workers via the shared fs — env vars don't reach running workers):
-    # fail each (epoch, partition) exactly once so Ray's task retry
-    # exercises the idempotent-manifest path for real
-    fault_dir = os.path.join(cfg.lake_dir, "_fault_once")
-    if os.path.isdir(fault_dir):
-        marker = os.path.join(fault_dir, f"fault_{epoch}_{part}")
-        if not os.path.exists(marker):
-            with open(marker, "w") as f:
-                f.write("1")
-            raise RuntimeError(f"injected fault for epoch={epoch} part={part}")
     """Reduce side of the spill plan: read this partition's delta pieces and
     fold them into the snapshot. Runs as one Ray task per touched partition
     (raw task, not Dataset — the reduce input is a set of files this task
     owns exclusively, not a Dataset shuffle output)."""
+    if cfg.fault_injection:
+        # test-only: fail each (epoch, partition) once via a shared-fs flag
+        # dir (env vars don't reach already-running workers) so Ray's task
+        # retry exercises the idempotent-manifest path for real
+        fault_dir = os.path.join(cfg.lake_dir, "_fault_once")
+        if os.path.isdir(fault_dir):
+            marker = os.path.join(fault_dir, f"fault_{epoch}_{part}")
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("1")
+                raise RuntimeError(f"injected fault for epoch={epoch} part={part}")
     d = delta_dir(cfg, epoch, part)
     pieces = sorted(os.listdir(d)) if os.path.isdir(d) else []
     tables = []

@@ -352,7 +352,7 @@ def test_merge_task_failure_retried_exactly_once(changelog, tmp_lake):
     """Every merge task fails once (injected) and Ray retries it — the
     replay must still commit every epoch and reconverge to the fold.
     Exercises the real task-retry + manifest-idempotency path end-to-end."""
-    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=4))
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=4, fault_injection=True))
     fault_dir = os.path.join(tmp_lake, "_fault_once")
     os.makedirs(fault_dir, exist_ok=True)
     ckpt = eng.replay(changelog, events_per_epoch=2000)

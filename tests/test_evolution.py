@@ -122,3 +122,32 @@ def test_untouched_partition_snapshot_is_evolved(tmp_path):
     # dataset fast path evolved too
     ds_cols = evolved.snapshot_dataset().schema().names
     assert "language" in ds_cols and "lang" not in ds_cols
+
+
+def test_compact_refreshes_stale_evolution_partitions(tmp_path):
+    """compact() rewrites partitions whose on-disk schema predates the
+    current spec, so snapshot digests stop re-folding them on every call."""
+    import pandas as pd
+
+    from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
+
+    rows = [(i, "I", f"r{i % 5}", f"f{i}.py", f"c{i}", "py", f"v{i}") for i in range(1, 31)]
+    df = pd.DataFrame(rows, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=2)
+    lake = str(tmp_path / "lake")
+    CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4, evolution=None)).replay(d)
+    ev = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4, evolution=SPEC_V2))
+    from arches_rascoll_etl_ray.stages.merge import spec_version
+
+    stale = [
+        p for p, i in ev.checkpoint().partitions.items()
+        if i.get("evolution_version", 1) != spec_version(ev.cfg)
+    ]
+    assert stale  # all partitions written under v1
+    before = ev.snapshot_table()
+    n = ev.compact()
+    assert n == len(stale)
+    after = ev.checkpoint()
+    assert all(i.get("evolution_version", 1) == 2 for i in after.partitions.values())
+    assert ev.snapshot_table().equals(before)
