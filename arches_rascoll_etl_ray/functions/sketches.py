@@ -114,3 +114,45 @@ class UnionFind:
 
     def roots(self) -> dict:
         return {x: self.find(x) for x in list(self.parent)}
+
+
+def hll_sketch(hashes: np.ndarray, p: int = 12) -> np.ndarray:
+    """HyperLogLog registers (Flajolet et al. '07, public algorithm) from
+    64-bit hashes: register index = top p bits, value = 1 + leading zeros
+    of the rest. Mergeable via elementwise max."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = (hashes << np.uint64(p)) | np.uint64((1 << p) - 1)  # low bits set → bounded rho
+    # leading zero count of `rest` via float trick would lose precision; use
+    # bit_length: rho = 64 - p - floor(log2(rest_without_low))... simpler loop-free:
+    rho = np.zeros(len(hashes), dtype=np.uint8)
+    shifted = rest.copy()
+    mask = np.ones(len(hashes), dtype=bool)
+    for r in range(1, 64 - p + 2):
+        top = (shifted >> np.uint64(63)) & np.uint64(1)
+        newly = mask & (top == 1)
+        rho[newly] = r
+        mask &= top == 0
+        if not mask.any():
+            break
+        shifted = shifted << np.uint64(1)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting) correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

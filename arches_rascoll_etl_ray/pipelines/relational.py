@@ -841,3 +841,89 @@ def q_median_exact(sf_dir: str):
         )
 
     return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+@register(
+    "q_top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey AS top_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS top_price_cents
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_top1_per_group(sf_dir: str):
+    """Arg-max per key (top order per customer) — per-batch combiner keeps
+    one candidate per key, final per-key reduce picks the winner."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def keep_best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True], kind="mergesort")
+        return df.drop_duplicates("o_custkey", keep="first")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = keep_best(df)
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "top_orderkey": df["o_orderkey"].to_numpy(),
+                "top_price_cents": np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(keep_best, batch_format="pandas", batch_size=32 * 1024)
+        .groupby("o_custkey")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+@register(
+    "q_string_agg",
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(sf_dir: str):
+    """Ordered grouped string aggregation (deterministic ORDER BY inside
+    the aggregate so both engines produce identical strings)."""
+    ds = _read(sf_dir, "nation", ["n_regionkey", "n_name"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(df["n_name"]))
+        return pd.DataFrame({"n_regionkey": [df["n_regionkey"].iloc[0]], "names": [names]})
+
+    return ds.groupby("n_regionkey").map_groups(agg, batch_format="pandas")
+
+
+@register(
+    "q_count_distinct",
+    """
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_count_distinct(sf_dir: str):
+    """Exact distinct count per group: per-batch distinct pairs (combiner)
+    → global distinct → count. Only (flag, partkey) pairs shuffle."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [df["l_returnflag"].iloc[0]],
+                "n_parts": [int(df["l_partkey"].nunique())],
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas", batch_size=64 * 1024)
+        .groupby("l_returnflag")
+        .map_groups(count, batch_format="pandas")
+    )

@@ -675,3 +675,25 @@ def q_sample_deterministic(sf_dir: str):
         return df[(h % np.uint64(100)) < 20]
 
     return ds.map_batches(sample, batch_format="pandas")
+
+
+@register("q_hll_distinct")
+def q_hll_distinct(sf_dir: str):
+    """Approximate distinct doc texts via HyperLogLog: one mergeable sketch
+    per batch (map side) merged on the driver — the sketch-emission pattern
+    for 100-TB distinct counting. Rows-only; accuracy asserted in pytest."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+    from arches_rascoll_etl_ray.functions.sketches import hll_estimate, hll_merge, hll_sketch
+
+    ds = _docs(sf_dir, ["text"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        h = stable_hash64(df["text"].to_numpy(dtype=object))
+        regs = hll_sketch(h)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(sketch, batch_format="pandas", batch_size=2048).take_all()
+    merged = np.zeros(1 << 12, dtype=np.uint8)
+    for r in parts:
+        merged = hll_merge(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    return pa.table({"metric": ["distinct_texts_hll"], "estimate": [int(round(hll_estimate(merged)))]})

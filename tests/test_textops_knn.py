@@ -102,3 +102,31 @@ def test_dedup_embedding_runs():
     out = dedup_embedding(SF_SMOKE).to_pandas()
     assert len(out) == 500
     assert (out["cluster_id"] <= out["vec_id"]).all()  # min-id roots
+
+
+def test_hll_accuracy():
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+    from arches_rascoll_etl_ray.functions.sketches import hll_estimate, hll_merge, hll_sketch
+
+    vals = np.array([f"item-{i}" for i in range(20000)], dtype=object)
+    h = stable_hash64(vals)
+    # merged from 4 partial sketches == one-shot sketch
+    parts = [hll_sketch(h[i::4]) for i in range(4)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = hll_merge(merged, p)
+    assert (merged == hll_sketch(h)).all()
+    est = hll_estimate(merged)
+    assert abs(est - 20000) / 20000 < 0.05  # p=12 → ~1.6% typical error
+
+
+def test_hll_query_close_to_truth():
+    import duckdb
+
+    from arches_rascoll_etl_ray.pipelines.training import q_hll_distinct
+
+    est = q_hll_distinct(SF_SMOKE).to_pandas()["estimate"][0]
+    truth = duckdb.connect().execute(
+        f"SELECT COUNT(DISTINCT text) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchone()[0]
+    assert abs(est - truth) / truth < 0.1
