@@ -144,10 +144,12 @@ def write_changelog_shards(
         if hi <= lo:
             continue
         shard = table.slice(lo, hi - lo)
-        # name by min/max so pruning stays correct for out-of-order streams
+        # name by min/max so pruning stays correct for out-of-order streams;
+        # the shard index keeps names unique when two shards share an LSN
+        # range (duplicate/shuffled delivery) — pruning only reads (lo,hi).
         start_lsn = pa.compute.min(shard["lsn"]).as_py()
         end_lsn = pa.compute.max(shard["lsn"]).as_py()
-        p = os.path.join(out_dir, f"changelog-{start_lsn:012d}-{end_lsn:012d}.{fmt}")
+        p = os.path.join(out_dir, f"changelog-{start_lsn:012d}-{end_lsn:012d}-{i:05d}.{fmt}")
         if fmt == "csv":
             shard.to_pandas().to_csv(p, index=False)
         else:

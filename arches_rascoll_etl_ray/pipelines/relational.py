@@ -306,7 +306,11 @@ def q_anti_join(sf_dir: str):
     SELECT p.event_id AS purchase_id, p.user_id,
            c.event_id AS last_click_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -314,6 +318,8 @@ def q_asof_join(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): for each purchase, the
     most recent click at-or-before it by the same user. Composition:
     partition by user (groupby) + pd.merge_asof per sorted group.
+    Equal-ts clicks are reduced to the max event_id on BOTH sides first —
+    otherwise the tie is engine-defined and the oracle hash diverges.
     Partitioning assumption: one user's events fit in a group task."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     ds = ds.map_batches(
@@ -323,7 +329,11 @@ def q_asof_join(sf_dir: str):
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
         p = df[df["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
-        c = df[df["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        c = (
+            df[df["event_type"] == "click"]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .drop_duplicates(subset="ts", keep="last")
+        )
         if len(p) == 0:
             return pd.DataFrame({"purchase_id": pd.Series([], dtype="int64"),
                                  "user_id": pd.Series([], dtype="int64"),

@@ -1,6 +1,6 @@
 """Change-log (binlog/WAL) source: LSN-range-pruned Parquet tailing.
 
-Shards are named ``changelog-<startlsn>-<endlsn>.{parquet,csv}`` so an
+Shards are named ``changelog-<startlsn>-<endlsn>[-<idx>].{parquet,csv}`` so an
 epoch read prunes at the file level before any bytes move — the "prune at
 the read" rule. Residual rows outside the epoch's (start, end] range are
 filtered in the first map_batches pass. Parquet is the native format; CSV
@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import re
 
-_SHARD_RE = re.compile(r"^changelog-(\d+)-(\d+)\.(parquet|csv)$")
+_SHARD_RE = re.compile(r"^changelog-(\d+)-(\d+)(?:-\d+)?\.(parquet|csv)$")
 
 
 def list_shards(changelog_dir: str) -> list[tuple[int, int, str]]:
