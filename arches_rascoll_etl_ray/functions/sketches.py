@@ -74,8 +74,11 @@ def simhash64(flat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         np.int64
     )
     contrib = bits * 2 - 1  # ±1
-    sums = np.add.reduceat(contrib, np.maximum(offsets[:-1], 0), axis=0)
     empty = offsets[:-1] == offsets[1:]
+    # safe starts (same guard as minhash_signatures): a trailing empty doc
+    # would put an index == len(flat_hashes) into reduceat → IndexError
+    safe_starts = np.where(empty, 0, offsets[:-1])
+    sums = np.add.reduceat(contrib, safe_starts, axis=0)
     sig_bits = (sums > 0).astype(np.uint64)
     vals = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     vals[empty] = 0

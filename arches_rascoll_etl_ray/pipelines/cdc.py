@@ -131,25 +131,35 @@ class CDCEngine:
         defaults to everything available (or start+max_events). Re-running a
         crashed epoch is safe — per-partition manifests make reapply a no-op.
         """
-        import time as _time
-
         # the checkpoint and epoch bounds are decision inputs — they must be
         # read INSIDE the lock, or a concurrent writer's commit between read
         # and lock would silently skip events (manifest idempotency would
         # no-op the re-run of its epoch number over a wider LSN range)
         with _WriterLock(self.cfg.lake_dir):
-            ckpt = self.checkpoint()
-            start_lsn = ckpt.end_lsn
-            avail = max_available_lsn(changelog_dir)
-            if end_lsn is None:
-                end_lsn = avail if max_events is None else min(avail, start_lsn + max_events)
-            if end_lsn <= start_lsn:
-                return ckpt
-            epoch = ckpt.epoch + 1
-            t_epoch = _time.perf_counter()
-            return self._apply_epoch_locked(
-                changelog_dir, ckpt, epoch, start_lsn, end_lsn, t_epoch
-            )
+            return self._apply_next_epoch(changelog_dir, max_events=max_events, end_lsn=end_lsn)
+
+    def _apply_next_epoch(
+        self,
+        changelog_dir: str,
+        max_events: int | None = None,
+        end_lsn: int | None = None,
+    ) -> Checkpoint:
+        """Lock-held body of apply_epoch: reads the checkpoint and computes
+        the epoch bounds under the writer lock (read-inside-lock invariant)."""
+        import time as _time
+
+        ckpt = self.checkpoint()
+        start_lsn = ckpt.end_lsn
+        avail = max_available_lsn(changelog_dir)
+        if end_lsn is None:
+            end_lsn = avail if max_events is None else min(avail, start_lsn + max_events)
+        if end_lsn <= start_lsn:
+            return ckpt
+        epoch = ckpt.epoch + 1
+        t_epoch = _time.perf_counter()
+        return self._apply_epoch_locked(
+            changelog_dir, ckpt, epoch, start_lsn, end_lsn, t_epoch
+        )
 
     def _apply_epoch_locked(
         self, changelog_dir: str, ckpt: Checkpoint, epoch: int, start_lsn: int, end_lsn: int, t_epoch: float
@@ -289,28 +299,42 @@ class CDCEngine:
         pipelines only when ≥4 epochs remain. Commits stay strictly ordered;
         a crash mid-pipeline leaves at most one epoch of orphan pieces,
         which the deterministic re-spill overwrites byte-identically."""
-        ckpt = self.checkpoint()
-        avail = max_available_lsn(changelog_dir)
-        bounds: list[tuple[int, int]] = []
-        s = ckpt.end_lsn
-        while s < avail:
-            e = avail if events_per_epoch is None else min(avail, s + events_per_epoch)
-            bounds.append((s, e))
-            s = e
-        if not bounds:
-            return ckpt
-        if pipelined == "auto":
-            pipelined = len(bounds) >= 4
-        if not pipelined or self.cfg.shuffle != "spill":
-            while ckpt.end_lsn < avail:
-                ckpt = self.apply_epoch(changelog_dir, max_events=events_per_epoch)
-            return ckpt
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
+        # lock FIRST, then read the checkpoint and compute bounds — a writer
+        # committing between an unlocked read and the flock would cause
+        # epoch-number reuse over stale bounds (read-inside-lock invariant,
+        # same rule as apply_epoch)
+        with _WriterLock(self.cfg.lake_dir):
+            ckpt = self.checkpoint()
+            avail = max_available_lsn(changelog_dir)
+            bounds: list[tuple[int, int]] = []
+            s = ckpt.end_lsn
+            while s < avail:
+                e = avail if events_per_epoch is None else min(avail, s + events_per_epoch)
+                bounds.append((s, e))
+                s = e
+            if not bounds:
+                return ckpt
+            if pipelined == "auto":
+                pipelined = len(bounds) >= 4
+            if not pipelined or self.cfg.shuffle != "spill":
+                while ckpt.end_lsn < avail:
+                    ckpt = self._apply_next_epoch(changelog_dir, max_events=events_per_epoch)
+                    avail = max_available_lsn(changelog_dir)
+                return ckpt
+            return self._replay_pipelined(changelog_dir, ckpt, bounds)
+
+    def _replay_pipelined(
+        self, changelog_dir: str, ckpt: Checkpoint, bounds: list[tuple[int, int]]
+    ) -> Checkpoint:
+        """Pipelined epoch loop; the writer lock is already held."""
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         base_epoch = ckpt.epoch
-        with _WriterLock(self.cfg.lake_dir), ThreadPoolExecutor(max_workers=1) as ex:
+        with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(self._spill_epoch, changelog_dir, base_epoch + 1, *bounds[0])
             for i, (start_lsn, end_lsn) in enumerate(bounds):
                 epoch = base_epoch + i + 1
@@ -576,10 +600,20 @@ class CDCEngine:
             if os.path.exists(marker):
                 with open(marker) as f:
                     parts_ = f.read().split()
-                if parts_ and parts_[-1].isdigit():
+                # marker: "<epoch> <sha|-> <rows>" — skip ONLY when it
+                # records this partition's CURRENT committed epoch; a marker
+                # from an earlier export into the same dir would otherwise
+                # keep stale files (and count their stale rows) after new
+                # epochs commit
+                if (
+                    len(parts_) >= 3
+                    and parts_[0].isdigit()
+                    and parts_[-1].isdigit()
+                    and int(parts_[0]) == info["epoch"]
+                ):
                     total += int(parts_[-1])
                     continue
-                # marker from an older format (no row count): re-export
+                # stale or older-format marker: re-export
                 os.remove(marker)
             tmp = dst + ".tmp"
             needs_transform = bool(info.get("runs")) or (

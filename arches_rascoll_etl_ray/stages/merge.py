@@ -260,9 +260,11 @@ def compact_partition(
     cfg: EngineConfig, epoch: int, end_lsn: int, info: dict, part: int
 ) -> PartitionManifest:
     """Fold one partition's base+runs into a fresh base (explicit
-    compaction; idempotent per (partition, epoch) via the manifest)."""
+    compaction; idempotent per (partition, epoch) via the manifest — honored
+    only when the manifest's LSN range matches, same crash-resume rule as
+    apply_partition_merge)."""
     existing = read_manifest(cfg.lake_dir, part, epoch)
-    if existing is not None:
+    if existing is not None and existing.start_lsn == end_lsn and existing.end_lsn == end_lsn:
         return existing
     pdir = partition_dir(cfg.lake_dir, part)
     os.makedirs(pdir, exist_ok=True)
@@ -299,15 +301,29 @@ def apply_partition_merge(
     events: pa.Table,
 ) -> PartitionManifest:
     """Fold one partition's epoch events into its snapshot. Idempotent per
-    (partition, epoch): the manifest is the commit record."""
+    (partition, epoch, lsn-range): the manifest is the commit record, but it
+    only counts as committed when its (start_lsn, end_lsn) matches THIS
+    epoch's range — a crash-resume may reuse the epoch number over a wider
+    range, and honoring the narrower crashed-attempt manifest would silently
+    skip the extra events while the checkpoint commits the wider end_lsn."""
     lake_dir = cfg.lake_dir
     existing = read_manifest(lake_dir, part, epoch)
-    if existing is not None:
+    if existing is not None and existing.start_lsn == start_lsn and existing.end_lsn == end_lsn:
         return existing
 
     watermark = prev["applied_lsn"] if prev else 0
-    if watermark > 0 and events.num_rows:
-        events = events.filter(pc.greater(events["lsn"], pa.scalar(watermark, pa.int64())))
+    if events.num_rows:
+        # slice to (watermark, end_lsn]: leftover delta pieces from a crashed
+        # attempt with a wider LSN range must not leak into this epoch
+        # (applied_lsn would exceed the committed end_lsn). min/max
+        # short-circuit: in the common case the whole table is in range.
+        mm = pc.min_max(events["lsn"])
+        if (watermark > 0 and mm["min"].as_py() <= watermark) or mm["max"].as_py() > end_lsn:
+            mask = pc.and_(
+                pc.greater(events["lsn"], pa.scalar(watermark, pa.int64())),
+                pc.less_equal(events["lsn"], pa.scalar(end_lsn, pa.int64())),
+            )
+            events = events.filter(mask)
 
     pdir = partition_dir(lake_dir, part)
     os.makedirs(pdir, exist_ok=True)
@@ -548,8 +564,22 @@ def merge_partition_from_pieces(
                 raise RuntimeError(f"injected fault for epoch={epoch} part={part}")
     d = delta_dir(cfg, epoch, part)
     pieces = sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def _in_range(name: str) -> bool:
+        # piece-<lo>-<hi>-<hash>.<ext>: skip pieces wholly outside this
+        # epoch's (start_lsn, end_lsn] — leftovers from a crashed attempt
+        # that sliced the same epoch number over a different LSN range.
+        try:
+            parts = name.split("-")
+            lo, hi = int(parts[1]), int(parts[2].split(".")[0])
+        except (IndexError, ValueError):
+            return True  # unknown name: read it; the LSN filter still guards
+        return hi > start_lsn and lo <= end_lsn
+
     tables = []
     for f in pieces:
+        if not _in_range(f):
+            continue
         if f.endswith(".arrow"):
             with pa.memory_map(os.path.join(d, f), "r") as src:
                 tables.append(pa.ipc.open_file(src).read_all())

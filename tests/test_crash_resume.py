@@ -1,0 +1,100 @@
+"""Crash-resume edge cases around manifest idempotency (review findings):
+
+1. A crashed epoch attempt leaves per-partition manifests but no committed
+   checkpoint. A resume reuses the epoch NUMBER over a (possibly wider) LSN
+   range — the manifests must only short-circuit when their (start_lsn,
+   end_lsn) matches the current attempt, else events are silently lost.
+2. A crashed attempt with a WIDER range leaves delta pieces beyond the
+   resume's end_lsn — those events must not be folded into the narrower
+   epoch (applied_lsn would exceed the committed end_lsn).
+3. export_snapshot .done markers record the partition's epoch; a re-export
+   into the same directory after new epochs commit must refresh stale files.
+"""
+
+import glob
+import os
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.datagen.changelog_gen import ensure_changelog
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+from tests.test_cdc_replay import assert_matches_fold
+
+
+def _changelog(tmp_path):
+    return ensure_changelog(str(tmp_path / "clog"), num_files=300, num_events=4000, seed=11, num_shards=8)
+
+
+def _drop_checkpoint(lake_dir: str, epoch: int) -> None:
+    p = os.path.join(lake_dir, "_checkpoints", f"epoch_{epoch:09d}.json")
+    os.remove(p)
+
+
+def test_crash_resume_wider_range_remerges(tmp_path):
+    """Crashed epoch-2 attempt covered (2000, 3000]; resume re-slices epoch 2
+    as (2000, 4000]. Without the range check the narrower manifests no-op the
+    merge and events 3001..4000 vanish."""
+    clog = _changelog(tmp_path)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
+    eng.apply_epoch(clog, end_lsn=2000)
+
+    # "crashed" attempt: full epoch-2 merge over the narrow range, then the
+    # checkpoint commit is lost (crash between partition merges and commit)
+    eng.apply_epoch(clog, end_lsn=3000)
+    _drop_checkpoint(lake, 2)
+    assert eng.checkpoint().epoch == 1
+
+    # resume: epoch 2 again, now over everything available (default end_lsn)
+    ckpt = eng.apply_epoch(clog)
+    assert ckpt.epoch == 2 and ckpt.end_lsn == 4000
+    for info in ckpt.partitions.values():
+        assert info["applied_lsn"] <= 4000
+    assert_matches_fold(eng, clog)
+
+
+def test_leftover_wider_pieces_clipped(tmp_path):
+    """Delta pieces from a crashed attempt with a WIDER range must not leak
+    LSNs beyond the resume epoch's end_lsn into the fold."""
+    clog = _changelog(tmp_path)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
+    eng.apply_epoch(clog, end_lsn=2000)
+
+    # crashed attempt spilled epoch 2 over (2000, 4000] but never merged
+    eng._spill_epoch(clog, 2, 2000, 4000)
+    # resume slices epoch 2 narrower: (2000, 3000]
+    ckpt = eng.apply_epoch(clog, end_lsn=3000)
+    assert ckpt.epoch == 2 and ckpt.end_lsn == 3000
+    for info in ckpt.partitions.values():
+        assert info["applied_lsn"] <= 3000, "crashed-attempt pieces leaked past end_lsn"
+
+    # the tail still arrives via epoch 3; lake converges to the full fold
+    eng.apply_epoch(clog)
+    assert_matches_fold(eng, clog)
+
+
+def test_export_reexport_refreshes_stale_partitions(tmp_path):
+    """Re-exporting into the same directory after new epochs must rewrite
+    partitions whose committed epoch advanced (stale .done markers)."""
+    clog = _changelog(tmp_path)
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "export")
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
+    eng.apply_epoch(clog, end_lsn=2000)
+    n1 = eng.export_snapshot(out)
+    assert n1 == eng.snapshot_table().num_rows
+
+    eng.apply_epoch(clog)  # epoch 2: more upserts/deletes
+    n2 = eng.export_snapshot(out)
+    assert n2 == eng.snapshot_table().num_rows
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        exported = con.execute(
+            f"SELECT count(*) FROM read_parquet('{glob.escape(out)}/part-*.parquet')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert exported == n2, "stale per-partition export files survived re-export"
