@@ -41,10 +41,8 @@ def _fresh_lake(tag: str) -> str:
     return d
 
 
-def cdc_events_upsert(sf_dir: str):
-    """Events table → change stream keyed by user (LSN = (ts, event_id)
-    order) → engine replay in 4 epochs → final per-user state."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+def _events_changelog(sf_dir: str, tag: str) -> str:
+    """Cached changelog shards derived from the driver's events table."""
     clog_dir = os.path.join(_CACHE_ROOT, f"events_clog_{tag}")
     marker = os.path.join(clog_dir, "_GENERATED")
     if not os.path.exists(marker):
@@ -53,7 +51,14 @@ def cdc_events_upsert(sf_dir: str):
         write_changelog_shards(df, clog_dir, num_shards=8)
         with open(marker, "w") as f:
             f.write(sf_dir + "\n")
+    return clog_dir
 
+
+def cdc_events_upsert(sf_dir: str):
+    """Events table → change stream keyed by user (LSN = (ts, event_id)
+    order) → engine replay in 4 epochs → final per-user state."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
     eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"events_{tag}"), num_partitions=8))
     from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
 
@@ -82,6 +87,94 @@ ORACLE_SQL["cdc_events_upsert"] = """
            CAST(event_id AS BIGINT) AS last_event_id,
            event_type AS last_event_type,
            printf('%.6f', value) AS last_value_str
+    FROM last WHERE rn = 1 AND event_type <> 'delete'
+"""
+
+
+def cdc_events_upsert_lsm(sf_dir: str):
+    """Same fold as cdc_events_upsert but through the LSM merge mode:
+    sorted-run appends per epoch, threshold-triggered compaction mid-replay,
+    explicit full compaction at the end. Shares the upsert oracle — LSM and
+    rewrite modes must produce the identical final state."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    eng = CDCEngine(
+        EngineConfig(
+            lake_dir=_fresh_lake(f"events_lsm_{tag}"),
+            num_partitions=8,
+            merge_mode="lsm",
+            lsm_compact_threshold=3,
+        )
+    )
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    per_epoch = max(1, max_available_lsn(clog_dir) // 6)  # 6 epochs → compactions fire
+    eng.replay(clog_dir, events_per_epoch=per_epoch)
+    eng.compact()
+    snap = eng.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_events_upsert_lsm"] = cdc_events_upsert_lsm
+ORACLE_SQL["cdc_events_upsert_lsm"] = ORACLE_SQL["cdc_events_upsert"]
+
+
+def cdc_events_evolution(sf_dir: str):
+    """Mid-stream schema evolution over the DRIVER's events table, oracle-
+    checked: first half of the stream committed under spec v1, the engine
+    reopened with spec v2 (rename lang→language, add size_bytes, computed
+    content_len) for the rest. The final snapshot must equal a full-v2 fold
+    — DuckDB expresses that directly."""
+    from arches_rascoll_etl_ray.config import AddColumn, ComputedColumn, EvolutionSpec
+
+    spec_v2 = EvolutionSpec(
+        version=2,
+        renames={"lang": "language"},
+        adds=(AddColumn(name="size_bytes", type="int64", default=None),),
+        computed=(ComputedColumn(name="content_len", source="content", fn="len"),),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    avail = max_available_lsn(clog_dir)
+    lake = _fresh_lake(f"events_evo_{tag}")
+    e1 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8, evolution=None))
+    e1.apply_epoch(clog_dir, max_events=max(1, avail // 2))
+    e2 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8, evolution=spec_v2))
+    e2.replay(clog_dir, events_per_epoch=max(1, avail // 4))
+    snap = e2.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["language"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+            "content_len": pc.cast(snap["content_len"], pa.int64()),
+        }
+    )
+
+
+QUERIES["cdc_events_evolution"] = cdc_events_evolution
+ORACLE_SQL["cdc_events_evolution"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    )
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str,
+           CAST(length(printf('%.6f', value)) AS BIGINT) AS content_len
     FROM last WHERE rn = 1 AND event_type <> 'delete'
 """
 
