@@ -187,6 +187,13 @@ class EngineConfig:
     # in the lake dir.
     delta_root: str | None = None
     evolution: EvolutionSpec | None = None
+    # optional (column, value) equality predicate applied to every event
+    # before the fold — the multi-table analogue of the reference's per-
+    # mapping-config staging tables (one source stream, N filtered lakes,
+    # arches_rascoll/ref_collection.py:201-248). Intended for IMMUTABLE
+    # discriminator columns (e.g. lang): tombstones ('D' events) always pass
+    # the filter, since deletes carry no payload to test.
+    row_filter: tuple | None = None
     # compute the per-partition content sha256 in each manifest (lineage);
     # costs one hash pass per rewritten partition.
     manifest_content_sha: bool = True

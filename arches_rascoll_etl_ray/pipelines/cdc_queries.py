@@ -179,6 +179,69 @@ ORACLE_SQL["cdc_events_evolution"] = """
 """
 
 
+def cdc_multi_table(sf_dir: str):
+    """Multi-table job (reference's 9-config staging loop,
+    ref_collection.py:201-248) through the driver's events table: ONE
+    shared-read epoch loop feeds two lakes — all events, and a
+    purchases-only table via row_filter. Output = union of both final
+    states tagged by table, oracle-checked."""
+    from arches_rascoll_etl_ray.pipelines.multi import MultiTableJob
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    root = _fresh_lake(f"events_multi_{tag}")
+    job = MultiTableJob.for_root(
+        root,
+        {
+            "all_events": dict(num_partitions=8),
+            "purchases": dict(num_partitions=8, row_filter=("lang", "purchase")),
+        },
+    )
+    avail = max_available_lsn(clog_dir)
+    job.replay(clog_dir, events_per_epoch=max(1, avail // 4))
+
+    parts = []
+    for name in ("all_events", "purchases"):
+        snap = job.engines[name].snapshot_table()
+        parts.append(
+            pa.table(
+                {
+                    "table_name": pa.array([name] * snap.num_rows),
+                    "user_key": snap["repo"],
+                    "last_event_id": pc.cast(snap["commit"], pa.int64()),
+                    "last_event_type": snap["lang"],
+                    "last_value_str": pc.cast(snap["content"], pa.string()),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+QUERIES["cdc_multi_table"] = cdc_multi_table
+ORACLE_SQL["cdc_multi_table"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), all_last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    ), purch_last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered WHERE event_type = 'purchase' OR event_type = 'delete'
+    )
+    SELECT 'all_events' AS table_name,
+           'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str
+    FROM all_last WHERE rn = 1 AND event_type <> 'delete'
+    UNION ALL
+    SELECT 'purchases', 'user' || CAST(user_id AS VARCHAR),
+           CAST(event_id AS BIGINT), event_type, printf('%.6f', value)
+    FROM purch_last WHERE rn = 1 AND event_type <> 'delete'
+"""
+
+
 def cdc_replay_synthetic(sf_dir: str):
     """Full F2 synthetic replay (scaled by sf via event count). Rows-only
     driver check; the sha-exactness gate for this path lives in

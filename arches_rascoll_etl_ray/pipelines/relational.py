@@ -273,29 +273,94 @@ def q_region_revenue(sf_dir: str):
     """,
 )
 def q_anti_join(sf_dir: str):
-    """Anti-join via broadcast key set (reference J4 idempotence guards,
-    arches_rascoll/ref_collection.py:305-314): the subquery's distinct keys
-    are computed distributed, broadcast once, and applied as a vectorized
-    NOT-isin filter. At 10^10 scale the key set becomes a Bloom filter."""
-    big = (
+    """Anti-join via a PLUGGABLE broadcast key set (reference J4 idempotence
+    guards, arches_rascoll/ref_collection.py:305-314). Below
+    ARER_ANTI_EXACT_LIMIT distinct keys: broadcast the exact int64 array,
+    vectorized NOT-isin. Above it (the 10^10 path): broadcast a Bloom filter
+    (~1.2 B/key at 1% fpr); rows the bloom rules definitely-out are kept
+    map-side with NO shuffle, the small maybe-set is resolved by an exact
+    distributed anti shard-join — results stay exact at any scale, only the
+    maybe rows (≈ fpr × big side + true matches) ever shuffle. Both modes
+    oracle-identical (tests/test_bloom.py)."""
+    exact_limit = int(os.environ.get("ARER_ANTI_EXACT_LIMIT", str(50_000_000)))
+    keys_ds = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(
             lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(450000.0))).select(["o_custkey"]),
             batch_format="pyarrow",
         )
-        .unique("o_custkey")
+        .map_batches(
+            lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}), batch_format="pyarrow"
+        )
+        .materialize()  # batch-level distinct; global dedup below per mode
     )
-    keys_ref = ray.put(np.asarray(big, dtype=np.int64))
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
-    def anti(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        kept = batch[~batch["c_custkey"].isin(keys)]
-        return kept.groupby("c_nationkey", as_index=False).agg(n_customers=("c_custkey", "size"))
+    if keys_ds.count() <= exact_limit:
+        keys = np.unique(keys_ds.to_pandas()["o_custkey"].to_numpy(dtype=np.int64))
+        keys_ref = ray.put(keys)
+
+        def anti(batch: pd.DataFrame) -> pd.DataFrame:
+            kept = batch[~batch["c_custkey"].isin(ray.get(keys_ref))]
+            return kept.groupby("c_nationkey", as_index=False).agg(n_customers=("c_custkey", "size"))
+
+        partials = customers.map_batches(anti, batch_format="pandas")
+    else:
+        from arches_rascoll_etl_ray.functions.bloom import BloomFilter, mix64
+        from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+        # build the bloom by streaming key batches through the driver:
+        # O(num_bits) memory, one pass. (At 10^10 the build itself would be
+        # sharded into key-range sub-blooms; the probe side is unchanged.)
+        bloom = BloomFilter.for_capacity(keys_ds.count(), fpr=0.01)
+        for b in keys_ds.iter_batches(batch_format="numpy", batch_size=65536):
+            bloom.add_many(mix64(b["o_custkey"].astype(np.int64)))
+        nb, nh = bloom.num_bits, bloom.num_hashes
+        bits_ref = ray.put(bloom.bits)
+
+        def mark(batch: pd.DataFrame) -> pd.DataFrame:
+            bf = BloomFilter(nb, nh)
+            bf.bits = ray.get(bits_ref)
+            keys = batch["c_custkey"].to_numpy(dtype=np.int64)
+            maybe = bf.contains_many(mix64(keys))
+            sure = (
+                batch[~maybe]
+                .groupby("c_nationkey", as_index=False)
+                .agg(n_customers=("c_custkey", "size"))
+            )
+            sure["c_custkey"] = np.int64(-1)
+            mb = batch[maybe][["c_nationkey", "c_custkey"]].copy()
+            mb["n_customers"] = np.int64(0)
+            return pd.concat([sure, mb[["c_nationkey", "n_customers", "c_custkey"]]], ignore_index=True)
+
+        marked = customers.map_batches(mark, batch_format="pandas").materialize()
+        sure_counts = marked.map_batches(
+            lambda df: df[df["c_custkey"] == -1][["c_nationkey", "n_customers"]],
+            batch_format="pandas",
+        )
+        maybe_rows = marked.map_batches(
+            lambda df: df[df["c_custkey"] != -1][["c_custkey", "c_nationkey"]],
+            batch_format="pandas",
+        )
+        survivors = shard_join(
+            maybe_rows,
+            keys_ds,
+            on="c_custkey",
+            right_on="o_custkey",
+            left_cols=["c_custkey", "c_nationkey"],
+            right_cols=["o_custkey"],
+            how="anti",
+        )
+        resolved = survivors.map_batches(
+            lambda df: df.assign(c_nationkey=df["c_nationkey"].astype(np.int64))
+            .groupby("c_nationkey", as_index=False)
+            .agg(n_customers=("c_custkey", "size")),
+            batch_format="pandas",
+        )
+        partials = sure_counts.union(resolved)
 
     return (
-        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-        .map_batches(anti, batch_format="pandas")
-        .groupby("c_nationkey")
+        partials.groupby("c_nationkey")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
     )
 

@@ -480,6 +480,13 @@ def make_normalize_spill_fn(
         if batch.num_rows == 0:
             return pa.Table.from_pylist([], schema=_SPILL_STATS_SCHEMA)
 
+        if cfg.row_filter is not None:
+            from arches_rascoll_etl_ray.stages.normalize import apply_row_filter
+
+            batch = apply_row_filter(batch, cfg.row_filter)
+            if batch.num_rows == 0:
+                return pa.Table.from_pylist([], schema=_SPILL_STATS_SCHEMA)
+
         batch = apply_evolution(batch, spec)
         kh = stable_hash64(combine_key(batch))
         part = (kh % np.uint64(num_parts)).astype(np.int32)

@@ -134,12 +134,29 @@ def lww_reduce(table: pa.Table, lsn_col: str = "lsn") -> pa.Table:
     return pa.concat_tables([clean, suspect], promote_options="permissive")
 
 
+def apply_row_filter(batch: pa.Table, row_filter: tuple | None) -> pa.Table:
+    """Per-table (column, value) equality predicate over RAW (pre-evolution)
+    column names — the staging-table projection of a multi-table job.
+    Tombstones always pass (deletes carry no payload to test; dropping them
+    would strand rows in the filtered lake)."""
+    if row_filter is None or batch.num_rows == 0:
+        return batch
+    col, value = row_filter
+    mask = pc.equal(batch[col], pa.scalar(value))
+    mask = pc.fill_null(mask, False)
+    if "op" in batch.column_names:
+        mask = pc.or_(mask, pc.equal(batch["op"], pa.scalar("D")))
+    return batch.filter(mask)
+
+
 def make_normalize_fn(cfg: EngineConfig) -> Callable[[pa.Table], pa.Table]:
     spec = cfg.evolution
     num_parts = cfg.num_partitions
     num_salts = max(1, cfg.salt_partitions)
+    row_filter = cfg.row_filter
 
     def normalize(batch: pa.Table) -> pa.Table:
+        batch = apply_row_filter(batch, row_filter)
         batch = apply_evolution(batch, spec)
         # NOTE: the content_sha lineage column is computed at MERGE time on
         # the per-key winners only (stages/merge.py) — hashing every event

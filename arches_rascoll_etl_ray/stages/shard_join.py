@@ -42,14 +42,15 @@ def shard_join(
     num_shards: int = _DEFAULT_SHARDS,
     right_suffix: str = "_r",
 ) -> ray.data.Dataset:
-    """Equi-join on int64 keys. ``how`` ∈ {"inner", "left", "semi"}.
+    """Equi-join on int64 keys. ``how`` ∈ {"inner", "left", "semi", "anti"}.
 
     - inner/left: pandas-merge semantics; overlapping non-key right columns
       get ``right_suffix``. The right key column is dropped from the output.
     - semi: left rows whose key appears in the right key set (no right
       columns in the output).
+    - anti: left rows whose key does NOT appear in the right key set.
     """
-    if how not in ("inner", "left", "semi"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
@@ -76,14 +77,15 @@ def shard_join(
         side = g["_side"].to_numpy()
         lg = g[side == 0].reindex(columns=lcols).copy()
         lg[on] = lg[on].astype(np.int64)
-        if how == "semi":
+        if how in ("semi", "anti"):
             rg_keys = g[side == 1]
             rkeys = (
                 rg_keys[right_on].to_numpy(dtype=np.int64)
                 if right_on in rg_keys.columns and len(rg_keys)
                 else np.empty(0, dtype=np.int64)
             )
-            return lg[lg[on].isin(rkeys)]
+            mask = lg[on].isin(rkeys)
+            return lg[mask] if how == "semi" else lg[~mask]
         rg = g[side == 1].reindex(columns=rcols).copy()
         rg[right_on] = rg[right_on].fillna(-1).astype(np.int64)
         merged = lg.merge(
