@@ -37,6 +37,59 @@ def combine_key(table_or_cols, left: str = "repo", right: str = "path") -> pa.Ar
     )
 
 
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+
+
+def _poly_hash_into(h: np.ndarray, arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Rolling FNV-1a-style fold of a string column's bytes into `h`, read
+    straight from the Arrow offsets+data buffers — no Python objects. One
+    vectorized pass per byte position (max key length passes total)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return h
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    starts = offs[:-1]
+    for j in range(int(lens.max()) if n else 0):
+        m = lens > j
+        h[m] = (h[m] * _FNV_PRIME) ^ data[starts[m] + j].astype(np.uint64)
+    return h
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: FNV's low bits mix poorly for power-of-two
+    partition counts; this restores full avalanche."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def key_hash64(table_or_cols, left: str = "repo", right: str = "path") -> np.ndarray:
+    """64-bit hash of the composite (repo, path) key WITHOUT materializing
+    the concatenated key string or any Python object — the spill/normalize
+    hot path (every event is hashed every epoch). Equivalent collision
+    semantics to hashing `repo\\x00path`: the separator step makes
+    ("ab","c") ≠ ("a","bc").
+
+    NB: this function is part of the lake's PHYSICAL identity (keys hash to
+    partitions by it) — changing it invalidates existing lake layouts, like
+    changing num_partitions."""
+    r = table_or_cols[left]
+    p = table_or_cols[right]
+    n = len(r)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    _poly_hash_into(h, r)
+    h = h * _FNV_PRIME  # \x00 separator fold
+    _poly_hash_into(h, p)
+    return _mix64(h)
+
+
 def stable_hash64(arr) -> np.ndarray:
     """Vectorized, process-stable 64-bit hash of a string array.
 

@@ -225,13 +225,31 @@ class CDCEngine:
 
     def _build_epoch_ds(self, changelog_dir: str, start_lsn: int, end_lsn: int):
         files = shards_for_range(changelog_dir, start_lsn, end_lsn)
-        # Block count is a property of the DATA, not the cluster (fixed
-        # ~64 MiB per block) — see apply_epoch.
+        # Block size: ≤64 MiB (a data property — at 100 TB this dominates and
+        # block count is huge regardless of cluster size), but when an
+        # epoch's bytes are SMALLER than 64 MiB × cores the fixed target
+        # would cap parallelism below the cluster (measured: a 350 MB epoch
+        # became 6 read tasks — identical wall time at 8 and 32 CPUs). So
+        # the target also shrinks to fill ~2 waves per core, floored at
+        # 4 MiB so tiny epochs don't shatter into confetti.
         if files and files[0].endswith(".parquet"):
             total_bytes = sum(os.path.getsize(f) for f in files)
-            target = int(os.environ.get("ARER_BLOCK_BYTES", str(64 * 1024 * 1024)))
-            nblocks = max(1, min(len(files) * 4, -(-total_bytes // target)))
-            return ray.data.read_parquet(files, override_num_blocks=nblocks)
+            env = os.environ.get("ARER_BLOCK_BYTES")
+            if env:
+                target = int(env)
+            else:
+                cores = max(1, int(ray.cluster_resources().get("CPU", 8)))
+                target = max(4 * 1024 * 1024, min(64 * 1024 * 1024, total_bytes // (2 * cores)))
+            needed = max(1, -(-total_bytes // target))
+            # cap at one task per file when the file count already provides
+            # the parallelism: requesting MORE blocks than files makes Ray
+            # append a SplitBlocks op, which un-fuses the read from the
+            # downstream map and round-trips every byte through the object
+            # store (measured 3.4× slower than the fused read)
+            cores = max(1, int(ray.cluster_resources().get("CPU", 8)))
+            if len(files) >= min(needed, 2 * cores):
+                needed = min(needed, len(files))
+            return ray.data.read_parquet(files, override_num_blocks=needed)
         return read_shard_dataset(files)
 
     def _spill_epoch(self, changelog_dir: str, epoch: int, start_lsn: int, end_lsn: int) -> list[int]:
@@ -291,16 +309,17 @@ class CDCEngine:
     ) -> Checkpoint:
         """Tail the log to exhaustion in deterministic epochs.
 
-        With the spill plan and MANY epochs, epochs are PIPELINED: epoch
-        N+1's spill (which depends only on its LSN slice) runs concurrently
-        with epoch N's merge + checkpoint commit, hiding the reduce phase
-        behind the next map phase (2× at 40 small epochs). With FEW large
-        epochs the overlap just contends for the same cores, so "auto"
-        pipelines only when ≥4 epochs remain. Commits stay strictly ordered;
-        a crash mid-pipeline leaves at most one epoch of orphan pieces,
-        which the deterministic re-spill overwrites byte-identically."""
+        With the spill plan and multiple epochs, the MAP side is BATCHED:
+        up to `spill_lookahead` consecutive epochs spill in ONE Dataset
+        execution (the spill fn routes rows to per-(epoch, partition) piece
+        dirs, never combining across an epoch boundary — each epoch's pieces
+        stay byte-identical to a per-epoch spill). This amortizes the
+        streaming executor's fixed startup across epochs and keeps the read
+        at full parallelism; merges then commit strictly in epoch order. A
+        crash mid-group leaves future epochs' pieces on disk — harmless:
+        the resume's deterministic re-spill overwrites identical bytes and
+        the manifest LSN-range check guards reslicing."""
         import time as _time
-        from concurrent.futures import ThreadPoolExecutor
 
         # lock FIRST, then read the checkpoint and compute bounds — a writer
         # committing between an unlocked read and the flock would cause
@@ -318,34 +337,63 @@ class CDCEngine:
             if not bounds:
                 return ckpt
             if pipelined == "auto":
-                pipelined = len(bounds) >= 4
+                pipelined = len(bounds) >= 2
             if not pipelined or self.cfg.shuffle != "spill":
                 while ckpt.end_lsn < avail:
                     ckpt = self._apply_next_epoch(changelog_dir, max_events=events_per_epoch)
                     avail = max_available_lsn(changelog_dir)
                 return ckpt
-            return self._replay_pipelined(changelog_dir, ckpt, bounds)
+            return self._replay_batched_spill(changelog_dir, ckpt, bounds)
 
-    def _replay_pipelined(
+    # how many epochs one spill execution covers: bounds delta-storage
+    # footprint to `lookahead` epochs of pieces while amortizing executor
+    # startup. Override with ARER_SPILL_LOOKAHEAD.
+    _SPILL_LOOKAHEAD = 8
+
+    def _replay_batched_spill(
         self, changelog_dir: str, ckpt: Checkpoint, bounds: list[tuple[int, int]]
     ) -> Checkpoint:
-        """Pipelined epoch loop; the writer lock is already held."""
+        """Group-spill + in-order merges; the writer lock is already held."""
         import time as _time
-        from concurrent.futures import ThreadPoolExecutor
 
-        base_epoch = ckpt.epoch
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(self._spill_epoch, changelog_dir, base_epoch + 1, *bounds[0])
-            for i, (start_lsn, end_lsn) in enumerate(bounds):
-                epoch = base_epoch + i + 1
-                t_epoch = _time.perf_counter()
-                touched = fut.result()
-                if i + 1 < len(bounds):
-                    fut = ex.submit(
-                        self._spill_epoch, changelog_dir, epoch + 1, *bounds[i + 1]
-                    )
-                manifests = self._merge_epoch(epoch, start_lsn, end_lsn, touched, ckpt)
-                duration = _time.perf_counter() - t_epoch
+        from arches_rascoll_etl_ray.stages.merge import delta_dir, make_multi_epoch_spill_fn
+
+        lookahead = int(os.environ.get("ARER_SPILL_LOOKAHEAD", str(self._SPILL_LOOKAHEAD)))
+        i = 0
+        while i < len(bounds):
+            group = bounds[i : i + lookahead]
+            i += len(group)
+            epoch_bounds = [
+                (ckpt.epoch + 1 + j, s, e) for j, (s, e) in enumerate(group)
+            ]
+            t_group = _time.perf_counter()
+            ds = self._build_epoch_ds(changelog_dir, group[0][0], group[-1][1])
+            spill = make_multi_epoch_spill_fn(self.cfg, epoch_bounds)
+            stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
+            spill_sec = _time.perf_counter() - t_group
+            touched_by_epoch: dict[int, set[int]] = {ep: set() for ep, _, _ in epoch_bounds}
+            for r in stats:
+                touched_by_epoch[r["epoch"]].add(r["partition"])
+            for epoch, _, _ in epoch_bounds:
+                if not touched_by_epoch[epoch]:
+                    # pieces may exist from a crashed prior attempt
+                    droot = delta_dir(self.cfg, epoch)
+                    if os.path.isdir(droot):
+                        touched_by_epoch[epoch] = {
+                            int(name.split("=")[1])
+                            for name in os.listdir(droot)
+                            if name.startswith("part=")
+                        }
+
+            # one chain task per partition applies that partition's touched
+            # epochs in order — partitions never wait on each other at epoch
+            # boundaries (no global barrier between epochs)
+            manifests_by_epoch = self._merge_epoch_chains(
+                epoch_bounds, touched_by_epoch, ckpt
+            )
+            t_merge = _time.perf_counter()
+            for epoch, start_lsn, end_lsn in epoch_bounds:
+                manifests = manifests_by_epoch[epoch]
                 events_applied = sum(m.events_applied for m in manifests)
                 ckpt = ckpt.advanced(
                     epoch,
@@ -357,15 +405,41 @@ class CDCEngine:
                         "start_lsn": start_lsn,
                         "end_lsn": end_lsn,
                         "events_applied": events_applied,
-                        "duration_sec": round(duration, 3),
-                        "events_per_sec": round(events_applied / duration, 1) if duration > 0 else 0.0,
+                        "spill_group_sec": round(spill_sec, 3),
+                        "merge_group_sec": round(t_merge - t_group - spill_sec, 3),
+                        "spill_group_epochs": len(epoch_bounds),
                         "partitions_touched": len(manifests),
-                        "pipelined": True,
                     },
                 )
                 save_checkpoint(self.cfg.lake_dir, ckpt)
                 self._cleanup_delta(epoch)
         return ckpt
+
+    def _merge_epoch_chains(
+        self,
+        epoch_bounds: list[tuple[int, int, int]],
+        touched_by_epoch: dict[int, set[int]],
+        ckpt: Checkpoint,
+    ) -> dict[int, list[PartitionManifest]]:
+        import ray as _ray
+
+        from arches_rascoll_etl_ray.stages.merge import merge_partition_epoch_chain
+
+        chain_task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(
+            merge_partition_epoch_chain
+        )
+        parts = sorted(set().union(*touched_by_epoch.values())) if touched_by_epoch else []
+        refs = []
+        chain_epochs: list[list[tuple[int, int, int]]] = []
+        for p in parts:
+            eb = [b for b in epoch_bounds if p in touched_by_epoch[b[0]]]
+            chain_epochs.append(eb)
+            refs.append(chain_task.remote(self.cfg, eb, ckpt.partitions.get(p), p))
+        out: dict[int, list[PartitionManifest]] = {ep: [] for ep, _, _ in epoch_bounds}
+        for eb, manifests in zip(chain_epochs, _ray.get(refs)):
+            for (epoch, _, _), m in zip(eb, manifests):
+                out[epoch].append(m)
+        return out
 
     def tail(
         self,

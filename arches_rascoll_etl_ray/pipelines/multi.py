@@ -96,7 +96,7 @@ class MultiTableJob:
                 def fused_spill(batch: pa.Table, fns=spill_fns) -> pa.Table:
                     out = []
                     for name, fn in fns.items():
-                        stats = fn(batch)
+                        stats = fn(batch).select(["partition", "rows"])
                         out.append(
                             stats.add_column(0, "table", pa.array([name] * stats.num_rows))
                         )

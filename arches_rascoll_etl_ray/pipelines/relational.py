@@ -98,14 +98,13 @@ def q_pricing_summary(sf_dir: str):
                 ),
             }
         )
-        df = t.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, sort=False).agg(
-            sum_qty=("qty", "sum"),
-            sum_base_cents=("base_cents", "sum"),
-            sum_disc_e4=("disc_e4", "sum"),
-            count_order=("qty", "size"),
+        # Arrow-native hash aggregate — no pandas round-trip copy per batch
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_e4", "sum"), ("qty", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_e4", "count_order"]
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=64 * 1024)
@@ -229,33 +228,95 @@ def q_lww_latest_event(sf_dir: str):
     """,
 )
 def q_region_revenue(sf_dir: str):
-    """Three-level broadcast dimension join (reference J1/J2,
-    arches_rascoll/prov_acts.py:56-68): dims are ray.put once and mapped
-    per-batch with numpy; only the fact table streams. At 100 TB the fact
-    side stays a stream; dims are O(nations×customers) — when the customer
-    dim outgrows broadcast, switch to Dataset.join (hash-partitioned)."""
-    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    """Three-level dimension join (reference J1/J2,
+    arches_rascoll/prov_acts.py:56-68) with an AUTOMATIC broadcast→shuffle
+    switch on the big dim's size. Below ARER_BROADCAST_DIM_LIMIT customer
+    rows (parquet metadata — no read): the customer→region lookup is built
+    once, ray.put once, and mapped per fact batch (only the fact table
+    streams, zero shuffles). Above it: the lookup stays a Dataset and the
+    fact side (reduced to (key, cents) first) hash-joins it via shard_join
+    — the broadcast never outgrows worker heaps. Both paths end in the same
+    partial-agg → tiny groupby."""
+    import pyarrow.parquet as _pq
+
+    dim_limit = int(os.environ.get("ARER_BROADCAST_DIM_LIMIT", str(20_000_000)))
+    cust_rows = _pq.ParquetFile(os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
     nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"])
     region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"])
-    cust_to_region_name = (
-        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")[["c_custkey", "r_name"]]
-        .set_index("c_custkey")["r_name"]
-        .to_dict()
+    nat_to_region = (
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .set_index("n_nationkey")["r_name"]
     )
-    lookup_ref = ray.put(cust_to_region_name)
 
-    def join_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        batch["r_name"] = batch["o_custkey"].map(lookup)
-        batch["cents"] = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    def partial_agg(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("r_name", as_index=False).agg(
             n_orders=("cents", "size"), total_cents=("cents", "sum")
         )
 
+    if cust_rows <= dim_limit:
+        cust = pd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+        )
+        lookup_ref = ray.put(
+            cust.assign(r_name=cust["c_nationkey"].map(nat_to_region))
+            .set_index("c_custkey")["r_name"]
+            .to_dict()
+        )
+
+        def join_and_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(lookup_ref)
+            batch["r_name"] = batch["o_custkey"].map(lookup)
+            batch["cents"] = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            return partial_agg(batch)
+
+        return (
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(join_and_partial, batch_format="pandas", batch_size=64 * 1024)
+            .groupby("r_name")
+            .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+        )
+
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    nat_ref = ray.put(nat_to_region)
+
+    def cust_region(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy(dtype=np.int64),
+                "r_name": batch["c_nationkey"].map(ray.get(nat_ref)).to_numpy(dtype=object),
+            }
+        )
+
+    cust_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_region, batch_format="pandas")
+
+    def orders_light(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+                "cents": np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    facts = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        orders_light, batch_format="pandas"
+    )
+    joined = shard_join(
+        facts,
+        cust_ds,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_cols=["o_custkey", "cents"],
+        right_cols=["c_custkey", "r_name"],
+        how="inner",
+    )
     return (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(join_and_partial, batch_format="pandas", batch_size=64 * 1024)
+        joined.map_batches(
+            lambda df: partial_agg(df.assign(cents=df["cents"].astype(np.int64))),
+            batch_format="pandas",
+        )
         .groupby("r_name")
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
     )

@@ -145,6 +145,13 @@ def evolved_content_col(cfg: EngineConfig) -> str:
 # ------------------------------------------------------------------ LSM fold
 
 
+def write_lake_file(table: pa.Table, tmp_path: str) -> None:
+    """Lake parquet writer: lz4 — measurably faster to encode AND to decode
+    than the snappy default for this payload; the lake is re-read every
+    epoch (prev snapshot) so decode speed compounds."""
+    pq.write_table(table, tmp_path, row_group_size=128 * 1024, compression="lz4")
+
+
 def run_file_name(epoch: int) -> str:
     return f"run_epoch{epoch:09d}.parquet"
 
@@ -220,7 +227,7 @@ def _apply_lsm_merge(
         folded = fold_partition_tables(cfg, tables)
         fname = data_file_name(epoch)
         tmp = os.path.join(pdir, "." + fname + ".tmp")
-        pq.write_table(folded, tmp, row_group_size=128 * 1024)
+        write_lake_file(folded, tmp)
         os.replace(tmp, os.path.join(pdir, fname))
         sha = None
         if cfg.manifest_content_sha:
@@ -237,7 +244,7 @@ def _apply_lsm_merge(
     else:
         fname = run_file_name(epoch)
         tmp = os.path.join(pdir, "." + fname + ".tmp")
-        pq.write_table(run_tbl, tmp, row_group_size=128 * 1024)
+        write_lake_file(run_tbl, tmp)
         os.replace(tmp, os.path.join(pdir, fname))
         live_in_run = pc.sum(
             pc.cast(pc.not_equal(run_tbl["op"], pa.scalar("D")), pa.int64())
@@ -271,7 +278,7 @@ def compact_partition(
     folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
     fname = data_file_name(epoch)
     tmp = os.path.join(pdir, "." + fname + ".tmp")
-    pq.write_table(folded, tmp, row_group_size=128 * 1024)
+    write_lake_file(folded, tmp)
     os.replace(tmp, os.path.join(pdir, fname))
     sha = None
     if cfg.manifest_content_sha:
@@ -384,7 +391,7 @@ def apply_partition_merge(
     fname = data_file_name(epoch)
     final_path = os.path.join(pdir, fname)
     tmp_path = os.path.join(pdir, "." + fname + ".tmp")
-    pq.write_table(result, tmp_path, row_group_size=128 * 1024)
+    write_lake_file(result, tmp_path)
     os.replace(tmp_path, final_path)
 
     sha = None
@@ -445,30 +452,46 @@ def delta_dir(cfg_or_lake, epoch: int, part: int | None = None) -> str:
 
 
 _SPILL_STATS_SCHEMA = pa.schema([("partition", pa.int32()), ("rows", pa.int64())])
+_MULTI_SPILL_STATS_SCHEMA = pa.schema(
+    [("epoch", pa.int64()), ("partition", pa.int32()), ("rows", pa.int64())]
+)
 
 
-def make_normalize_spill_fn(
-    cfg: EngineConfig, epoch: int, start_lsn: int, end_lsn: int
+def make_multi_epoch_spill_fn(
+    cfg: EngineConfig, epoch_bounds: list[tuple[int, int, int]]
 ) -> Callable[[pa.Table], pa.Table]:
-    """Fused map side of the spill plan: LSN slice → evolution → key hash →
-    ONE sort on (_part, _kh, lsn) → within-batch LWW combiner → run-sliced
-    per-partition Arrow-IPC pieces.
+    """Fused map side of the spill plan for ONE OR MORE contiguous epochs:
+    LSN slice → evolution → key hash → ONE sort on (_epoch, _part, _kh, lsn)
+    → within-(epoch,batch) LWW combiner → run-sliced per-(epoch,partition)
+    Arrow-IPC pieces.
+
+    `epoch_bounds` is [(epoch, start_lsn, end_lsn), ...] ascending and
+    contiguous. Spilling several epochs in one Dataset execution amortizes
+    the executor's fixed startup and keeps the read at full parallelism —
+    per-epoch piece CONTENT is byte-identical to per-epoch spilling because
+    the combiner never drops across an epoch boundary.
 
     One sort/take materializes the block exactly once (sorting per concern
     would copy the full block per pass). The combiner drops a row only when
-    hash AND exact (repo, path) match the next row — collisions keep both
-    rows, the merge-side exact reduce settles them. Piece names derive from
-    the slice's (min,max) LSN — deterministic for a deterministic epoch
-    slice, so task retries overwrite identical bytes (atomic replace)."""
-    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+    hash AND exact (repo, path) match the next row within the same epoch —
+    collisions keep both rows, the merge-side exact reduce settles them.
+    Piece names derive from the slice's (min,max) LSN — deterministic for a
+    deterministic epoch slice, so task retries overwrite identical bytes
+    (atomic replace)."""
+    from arches_rascoll_etl_ray.functions.hashing import key_hash64
     from arches_rascoll_etl_ray.stages.normalize import _adjacent_key_neq
 
     spec = cfg.evolution
     num_parts = cfg.num_partitions
+    start_lsn = epoch_bounds[0][1]
+    end_lsn = epoch_bounds[-1][2]
+    epoch_ids = np.array([ep for ep, _, _ in epoch_bounds], dtype=np.int64)
+    epoch_ends = np.array([e for _, _, e in epoch_bounds], dtype=np.int64)
+    multi = len(epoch_bounds) > 1
 
     def spill(batch: pa.Table) -> pa.Table:
         # LSN slice with an all-in-range short-circuit (whole shards usually
-        # fall inside the epoch; only boundary shards pay the filter)
+        # fall inside the range; only boundary shards pay the filter)
         if batch.num_rows:
             mm = pc.min_max(batch["lsn"])
             if mm["min"].as_py() <= start_lsn or mm["max"].as_py() > end_lsn:
@@ -478,44 +501,63 @@ def make_normalize_spill_fn(
                 )
                 batch = batch.filter(mask)
         if batch.num_rows == 0:
-            return pa.Table.from_pylist([], schema=_SPILL_STATS_SCHEMA)
+            return pa.Table.from_pylist([], schema=_MULTI_SPILL_STATS_SCHEMA)
 
         if cfg.row_filter is not None:
             from arches_rascoll_etl_ray.stages.normalize import apply_row_filter
 
             batch = apply_row_filter(batch, cfg.row_filter)
             if batch.num_rows == 0:
-                return pa.Table.from_pylist([], schema=_SPILL_STATS_SCHEMA)
+                return pa.Table.from_pylist([], schema=_MULTI_SPILL_STATS_SCHEMA)
 
         batch = apply_evolution(batch, spec)
-        kh = stable_hash64(combine_key(batch))
+        kh = key_hash64(batch)
         part = (kh % np.uint64(num_parts)).astype(np.int32)
+        lsn_np = batch["lsn"].to_numpy(zero_copy_only=False)
+        ep = epoch_ids[np.searchsorted(epoch_ends, lsn_np, side="left")]
         batch = batch.append_column("_kh", pa.array(kh))
         batch = batch.append_column("_part", pa.array(part))
+        if multi:
+            batch = batch.append_column("_ep", pa.array(ep))
+            sort_keys = [
+                ("_ep", "ascending"), ("_part", "ascending"),
+                ("_kh", "ascending"), ("lsn", "ascending"),
+            ]
+        else:
+            sort_keys = [("_part", "ascending"), ("_kh", "ascending"), ("lsn", "ascending")]
 
-        idx = pc.sort_indices(
-            batch, sort_keys=[("_part", "ascending"), ("_kh", "ascending"), ("lsn", "ascending")]
-        )
+        idx = pc.sort_indices(batch, sort_keys=sort_keys)
         batch = batch.take(idx)
 
         n = batch.num_rows
         if n > 1:
             # combiner: drop superseded same-key rows (exactness not needed
-            # here — merge re-reduces; collisions merely stay unreduced)
+            # here — merge re-reduces; collisions merely stay unreduced).
+            # Never across an epoch boundary: each epoch's pieces must equal
+            # what a per-epoch spill would have written.
             neq = _adjacent_key_neq(batch)
+            if multi:
+                ep_sorted = batch["_ep"].to_numpy(zero_copy_only=False)
+                neq = neq | (ep_sorted[1:] != ep_sorted[:-1])
             mask = np.append(neq, True)
             if not mask.all():
                 batch = batch.filter(pa.array(mask))
 
         parts = batch["_part"].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1]])
+        eps = batch["_ep"].to_numpy(zero_copy_only=False) if multi else None
+        if multi:
+            change = np.r_[True, (parts[1:] != parts[:-1]) | (eps[1:] != eps[:-1])]
+        else:
+            change = np.r_[True, parts[1:] != parts[:-1]]
+        starts = np.flatnonzero(change)
         ends = np.r_[starts[1:], len(parts)]
-        # _part is encoded by the piece directory; don't pay for it twice
-        piece_tbl = batch.drop_columns(["_part"])
+        # _part/_ep are encoded by the piece directory; don't pay for them twice
+        piece_tbl = batch.drop_columns(["_part", "_ep"] if multi else ["_part"])
         out = []
         for s, e in zip(starts, ends):
             sub = piece_tbl.slice(s, e - s)
             part_id = int(parts[s])
+            epoch = int(eps[s]) if multi else int(epoch_ids[0])
             lsns = sub["lsn"].to_numpy(zero_copy_only=False)
             lo, hi = int(lsns.min()), int(lsns.max())
             # content-hash suffix: (lo,hi) alone is NOT unique under
@@ -540,10 +582,53 @@ def make_normalize_spill_fn(
                 with pa.ipc.new_file(sink, sub.schema) as writer:
                     writer.write_table(sub)
             os.replace(tmp, os.path.join(pdir, fname))
-            out.append({"partition": part_id, "rows": e - s})
-        return pa.Table.from_pylist(out, schema=_SPILL_STATS_SCHEMA)
+            out.append({"epoch": epoch, "partition": part_id, "rows": e - s})
+        return pa.Table.from_pylist(out, schema=_MULTI_SPILL_STATS_SCHEMA)
 
     return spill
+
+
+def make_normalize_spill_fn(
+    cfg: EngineConfig, epoch: int, start_lsn: int, end_lsn: int
+) -> Callable[[pa.Table], pa.Table]:
+    """Single-epoch spill fn (see make_multi_epoch_spill_fn)."""
+    return make_multi_epoch_spill_fn(cfg, [(epoch, start_lsn, end_lsn)])
+
+
+def _manifest_to_info(m: PartitionManifest) -> dict:
+    """The checkpoint's per-partition info dict for a committed manifest
+    (mirrors Checkpoint.advanced)."""
+    return {
+        "epoch": m.epoch,
+        "applied_lsn": m.applied_lsn,
+        "rows": m.rows,
+        "data_file": m.data_file,
+        "content_sha": m.content_sha,
+        "runs": list(m.runs or []),
+        "rows_exact": m.rows_exact,
+        "evolution_version": m.evolution_version,
+    }
+
+
+def merge_partition_epoch_chain(
+    cfg: EngineConfig,
+    epoch_bounds: list[tuple[int, int, int]],
+    prev: dict | None,
+    part: int,
+) -> list[PartitionManifest]:
+    """Apply several consecutive epochs to ONE partition inside one Ray
+    task. Partitions are independent, but a partition's epochs are strictly
+    ordered — chaining them here removes the global all-partitions barrier
+    between epochs (the driver only needs every epoch's manifests before
+    committing that epoch's checkpoint, and manifests land as each link of
+    the chain finishes)."""
+    manifests = []
+    info = prev
+    for epoch, start_lsn, end_lsn in epoch_bounds:
+        m = merge_partition_from_pieces(cfg, epoch, start_lsn, end_lsn, info, part)
+        manifests.append(m)
+        info = _manifest_to_info(m)
+    return manifests
 
 
 def merge_partition_from_pieces(

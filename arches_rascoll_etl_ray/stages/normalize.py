@@ -28,7 +28,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from arches_rascoll_etl_ray.config import COMPUTED_FNS, EngineConfig, EvolutionSpec, arrow_type
-from arches_rascoll_etl_ray.functions.hashing import combine_key, sha256_hex_column, stable_hash64
+from arches_rascoll_etl_ray.functions.hashing import (
+    combine_key,
+    key_hash64,
+    sha256_hex_column,
+    stable_hash64,
+)
 
 KEY_COLUMNS = ("repo", "path")
 META_COLUMNS = ("_key", "_kh", "_part", "_salt")
@@ -78,16 +83,21 @@ def apply_evolution(table: pa.Table, spec: EvolutionSpec | None) -> pa.Table:
     return table
 
 
-def _adjacent_key_neq(table: pa.Table) -> np.ndarray:
-    """row i differs from row i+1 on the (repo, path) key — O(n) compares."""
-    n = table.num_rows
-    r = table["repo"].combine_chunks()
-    p = table["path"].combine_chunks()
+def _adjacent_neq_arrays(r: pa.Array, p: pa.Array) -> np.ndarray:
+    """row i differs from row i+1 on the (repo, path) arrays — O(n)."""
+    n = len(r)
     neq = pc.or_(
         pc.not_equal(r.slice(0, n - 1), r.slice(1, n)),
         pc.not_equal(p.slice(0, n - 1), p.slice(1, n)),
     )
     return neq.to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _adjacent_key_neq(table: pa.Table) -> np.ndarray:
+    """row i differs from row i+1 on the (repo, path) key — O(n) compares."""
+    return _adjacent_neq_arrays(
+        table["repo"].combine_chunks(), table["path"].combine_chunks()
+    )
 
 
 def lww_reduce(table: pa.Table, lsn_col: str = "lsn") -> pa.Table:
@@ -111,9 +121,14 @@ def lww_reduce(table: pa.Table, lsn_col: str = "lsn") -> pa.Table:
         idx = pc.sort_indices(
             table, sort_keys=[("repo", "ascending"), ("path", "ascending"), (lsn_col, "ascending")]
         )
-    table = table.take(idx)
-    mask = np.append(_adjacent_key_neq(table), True)  # last row of each key run
-    kept = table.filter(pa.array(mask))
+    # Select winner indices on the KEY columns only, then gather the wide
+    # table once — sorting/taking the whole table first would move the
+    # content payload twice (sort-take all n rows + filter), which at high
+    # per-key update factors is the dominant DRAM cost of the merge reduce.
+    r_sorted = pc.take(table["repo"], idx).combine_chunks()
+    p_sorted = pc.take(table["path"], idx).combine_chunks()
+    mask = np.append(_adjacent_neq_arrays(r_sorted, p_sorted), True)  # last row per key run
+    kept = table.take(idx.filter(pa.array(mask)))
     if "_kh" not in kept.column_names or kept.num_rows <= 1:
         return kept
     # Exactness guard: if two kept rows share a hash (either a true 64-bit
@@ -162,8 +177,7 @@ def make_normalize_fn(cfg: EngineConfig) -> Callable[[pa.Table], pa.Table]:
         # the per-key winners only (stages/merge.py) — hashing every event
         # here would do updates-per-key × the useful work and ship 64 more
         # bytes per row through the shuffle.
-        key = combine_key(batch)
-        kh = stable_hash64(key)
+        kh = key_hash64(batch)
         part = (kh % np.uint64(num_parts)).astype(np.int32)
         if num_salts > 1:
             # salt spreads a hot partition's events across sub-groups; any

@@ -48,15 +48,23 @@ def _warm(paths: list[str]) -> None:
 
 
 def _warm_cluster() -> None:
-    """Spin up the worker pool before timing: we measure steady-state
-    throughput at each parallelism level, not process-spawn latency (which
-    scales with num_cpus and would distort the N-vs-4N comparison)."""
+    """Spin up the worker pool AND pre-import the engine modules in every
+    worker before timing: we measure steady-state throughput at each
+    parallelism level, not process-spawn/import latency (which scales with
+    num_cpus and would distort the N-vs-4N comparison)."""
     import ray
     import ray.data
 
     ray.get([ray.remote(num_cpus=1)(lambda: None).remote() for _ in range(NUM_CPUS)])
-    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: b, batch_format="pyarrow"
+
+    def _import_engine(b):
+        import arches_rascoll_etl_ray.stages.merge  # noqa: F401
+        import arches_rascoll_etl_ray.stages.normalize  # noqa: F401
+
+        return b
+
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _import_engine, batch_format="pyarrow"
     ).count()
 
 

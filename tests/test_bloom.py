@@ -50,3 +50,17 @@ def test_anti_join_bloom_mode_matches_exact(monkeypatch):
     monkeypatch.setenv("ARER_ANTI_EXACT_LIMIT", "0")  # force the bloom path
     bloom = run()
     pd.testing.assert_frame_equal(exact, bloom, check_dtype=False)
+
+
+def test_region_revenue_shuffle_mode_matches_broadcast(monkeypatch):
+    """The dim-size broadcast→shuffle auto-switch must not change results."""
+    from arches_rascoll_etl_ray.pipelines.relational import q_region_revenue
+
+    def run():
+        df = q_region_revenue(SF_SMOKE).to_pandas()
+        return df.sort_values("r_name").reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setenv("ARER_BROADCAST_DIM_LIMIT", "0")  # force shuffle join
+    shuffled = run()
+    pd.testing.assert_frame_equal(broadcast, shuffled, check_dtype=False)
