@@ -457,6 +457,20 @@ _MULTI_SPILL_STATS_SCHEMA = pa.schema(
 )
 
 
+
+
+def _ipc_options() -> "pa.ipc.IpcWriteOptions":
+    """Piece codec, default UNCOMPRESSED (ARER_PIECE_CODEC=lz4 to change).
+    Measured on the 20M-event replay: lz4 pieces raised 8→32 scaling
+    efficiency to 0.94 but HALVED absolute throughput at both levels (the
+    per-piece lz4 frames cost more CPU than the DRAM bytes they save here);
+    IPC write without compression is close to memcpy. On clusters where
+    pieces cross a real network or slow disk, flip the env."""
+    codec = os.environ.get("ARER_PIECE_CODEC", "none")
+    if codec == "none":
+        return pa.ipc.IpcWriteOptions()
+    return pa.ipc.IpcWriteOptions(compression=codec)
+
 def make_multi_epoch_spill_fn(
     cfg: EngineConfig, epoch_bounds: list[tuple[int, int, int]]
 ) -> Callable[[pa.Table], pa.Table]:
@@ -579,7 +593,7 @@ def make_multi_epoch_spill_fn(
             # into the same tmp file
             tmp = os.path.join(pdir, f".{fname}.tmp.{os.getpid()}")
             with pa.OSFile(tmp, "wb") as sink:
-                with pa.ipc.new_file(sink, sub.schema) as writer:
+                with pa.ipc.new_file(sink, sub.schema, options=_ipc_options()) as writer:
                     writer.write_table(sub)
             os.replace(tmp, os.path.join(pdir, fname))
             out.append({"epoch": epoch, "partition": part_id, "rows": e - s})

@@ -168,13 +168,15 @@ def main() -> None:
 
 def scaling() -> None:
     """Same replay at two parallelism levels in fresh processes."""
-    # N vs 4N parallelism levels. Default 4→16: at 32 of 32 cores a single
-    # socket's shared DRAM bandwidth saturates (a sandbox artifact a real
-    # 4×-node cluster doesn't have — nodes bring their own memory buses);
-    # 4→16 measures the engine's own scaling. Set ARER_SCALING_LO/HI=8/32
-    # to reproduce the saturated pair (reported in BASELINE.md too).
-    lo = int(os.environ.get("ARER_SCALING_LO", "4"))
-    hi = int(os.environ.get("ARER_SCALING_HI", "16"))
+    # N vs 4N parallelism levels, default 8→32. NB the hardware ceiling on
+    # this single-socket box: an identical sort+gather numpy task measures
+    # 0.41 s solo, 2.15 s with 8 concurrent copies, 2.90 s with 32 — DRAM
+    # bandwidth saturates by ~8 streaming cores, capping ANY memory-bound
+    # 8→32 ratio near 3.0× (eff 0.74). A real 4×-node cluster brings 4×
+    # the memory buses, so these numbers UNDERSTATE scale-out. Details in
+    # BASELINE.md §scaling.
+    lo = int(os.environ.get("ARER_SCALING_LO", "8"))
+    hi = int(os.environ.get("ARER_SCALING_HI", "32"))
     repeats = int(os.environ.get("ARER_SCALING_REPEATS", "2"))
     results = {}
     for n in (lo, hi):

@@ -99,3 +99,17 @@ def test_cc_empty_edges():
     ids = ray.data.from_pandas(pd.DataFrame({"doc_id": [5, 6]}))
     out = attach_cluster_ids(ids, "doc_id", labels).to_pandas()
     assert dict(zip(out["doc_id"], out["cluster_id"])) == {5: 5, 6: 6}
+
+
+def test_cc_distributed_path_matches_driver_path():
+    """The edge-count gate must not change results: force the iterative
+    distributed propagation (limit=0) and compare to the driver labeler."""
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"a": [1, 2, 3, 10, 10, 20, 30], "b": [2, 3, 4, 11, 12, 21, 31]})
+    )
+    fast = {r["node"]: r["label"] for r in connected_component_labels(edges).take_all()}
+    dist = {
+        r["node"]: r["label"]
+        for r in connected_component_labels(edges, driver_edge_limit=0).take_all()
+    }
+    assert fast == dist and fast[4] == 1 and fast[12] == 10
