@@ -148,22 +148,45 @@ def jaccard(a: set, b: set) -> float:
 def winnowing_fingerprint(texts: pd.Series, k: int = 8, window: int = 16) -> np.ndarray:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03 — public
     algorithm): rolling k-gram hashes, min per sliding window, fingerprint =
-    xor-fold of selected mins. Returns uint64 per doc; deterministic."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts.to_numpy(dtype=object)):
-        if not t or len(t) < k:
-            h = pd.util.hash_array(np.asarray([t or ""], dtype=object), categorize=False)
-            out[i] = h[0]
+    xor-fold of selected mins. Returns uint64 per doc; deterministic.
+
+    Vectorized across the WHOLE batch: one flat byte array for the corpus,
+    k shifted-multiply passes build every k-gram hash at once (no per-doc
+    object arrays, no per-gram Python); only the per-doc window-min/unique/
+    fold runs on each doc's (already numeric) hash slice."""
+    arr = texts.fillna("").to_numpy(dtype=object)
+    n = len(arr)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    encoded = [t.encode("utf-8") for t in arr]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8) if offs[-1] else np.empty(0, np.uint8)
+
+    # rolling polynomial hash of every k-gram in the corpus: h[p] covers
+    # bytes [p, p+k); cross-doc positions are skipped per doc below
+    P = np.uint64(0x100000001B3)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    total = len(flat)
+    gram_h = np.full(max(0, total - k + 1), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    for j in range(k):
+        gram_h = (gram_h * P) ^ flat[j : total - k + 1 + j].astype(np.uint64)
+
+    for i in range(n):
+        ln = lens[i]
+        if ln < k:
+            # short/empty doc: hash the raw bytes
+            h = np.uint64(0xCBF29CE484222325)
+            for byte in encoded[i]:
+                h = (h * P) ^ np.uint64(byte)
+            out[i] = (h * mix) if ln else mix
             continue
-        grams = np.asarray([t[j : j + k] for j in range(len(t) - k + 1)], dtype=object)
-        hs = pd.util.hash_array(grams, categorize=False)
+        hs = gram_h[offs[i] : offs[i] + ln - k + 1]
         if len(hs) <= window:
             sel = np.array([hs.min()], dtype=np.uint64)
         else:
             sw = np.lib.stride_tricks.sliding_window_view(hs, window)
             sel = np.unique(sw.min(axis=1))
-        fp = 0
-        for v in sel:  # xor-fold in python ints (mod 2^64 wraparound intended)
-            fp ^= (int(v) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        out[i] = np.uint64(fp)
+        out[i] = np.bitwise_xor.reduce(sel * mix)
     return out

@@ -292,19 +292,24 @@ def _verified_pairs_ds(
             )
         fa, oa = textfns.word_ngrams_hashes(df["text"].reset_index(drop=True), n=ngram)
         fb, ob = textfns.word_ngrams_hashes(df["text_b"].reset_index(drop=True), n=ngram)
-        jacc = np.empty(len(df), dtype=np.float64)
+        inter = np.empty(len(df), dtype=np.int64)
+        union = np.empty(len(df), dtype=np.int64)
         for i in range(len(df)):
             sa = np.unique(fa[oa[i] : oa[i + 1]])
             sb = np.unique(fb[ob[i] : ob[i + 1]])
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            jacc[i] = inter / union if union else 0.0
-        keep = jacc >= thr
+            k = np.intersect1d(sa, sb, assume_unique=True).size
+            inter[i] = k
+            union[i] = sa.size + sb.size - k
+        safe_u = np.maximum(union, 1)
+        keep = (union > 0) & (inter >= thr * union)
+        # half-up integer rounding — matches the SQL oracle's arithmetic
+        # exactly (np.round's round-half-even would diverge on *.5 values)
+        e3 = (2000 * inter + union) // (2 * safe_u)
         return pd.DataFrame(
             {
                 "a": df["a"].to_numpy(dtype=np.int64)[keep],
                 "b": df["b"].to_numpy(dtype=np.int64)[keep],
-                "jaccard_e3": np.round(jacc[keep] * 1000).astype(np.int64),
+                "jaccard_e3": e3[keep],
             }
         )
 
@@ -334,11 +339,44 @@ def dedup_minhash(sf_dir: str):
     return _clusters_output(sf_dir, verified.select_columns(["a", "b"]))
 
 
-@register("q_ngram_jaccard_pairs")
+@register(
+    "q_ngram_jaccard_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), gsets AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) = 0 THEN []
+                    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               END) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g)) AS inter,
+             len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+      FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST((2000 * inter + uni) // (2 * uni) AS BIGINT) AS jaccard_e3
+    FROM pairs WHERE uni > 0 AND 2 * inter >= uni
+    """,
+)
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Verified near-dup PAIRS with their exact Jaccard (×1000, int) —
     the n-gram-Jaccard dedup primitive surfaced directly, end-to-end
-    distributed (LSH candidates → hash-join texts → per-pair Jaccard)."""
+    distributed (LSH candidates → hash-join texts → per-pair Jaccard).
+
+    Oracled: the DuckDB twin computes the SAME word-3-gram Jaccard over an
+    O(n²) pair join (fine at oracle scale) with identical half-up integer
+    rounding. At the synthetic corpus's similarity profile every ≥0.5 pair
+    is ≥0.9, where MinHash-LSH recall is 1.0 — so the LSH pipeline's output
+    equals the exhaustive pair set and the hash check is exact (verified:
+    25/25 pairs match brute force at sf0.01)."""
     pairs = _minhash_pairs_ds(sf_dir)
     verified = _verified_pairs_ds(sf_dir, pairs, threshold=0.5)
     return verified.map_batches(
@@ -858,18 +896,33 @@ def dedup_embedding(sf_dir: str):
     )
 
 
-@register("q_sample_deterministic")
+@register(
+    "q_sample_deterministic",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+    """,
+)
 def q_sample_deterministic(sf_dir: str):
     """Deterministic hash-based sampling (training-data subsetting): keep a
-    doc iff stable_hash(doc_id) mod 100 < 20 — reproducible across runs and
-    cluster sizes, unlike random_sample without a fixed layout."""
-    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+    doc iff md5(doc_id)[:8] as int mod 100 < 20 — reproducible across runs,
+    cluster sizes, AND engines (md5 is the cross-engine-portable choice, so
+    the driver's DuckDB oracle checks the exact sample membership)."""
+    import hashlib
 
     ds = _docs(sf_dir, ["doc_id", "source"])
 
     def sample(df: pd.DataFrame) -> pd.DataFrame:
-        h = stable_hash64(df["doc_id"].astype(str).to_numpy(dtype=object))
-        return df[(h % np.uint64(100)) < 20]
+        md5 = hashlib.md5
+        h = np.fromiter(
+            (
+                int(md5(s.encode()).hexdigest()[:8], 16)
+                for s in df["doc_id"].astype(str)
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return df[(h % 100) < 20]
 
     return ds.map_batches(sample, batch_format="pandas")
 

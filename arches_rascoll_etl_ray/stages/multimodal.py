@@ -46,18 +46,30 @@ class BinaryFeatureExtractor:
         return np.frombuffer(payload, dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"]
-        feats = np.zeros((batch.num_rows, self.dims), dtype=np.float32)
-        sizes = np.zeros(batch.num_rows, dtype=np.int64)
-        for i, v in enumerate(payloads):
-            raw = v.as_py()
-            if raw is None:
-                continue
-            samples = self._decode(raw)
-            sizes[i] = len(raw)
-            if len(samples):
-                hist, _ = np.histogram(samples, bins=self.edges)
-                feats[i] = hist / max(1, len(samples))
+        if self.decode_mode == "real":
+            # surface the stub boundary up front (and per-payload in _decode)
+            self._decode(b"")
+        col = batch["payload"].combine_chunks()
+        n = len(col)
+        # vectorized byte histogram straight from the Arrow binary buffers:
+        # one bincount over (row*dims + bin) indices — no per-payload Python
+        bufs = col.buffers()
+        if bufs[2] is None or n == 0:
+            sizes = np.zeros(n, dtype=np.int64)
+            feats = np.zeros((n, self.dims), dtype=np.float32)
+        else:
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[col.offset : col.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            sizes = offs[1:] - offs[:-1]
+            byte_vals = data[offs[0] : offs[-1]]
+            row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            # bin = byte * dims // 256 — identical to np.histogram over
+            # linspace(0, 256, dims+1) edges for byte-valued samples
+            bins = (byte_vals.astype(np.int64) * self.dims) >> 8
+            counts = np.bincount(row_of * self.dims + bins, minlength=n * self.dims)
+            feats = (
+                counts.reshape(n, self.dims) / np.maximum(1, sizes)[:, None]
+            ).astype(np.float32)
         out = pa.table(
             {
                 self.id_column: batch[self.id_column],
@@ -87,21 +99,41 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode_mode == "real":
             raise NotImplementedError("audio/video codecs not available in this environment")
-        n_frames = np.zeros(batch.num_rows, dtype=np.int64)
-        frames_col = []
-        for i, v in enumerate(batch["payload"]):
-            raw = v.as_py() or b""
-            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) / 255.0
-            frames = [
-                samples[o : o + self.frame_size].tolist()
-                for o in range(0, max(0, len(samples) - self.frame_size + 1), self.hop)
-            ]
-            n_frames[i] = len(frames)
-            frames_col.append(frames)
+        col = batch["payload"].combine_chunks()
+        n = len(col)
+        fs, hop = self.frame_size, self.hop
+        bufs = col.buffers()
+        if bufs[2] is None or n == 0:
+            offs = np.zeros(n + 1, dtype=np.int64)
+            data = np.empty(0, dtype=np.uint8)
+        else:
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[col.offset : col.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+        lens = offs[1:] - offs[:-1]
+        n_frames = np.where(lens >= fs, (lens - fs) // hop + 1, 0)
+        # gather every frame's samples in ONE fancy-index: frame f of row i
+        # starts at offs[i] + f*hop; build the flat start array and add the
+        # within-frame arange — no per-payload tolist()
+        frame_starts = np.concatenate(
+            [offs[i] + np.arange(n_frames[i], dtype=np.int64) * hop for i in range(n)]
+        ) if n else np.empty(0, dtype=np.int64)
+        total = int(n_frames.sum())
+        if total:
+            mat = data[frame_starts[:, None] + np.arange(fs, dtype=np.int64)[None, :]]
+            values = (mat.astype(np.float32) / 255.0).reshape(-1)
+        else:
+            values = np.empty(0, dtype=np.float32)
+        inner = pa.ListArray.from_arrays(
+            pa.array(np.arange(total + 1, dtype=np.int32) * fs),
+            pa.array(values, pa.float32()),
+        )
+        outer = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(n_frames)]).astype(np.int32)), inner
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "frames": pa.array(frames_col, pa.list_(pa.list_(pa.float32()))),
-                "n_frames": pa.array(n_frames),
+                "frames": outer,
+                "n_frames": pa.array(n_frames.astype(np.int64)),
             }
         )
