@@ -859,6 +859,45 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+@register("q_frame_sample")
+def q_frame_sample(sf_dir: str):
+    """Time-series binary payload → fixed-rate frame sampling through the
+    FrameSampler actor pool (audio/video frame extraction plumbing — codec
+    stubbed, Ray-side schema/batching/actor wiring real). Rows-only:
+    summarizes frame counts and an integerized per-doc frame energy."""
+    from arches_rascoll_etl_ray.stages.multimodal import FrameSampler
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "payload": pc.cast(t["text"], pa.binary())})
+
+    frames = ds.map_batches(to_binary, batch_format="pyarrow").map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        fn_constructor_kwargs={"frame_size": 32, "hop": 64},
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        flat = t["frames"].combine_chunks().flatten().flatten().to_numpy(zero_copy_only=False)
+        outer = t["frames"].combine_chunks().offsets.to_numpy(zero_copy_only=False)
+        # per-doc sum of squared samples over all its frames (×1e6, int)
+        sq = flat.astype(np.float64) ** 2
+        csum = np.concatenate([[0.0], np.cumsum(sq)])
+        doc_energy = csum[outer[1:] * 32] - csum[outer[:-1] * 32]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_frames": t["n_frames"],
+                "energy_e6": pa.array(np.round(doc_energy * 1e6).astype(np.int64)),
+            }
+        )
+
+    return frames.map_batches(summarize, batch_format="pyarrow")
+
+
 @register("dedup_embedding")
 def dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup clustering via IVF-cell bucketing: vectors

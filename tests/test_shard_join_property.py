@@ -1,0 +1,53 @@
+"""Property test: shard_join ≡ pandas merge on arbitrary int-keyed frames
+(all four modes), including duplicate keys, empty sides, skewed shards."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+keys = st.lists(st.integers(min_value=0, max_value=12), min_size=0, max_size=25)
+
+
+def _frames(lk, rk):
+    left = pd.DataFrame({"k": np.array(lk, dtype=np.int64), "x": np.arange(len(lk), dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array(rk, dtype=np.int64), "t": [f"v{i}" for i in range(len(rk))]})
+    return left, right
+
+
+@pytest.mark.slow
+@given(lk=keys, rk=keys, how=st.sampled_from(["inner", "left", "semi", "anti"]), shards=st.sampled_from([1, 3, 16]))
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_shard_join_matches_pandas(lk, rk, how, shards):
+    left, right = _frames(lk, rk)
+    got = shard_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="k",
+        right_on="rk",
+        left_cols=["k", "x"],
+        right_cols=["rk", "t"],
+        how=how,
+        num_shards=shards,
+    ).to_pandas()
+
+    if how in ("semi", "anti"):
+        mask = left["k"].isin(right["rk"])
+        want = left[mask] if how == "semi" else left[~mask]
+        want = want[["k", "x"]]
+    else:
+        want = left.merge(right, left_on="k", right_on="rk", how=how).drop(columns=["rk"])
+    if len(got) == 0:
+        # an all-empty result Dataset carries no schema; only row EQUALITY
+        # with the empty expectation is meaningful
+        assert len(want) == 0
+        return
+    got = got[list(want.columns)].astype({"k": np.int64, "x": np.int64})
+    sort_cols = list(want.columns)
+    want = want.sort_values(sort_cols, kind="mergesort", na_position="last").reset_index(drop=True)
+    got = got.sort_values(sort_cols, kind="mergesort", na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
