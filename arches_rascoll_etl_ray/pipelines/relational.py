@@ -194,6 +194,12 @@ def q_lww_latest_event(sf_dir: str):
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         return df.drop_duplicates(subset=["user_id"], keep="last")
 
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # constant-count shard reduce — per-KEY map_groups would be one tiny
+        # pandas frame per user, the known Ray perf trap at high cardinality
+        df["_us"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df = keep_last(df)
         out = pd.DataFrame(
@@ -208,7 +214,8 @@ def q_lww_latest_event(sf_dir: str):
 
     return (
         ds.map_batches(keep_last, batch_format="pandas", batch_size=32 * 1024)  # combiner
-        .groupby("user_id")
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("_us")
         .map_groups(finalize, batch_format="pandas")
     )
 
@@ -450,19 +457,26 @@ def q_asof_join(sf_dir: str):
     partition by user (groupby) + pd.merge_asof per sorted group.
     Equal-ts clicks are reduced to the max event_id on BOTH sides first —
     otherwise the tie is engine-defined and the oracle hash diverges.
-    Partitioning assumption: one user's events fit in a group task."""
+    Hash-partitioned by user into a CONSTANT shard count; each shard runs
+    ONE `pd.merge_asof(by='user_id')` over all its users (per-key
+    map_groups at user cardinality is the known Ray perf trap).
+    Partitioning assumption: one shard's events fit in a group task."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))),
         batch_format="pyarrow",
     )
 
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["_us"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
     def asof(df: pd.DataFrame) -> pd.DataFrame:
-        p = df[df["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        p = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"], kind="mergesort")
         c = (
             df[df["event_type"] == "click"]
             .sort_values(["ts", "event_id"], kind="mergesort")
-            .drop_duplicates(subset="ts", keep="last")
+            .drop_duplicates(subset=["user_id", "ts"], keep="last")
         )
         if len(p) == 0:
             return pd.DataFrame({"purchase_id": pd.Series([], dtype="int64"),
@@ -470,8 +484,9 @@ def q_asof_join(sf_dir: str):
                                  "last_click_id": pd.Series([], dtype="Int64")})
         merged = pd.merge_asof(
             p[["event_id", "ts", "user_id"]],
-            c[["event_id", "ts"]].rename(columns={"event_id": "last_click_id"}),
+            c[["user_id", "ts", "event_id"]].rename(columns={"event_id": "last_click_id"}),
             on="ts",
+            by="user_id",
             direction="backward",
         )
         out = pd.DataFrame(
@@ -483,7 +498,11 @@ def q_asof_join(sf_dir: str):
         )
         return out
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_us")
+        .map_groups(asof, batch_format="pandas")
+    )
 
 
 @register(
@@ -746,23 +765,35 @@ def q_dim_mint(sf_dir: str):
 )
 def q_session_windows(sf_dir: str):
     """Session windows (30-min inactivity gap): the streaming-shaped
-    operator from SURVEY.md §2.10, implemented as groupby(user).map_groups
-    over ts-sorted groups. Ordering assumption: one user's events fit in a
-    group task and are sorted within it."""
+    operator from SURVEY.md §2.10, hash-partitioned by user into a constant
+    shard count; each shard sessionizes ALL its users in one vectorized
+    pass (gap-or-new-user cumsum). Partitioning assumption: one shard's
+    events fit in a group task."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["_us"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
     def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
-        session_no = gap.cumsum().astype("int64")
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = (df["ts"].diff() > pd.Timedelta(minutes=30)) | new_user
+        sess_global = gap.cumsum()
+        # per-user session numbering starting at 0 (matches the SQL window)
+        session_no = (sess_global - sess_global.groupby(df["user_id"]).transform("min")).astype("int64")
         out = (
             df.assign(session_no=session_no)
-            .groupby("session_no", as_index=False)
-            .agg(user_id=("user_id", "first"), n_events=("ts", "size"), session_start=("ts", "min"))
+            .groupby(["user_id", "session_no"], as_index=False)
+            .agg(n_events=("ts", "size"), session_start=("ts", "min"))
         )
         return out[["user_id", "session_no", "n_events", "session_start"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_us")
+        .map_groups(sessionize, batch_format="pandas")
+    )
 
 
 @register(
@@ -956,22 +987,30 @@ def q_pivot_wide(sf_dir: str):
     """,
 )
 def q_running_total(sf_dir: str):
-    """Per-key running total over event time (ordered window) —
-    groupby(key).map_groups with a ts-sorted cumulative sum."""
+    """Per-key running total over event time (ordered window) — constant
+    user-shard groupby; one vectorized per-user cumsum per shard."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["_us"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
     def running(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        cents = pd.Series(np.round(df["value"].to_numpy() * 100).astype(np.int64))
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy(),
                 "user_id": df["user_id"].to_numpy(),
-                "running_cents": np.cumsum(cents),
+                "running_cents": cents.groupby(df["user_id"]).cumsum().to_numpy(),
             }
         )
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_us")
+        .map_groups(running, batch_format="pandas")
+    )
 
 
 @register(
@@ -1056,9 +1095,17 @@ def q_top1_per_group(sf_dir: str):
             }
         )
 
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # constant-shard reduce (per-key map_groups at customer cardinality
+        # is the known Ray perf trap); keep_best is already vectorized
+        # across many keys
+        df["_cs"] = (df["o_custkey"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
     return (
         ds.map_batches(keep_best, batch_format="pandas", batch_size=32 * 1024)
-        .groupby("o_custkey")
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("_cs")
         .map_groups(finalize, batch_format="pandas")
     )
 
@@ -1090,23 +1137,26 @@ def q_string_agg(sf_dir: str):
     """,
 )
 def q_count_distinct(sf_dir: str):
-    """Exact distinct count per group: per-batch distinct pairs (combiner)
-    → global distinct → count. Only (flag, partkey) pairs shuffle."""
+    """Exact distinct count per group, two-level: per-batch distinct pairs
+    (combiner) → PARTKEY-sharded exact distinct + per-shard counts →
+    per-flag sum. Shards partition the partkey space, so per-shard distinct
+    counts are disjoint and additive — no single task ever holds a whole
+    flag's distinct set (a flag's set is unbounded at scale)."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+        df = df.drop_duplicates()
+        df["_ps"] = (df["l_partkey"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
 
-    def count(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_returnflag": [df["l_returnflag"].iloc[0]],
-                "n_parts": [int(df["l_partkey"].nunique())],
-            }
-        )
+    def count_shard(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_returnflag", "l_partkey"])
+        return d.groupby("l_returnflag", as_index=False).agg(n_parts=("l_partkey", "size"))
 
     return (
         ds.map_batches(pairs, batch_format="pandas", batch_size=64 * 1024)
+        .groupby("_ps")
+        .map_groups(count_shard, batch_format="pandas")
         .groupby("l_returnflag")
-        .map_groups(count, batch_format="pandas")
+        .aggregate(Sum("n_parts", alias_name="n_parts"))
     )
