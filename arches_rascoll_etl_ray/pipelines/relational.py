@@ -570,14 +570,22 @@ def q_distinct_union(sf_dir: str):
 )
 def q_dedup_keep_first(sf_dir: str):
     """Exact dedup by key keeping first (reference D2,
-    arches_rascoll/places.py:52: drop_duplicates keeping first) —
-    hash-partition on the key + per-group min."""
+    arches_rascoll/places.py:52: drop_duplicates keeping first) — per-batch
+    combiner (≤1 row per key per batch) then a per-key reduce; no task ever
+    holds a whole key's rows."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("doc_id", kind="mergesort").head(1)
+    def first_per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["lang", "doc_id"], kind="mergesort")
+            .drop_duplicates("lang", keep="first")
+        )
 
-    return ds.groupby("lang").map_groups(first, batch_format="pandas")
+    return (
+        ds.map_batches(first_per_lang, batch_format="pandas", batch_size=64 * 1024)  # combiner
+        .groupby("lang")
+        .map_groups(first_per_lang, batch_format="pandas")
+    )
 
 
 @register(
@@ -1048,21 +1056,51 @@ def q_histogram(sf_dir: str):
     """,
 )
 def q_median_exact(sf_dir: str):
-    """Exact per-group median — a holistic aggregate that genuinely needs
-    the group together (no combiner exists); per-group task is the honest
-    plan, with group count = category cardinality (small)."""
+    """EXACT per-group median from a value-count histogram: values carry 2
+    decimals, so (event_type, value_cents) counts are a lossless sufficient
+    statistic — map-side partial counts, a tiny grouped sum, and the median
+    read off the cumulative counts. No task ever holds a group's raw values
+    (the naive per-group median is unbounded at scale; the histogram is
+    bounded by the value domain). ×200 keeps even-group half-cent medians
+    exactly integral in both engines."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def med(df: pd.DataFrame) -> pd.DataFrame:
-        # values have 2 decimals; the median of an even-sized group is a
-        # half-cent multiple, so ×200 is exactly integral in BOTH engines —
-        # no round-half-even (numpy) vs round-half-up (SQL) ambiguity
-        m = float(np.median(df["value"].to_numpy()))
-        return pd.DataFrame(
-            {"event_type": [df["event_type"].iloc[0]], "median_x200": [int(round(m * 200))]}
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "value_cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out.groupby(["event_type", "value_cents"], as_index=False).agg(
+            cnt=("value_cents", "size")
         )
 
-    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    def median_from_hist(df: pd.DataFrame) -> pd.DataFrame:
+        out_types, out_med = [], []
+        for etype, g in df.groupby("event_type"):
+            g = g.sort_values("value_cents", kind="mergesort")
+            cents = g["value_cents"].to_numpy()
+            counts = g["cnt"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            lo = cents[np.searchsorted(cum, (n + 1) // 2)]
+            hi = cents[np.searchsorted(cum, n // 2 + 1)]
+            out_types.append(etype)
+            out_med.append(int(lo + hi))  # (lo+hi)/2 cents ×200 = (lo+hi)×100... see below
+        return pd.DataFrame(
+            {"event_type": out_types, "median_x200": [m for m in out_med]}
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pandas", batch_size=64 * 1024)
+        .groupby(["event_type", "value_cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    # the histogram is tiny (types × distinct cents): one block, one pass
+    return counts.repartition(1).map_batches(
+        median_from_hist, batch_format="pandas", batch_size=None
+    )
 
 
 @register(
