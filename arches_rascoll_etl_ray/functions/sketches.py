@@ -8,7 +8,6 @@ seeded, process-stable.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 MERSENNE61 = np.uint64((1 << 61) - 1)
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
-import ray
 
 from arches_rascoll_etl_ray.config import EngineConfig
 from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine, _WriterLock

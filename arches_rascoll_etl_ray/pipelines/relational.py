@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Sum
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}

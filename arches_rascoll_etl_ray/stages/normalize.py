@@ -28,12 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from arches_rascoll_etl_ray.config import COMPUTED_FNS, EngineConfig, EvolutionSpec, arrow_type
-from arches_rascoll_etl_ray.functions.hashing import (
-    combine_key,
-    key_hash64,
-    sha256_hex_column,
-    stable_hash64,
-)
+from arches_rascoll_etl_ray.functions.hashing import key_hash64
 
 KEY_COLUMNS = ("repo", "path")
 META_COLUMNS = ("_key", "_kh", "_part", "_salt")
