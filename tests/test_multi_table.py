@@ -99,3 +99,42 @@ def test_multi_table_incremental_append(tmp_path):
     ckpts = job.replay(clog, events_per_epoch=600)
     assert all(c.end_lsn == 2000 for c in ckpts.values())
     _assert_tables_match(job, clog)
+
+
+def test_multi_table_mixed_modes_and_evolution(tmp_path):
+    """One job, three tables with different physical/logical configs: plain
+    rewrite, LSM with mid-replay compaction, and a row-filtered table under
+    a v2 evolution spec — all fed by the same shared-read epoch loop."""
+    from arches_rascoll_etl_ray.config import AddColumn, ComputedColumn, EvolutionSpec
+
+    spec_v2 = EvolutionSpec(
+        version=2,
+        renames={"lang": "language"},
+        adds=(AddColumn(name="size_bytes", type="int64", default=None),),
+        computed=(ComputedColumn(name="content_len", source="content", fn="len"),),
+    )
+    clog = ensure_changelog(str(tmp_path / "clog"), num_files=300, num_events=3000, seed=9, num_shards=8)
+    job = MultiTableJob.for_root(
+        str(tmp_path / "lakes"),
+        {
+            "plain": dict(num_partitions=4),
+            "lsm": dict(num_partitions=4, merge_mode="lsm", lsm_compact_threshold=2),
+            "py_v2": dict(num_partitions=4, row_filter=("lang", "python"), evolution=spec_v2),
+        },
+    )
+    job.replay(clog, events_per_epoch=600)
+
+    base = _fold_sql(clog, "TRUE")
+    for name in ("plain", "lsm"):
+        mine = job.engines[name].snapshot_table().select(BASE_COLS)
+        assert mine.cast(base.schema).equals(base), f"{name} != fold"
+
+    py = job.engines["py_v2"].snapshot_table()
+    assert "language" in py.column_names and "content_len" in py.column_names
+    oracle = _fold_sql(clog, "lang = 'python'")
+    mine = py.select(["repo", "path", "commit", "language", "content"]).rename_columns(BASE_COLS)
+    assert mine.cast(oracle.schema).equals(oracle)
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(py["content"])
+    assert pc.all(pc.equal(py["content_len"], pc.cast(lens, py["content_len"].type))).as_py()
