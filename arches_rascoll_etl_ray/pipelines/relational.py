@@ -471,7 +471,14 @@ def q_asof_join(sf_dir: str):
         df["_us"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
         return df
 
-    def asof(df: pd.DataFrame) -> pd.DataFrame:
+    _ASOF_SCHEMA = pa.schema(
+        [("purchase_id", pa.int64()), ("user_id", pa.int64()), ("last_click_id", pa.int64())]
+    )
+
+    def asof(df: pd.DataFrame) -> pa.Table:
+        # Emit a pyarrow table so the null-carrying last_click_id is a plain
+        # nullable int64 block — a pandas Int64 extension column is untypable
+        # by Ray (`ds.schema()` -> None) and breaks oracle canonicalization.
         p = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"], kind="mergesort")
         c = (
             df[df["event_type"] == "click"]
@@ -479,9 +486,7 @@ def q_asof_join(sf_dir: str):
             .drop_duplicates(subset=["user_id", "ts"], keep="last")
         )
         if len(p) == 0:
-            return pd.DataFrame({"purchase_id": pd.Series([], dtype="int64"),
-                                 "user_id": pd.Series([], dtype="int64"),
-                                 "last_click_id": pd.Series([], dtype="Int64")})
+            return _ASOF_SCHEMA.empty_table()
         merged = pd.merge_asof(
             p[["event_id", "ts", "user_id"]],
             c[["user_id", "ts", "event_id"]].rename(columns={"event_id": "last_click_id"}),
@@ -489,14 +494,14 @@ def q_asof_join(sf_dir: str):
             by="user_id",
             direction="backward",
         )
-        out = pd.DataFrame(
-            {
-                "purchase_id": merged["event_id"].astype("int64"),
-                "user_id": merged["user_id"].astype("int64"),
-                "last_click_id": merged["last_click_id"].astype("Int64"),
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.Array.from_pandas(merged["event_id"].astype("int64"), type=pa.int64()),
+                pa.Array.from_pandas(merged["user_id"].astype("int64"), type=pa.int64()),
+                pa.Array.from_pandas(merged["last_click_id"], type=pa.int64()),
+            ],
+            schema=_ASOF_SCHEMA,
         )
-        return out
 
     return (
         ds.map_batches(add_shard, batch_format="pandas")
