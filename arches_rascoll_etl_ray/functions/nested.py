@@ -37,12 +37,18 @@ REL_OBJ_TYPE = pa.struct(
 GEO_POINT_TYPE = pa.struct([("type", pa.string()), ("coordinates", pa.list_(pa.float64()))])
 
 
-def make_lang_dict_column(values: pa.Array | pa.ChunkedArray, lang: str = "en") -> pa.Array:
-    """Vectorized struct build of the language-dict shape (null-preserving)."""
+def make_lang_dict_column(
+    values: pa.Array | pa.ChunkedArray,
+    lang: str | pa.Array | pa.ChunkedArray = "en",
+) -> pa.Array:
+    """Vectorized struct build of the language-dict shape (null-preserving).
+    `lang` is a constant code or a per-row string array."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     n = len(values)
-    langs = pa.array([lang] * n, pa.string())
+    if isinstance(lang, pa.ChunkedArray):
+        lang = lang.combine_chunks()
+    langs = lang.cast(pa.string()) if isinstance(lang, pa.Array) else pa.array([lang] * n, pa.string())
     direction = pa.array(["ltr"] * n, pa.string())
     return pa.StructArray.from_arrays(
         [langs, values.cast(pa.string()), direction],

@@ -141,6 +141,7 @@ def connected_component_labels(
     ).materialize()
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # each edge ships its src's label to its dst; node keeps the min of
         # (own label, received labels)
@@ -165,8 +166,17 @@ def connected_component_labels(
         labels = _min_label_per_node(msgs.union(labels)).materialize()
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # returning partial labels as if final would silently mis-cluster
+        # (e.g. a high-diameter chain graph from chained hub-star buckets)
+        raise RuntimeError(
+            f"connected_component_labels: no fixed point after {max_iters} "
+            "iterations — raise max_iters (diameter of the dedup graph "
+            "exceeds the propagation budget)"
+        )
     return labels
 
 
@@ -220,9 +230,15 @@ def attach_cluster_ids(
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # `label` arrives as nullable Int64 from shard_join (never float64 —
+        # a NaN round-trip would corrupt ids above 2^53 at the 10^10-key
+        # scale this path exists for); fill misses from the id itself
         ident = df[id_col].to_numpy(dtype=np.int64)
-        lab = df["label"].to_numpy(dtype=np.float64)
-        out = np.where(np.isnan(lab), ident, lab).astype(np.int64)
+        lab = df["label"]
+        miss = lab.isna().to_numpy()
+        out = ident.copy()
+        if (~miss).any():
+            out[~miss] = lab[~miss].to_numpy(dtype=np.int64)
         return pd.DataFrame({id_col: ident, "cluster_id": out})
 
     return joined.map_batches(finish, batch_format="pandas")

@@ -64,7 +64,10 @@ class MultiTableJob:
         from arches_rascoll_etl_ray.stages.merge import make_normalize_spill_fn
 
         with ExitStack() as stack:
-            for eng in self.engines.values():
+            # canonical global lock order (sorted by lake path): two jobs
+            # sharing lakes but constructed with different table orders
+            # would otherwise deadlock each other
+            for eng in sorted(self.engines.values(), key=lambda e: e.cfg.lake_dir):
                 stack.enter_context(_WriterLock(eng.cfg.lake_dir))
 
             ckpts = {n: e.checkpoint() for n, e in self.engines.items()}

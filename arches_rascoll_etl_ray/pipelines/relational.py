@@ -913,16 +913,18 @@ def q_lang_dict_json(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
     def build(t: pa.Table) -> pa.Table:
-        langs = t["lang"].to_pylist()
-        vals = [str(v) for v in t["n_chars"].to_pylist()]
-        # build the native struct column, then render canonical JSON from it
-        structs = make_lang_dict_column(pa.array(vals, pa.string()))
-        js = pa.array(
-            [
-                f'{{"lang": "{lg}", "value": "{s["value"]}", "direction": "{s["direction"]}"}}'
-                for lg, s in zip(langs, structs.to_pylist())
-            ],
-            pa.string(),
+        # build the native struct column (per-row lang), then render the
+        # canonical JSON from its fields — both fully vectorized kernels
+        structs = make_lang_dict_column(t["n_chars"], lang=t["lang"])
+        js = pc.binary_join_element_wise(
+            '{"lang": "',
+            pc.struct_field(structs, "lang"),
+            '", "value": "',
+            pc.struct_field(structs, "value"),
+            '", "direction": "',
+            pc.struct_field(structs, "direction"),
+            '"}',
+            "",
         )
         return pa.table({"doc_id": t["doc_id"], "lang_dict": js})
 

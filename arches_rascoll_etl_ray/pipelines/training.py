@@ -642,24 +642,37 @@ def knn_brute(sf_dir: str):
 
 
 def _kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 0) -> np.ndarray:
+    # matmul-form distances (‖x‖² − 2x·cᵀ + ‖c‖²) and bincount-based means:
+    # O(n·k) memory for the distance matrix only — the naive broadcast form
+    # ((x[:,None,:]-c[None,:,:])²) allocates an n×k×dim temp, which explodes
+    # as _ivf_params grows nlist ~sqrt(N)
     rng = np.random.default_rng(seed)
     centroids = x[rng.choice(len(x), size=k, replace=False)].copy()
+    xx = (x**2).sum(1)[:, None]
     for _ in range(iters):
-        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        d = xx - 2.0 * (x @ centroids.T) + (centroids**2).sum(1)[None, :]
         assign = d.argmin(1)
-        for c in range(k):
-            m = assign == c
-            if m.any():
-                centroids[c] = x[m].mean(0)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty_like(centroids)
+        for j in range(x.shape[1]):
+            sums[:, j] = np.bincount(assign, weights=x[:, j], minlength=k)
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
     return centroids
 
 
-def _centroids(sf_dir: str, nlist: int, sample_n: int = 4096, seed: int = 0) -> np.ndarray:
+def _centroids(sf_dir: str, nlist: int, sample_n: int | None = None, seed: int = 0) -> np.ndarray:
     """Coarse k-means centroids from a FRACTIONAL sample (map-side filter +
     early-stop limit — never a full scan just to sample). The row count
-    comes from parquet metadata (ds.count() is a metadata read)."""
+    comes from parquet metadata (ds.count() is a metadata read). The sample
+    grows with nlist (≥16 points per centroid) so cluster quality holds as
+    `_ivf_params` scales nlist ~sqrt(N); beyond ~10^4 cells the driver-side
+    k-means itself would need to go hierarchical (train sqrt(nlist) coarse
+    cells, then k-means within each) — same escape hatch as any IVF build."""
     ds = _embs(sf_dir, ["embedding"])
     n = ds.count()
+    if sample_n is None:
+        sample_n = max(4096, 16 * nlist)
     frac = min(1.0, (4.0 * sample_n) / max(n, 1))
     sample = ds.random_sample(frac, seed=3).limit(sample_n).to_pandas()
     x = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
@@ -673,8 +686,8 @@ def knn_ivf(sf_dir: str):
     per-batch inverted-list assignment, queries probe their `nprobe` nearest
     lists only. Rows-only driver check; recall@10 vs knn_brute asserted in
     tests."""
-    nlist, nprobe = 16, 6
-    centroids = _centroids(sf_dir, nlist, sample_n=2048)
+    nlist, _, nprobe = _ivf_params(_embs(sf_dir, ["vec_id"]).count())
+    centroids = _centroids(sf_dir, nlist)
 
     qids, qm = _query_matrix(sf_dir)
     qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
@@ -714,15 +727,37 @@ def knn_ivf(sf_dir: str):
 
 
 # IVF bucketing parameters for the whole-table embedding ops: each vector is
-# a MEMBER of its top-_IVF_MEMBER cells (the searchable inverted lists) and a
-# QUERY in its top-_IVF_PROBE cells. Tuned on the synthetic (near-worst-case:
+# a MEMBER of its top-member cells (the searchable inverted lists) and a
+# QUERY in its top-probe cells. Tuned on the synthetic (near-worst-case:
 # i.i.d. random) embeddings: nlist=16, M=2, P=6 → NN recall 0.94 vs brute.
-# At scale nlist grows ~sqrt(N) so cells stay bounded; the partitioning
-# assumption is one CELL's members fit in a task (same contract as IVF lists
-# in any ANN index).
+# nlist GROWS ~sqrt(N) (computed per run from the table's parquet metadata
+# row count, `_ivf_params`) so per-cell work stays ~O(sqrt(N)·dim) and the
+# in-cell O(cell²) matmuls never go quadratic in N. member/probe grow as
+# ~sqrt(nlist/16) — a compromise between the i.i.d.-random small-N regime
+# (where recall needs a constant FRACTION of cells probed) and the scale
+# contract (FAISS-style constant nprobe: real near-neighbors concentrate in
+# the nearest cells once cells are dense) — and are HARD-CAPPED so shuffle
+# replication per vector stays bounded (≤ _IVF_MEMBER_CAP + _IVF_PROBE_CAP
+# copies) no matter how large N gets. The partitioning assumption is one
+# CELL's members fit in a task (same contract as IVF lists in any ANN
+# index).
 _IVF_NLIST = 16
 _IVF_MEMBER = 2
 _IVF_PROBE = 6
+_IVF_MEMBER_CAP = 8
+_IVF_PROBE_CAP = 24
+
+
+def _ivf_params(n: int) -> tuple[int, int, int]:
+    """(nlist, member, probe) for an N-vector table; see the block comment
+    above for the scaling rationale."""
+    import math
+
+    nlist = max(_IVF_NLIST, math.isqrt(max(n, 1)))
+    scale = math.sqrt(nlist / _IVF_NLIST)
+    member = min(_IVF_MEMBER_CAP, max(_IVF_MEMBER, round(_IVF_MEMBER * scale)))
+    probe = min(_IVF_PROBE_CAP, max(_IVF_PROBE, round(_IVF_PROBE * scale)))
+    return nlist, member, probe
 
 
 def _cell_rows(cents_ref, n_member: int, n_query: int):
@@ -776,7 +811,8 @@ def q_embedding_nn(sf_dir: str):
     cosine locally, a per-vector reduce keeps the best across probed cells.
     No stage materializes or broadcasts the embedding table (the round-1
     all-pairs broadcast is gone); recall vs brute ≥0.9 asserted in pytest."""
-    cents_ref = ray.put(_centroids(sf_dir, _IVF_NLIST))
+    nlist, member, probe = _ivf_params(_embs(sf_dir, ["vec_id"]).count())
+    cents_ref = ray.put(_centroids(sf_dir, nlist))
 
     def local_nn(g: pd.DataFrame) -> pd.DataFrame:
         m = g[~g["is_query"]]
@@ -811,7 +847,7 @@ def q_embedding_nn(sf_dir: str):
 
     return (
         _embs(sf_dir, ["vec_id", "embedding"])
-        .map_batches(_cell_rows(cents_ref, _IVF_MEMBER, _IVF_PROBE), batch_format="pandas", batch_size=4096)
+        .map_batches(_cell_rows(cents_ref, member, probe), batch_format="pandas", batch_size=4096)
         .groupby("cell")
         .map_groups(local_nn, batch_format="pandas")
         .map_batches(add_rshard, batch_format="pandas")
@@ -909,7 +945,8 @@ def dedup_embedding(sf_dir: str):
     cosine-0.9 pair near-certainly shares a top-2 cell (both vectors sit in
     the same region); recall vs brute asserted in pytest."""
     threshold = 0.9
-    cents_ref = ray.put(_centroids(sf_dir, _IVF_NLIST))
+    nlist, member, _ = _ivf_params(_embs(sf_dir, ["vec_id"]).count())
+    cents_ref = ray.put(_centroids(sf_dir, nlist))
 
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id")
@@ -925,7 +962,7 @@ def dedup_embedding(sf_dir: str):
 
     pairs = (
         _embs(sf_dir, ["vec_id", "embedding"])
-        .map_batches(_cell_rows(cents_ref, _IVF_MEMBER, 0), batch_format="pandas", batch_size=4096)
+        .map_batches(_cell_rows(cents_ref, member, 0), batch_format="pandas", batch_size=4096)
         .groupby("cell")
         .map_groups(cell_pairs, batch_format="pandas")
     )
@@ -969,8 +1006,12 @@ def q_sample_deterministic(sf_dir: str):
 @register("q_hll_distinct")
 def q_hll_distinct(sf_dir: str):
     """Approximate distinct doc texts via HyperLogLog: one mergeable sketch
-    per batch (map side) merged on the driver — the sketch-emission pattern
-    for 100-TB distinct counting. Rows-only; accuracy asserted in pytest."""
+    per batch (map side), a constant-64-shard DISTRIBUTED tree merge
+    (register-wise max is associative+commutative, so shard assignment can
+    be arbitrary-but-deterministic), then a driver fold of ≤64 shard
+    sketches — the driver never sees more than 64 × 4 KB regardless of
+    input batch count (the round-2 `take_all()` of every batch sketch was
+    unbounded at 100-TB batch counts). Rows-only; accuracy in pytest."""
     from arches_rascoll_etl_ray.functions.hashing import stable_hash64
     from arches_rascoll_etl_ray.functions.sketches import hll_estimate, hll_merge, hll_sketch
 
@@ -979,9 +1020,21 @@ def q_hll_distinct(sf_dir: str):
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         h = stable_hash64(df["text"].to_numpy(dtype=object))
         regs = hll_sketch(h)
-        return pd.DataFrame({"regs": [regs.tobytes()]})
+        shard = np.int32((h[0] if len(h) else 0) % 64)
+        return pd.DataFrame({"shard": [shard], "regs": [regs.tobytes()]})
 
-    parts = ds.map_batches(sketch, batch_format="pandas", batch_size=2048).take_all()
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros(1 << 12, dtype=np.uint8)
+        for b in g["regs"]:
+            m = hll_merge(m, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame({"regs": [m.tobytes()]})
+
+    parts = (
+        ds.map_batches(sketch, batch_format="pandas", batch_size=2048)
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pandas")
+        .take_all()
+    )
     merged = np.zeros(1 << 12, dtype=np.uint8)
     for r in parts:
         merged = hll_merge(merged, np.frombuffer(r["regs"], dtype=np.uint8))

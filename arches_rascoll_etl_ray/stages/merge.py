@@ -354,7 +354,12 @@ def apply_partition_merge(
         return m
 
     out_cols = lake_columns(cfg)
-    events_applied = events.num_rows
+    # count DISTINCT lsns, not raw rows: a crash-resume can leave both a
+    # crashed attempt's overlapping-range piece and the re-spilled piece for
+    # the same LSNs on disk (different names, both in range) — the LWW fold
+    # dedups the rows so state stays exact, but a raw num_rows here would
+    # double-count them in the manifest/checkpoint metrics
+    events_applied = pc.count_distinct(events["lsn"]).as_py()
     winners = lww_reduce(events)
     applied_lsn = max(watermark, pc.max(events["lsn"]).as_py())
 

@@ -16,9 +16,13 @@ never a per-key map_groups (the known Ray perf trap at high key
 cardinality). Shuffle volume = both join inputs, the same as any hash join.
 
 Keys must be int64 (every join in this repo is on int ids). Because blocks
-from both sides concatenate during the shuffle, absent columns null-promote
-(int64 → float64 in pandas); the merge restores int64 on the key columns and
-callers restore any other exact dtypes they need downstream.
+from both sides concatenate during the shuffle, absent columns null-fill; to
+keep that exact, non-key integer columns ride the shuffle as pandas nullable
+``Int64`` (a float64 promotion would silently corrupt ids above 2^53 — real
+at the 10^10-key scale this substrate targets). Outputs may therefore carry
+``Int64`` extension columns; callers materializing a FINAL result must cast
+to plain int64 / Arrow (Ray can't type pandas extension blocks in
+``ds.schema()``, and the driver's oracle canonicalization diverges on them).
 """
 
 from __future__ import annotations
@@ -53,15 +57,26 @@ def shard_join(
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
 
+    def _null_safe_ints(out: pd.DataFrame, key: str) -> pd.DataFrame:
+        # non-key int columns → nullable Int64 so the shuffle's schema-union
+        # null-fill stays exact (plain int64 + null would promote to float64,
+        # corrupting values above 2^53)
+        for c in out.columns:
+            if c != key and pd.api.types.is_integer_dtype(out[c]) and not isinstance(
+                out[c].dtype, pd.Int64Dtype
+            ):
+                out[c] = out[c].astype("Int64")
+        return out
+
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[left_cols].copy()
+        out = _null_safe_ints(df[left_cols].copy(), on)
         k = out[on].to_numpy(dtype=np.int64)
         out["_side"] = np.int8(0)
         out["_shard"] = (k.astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[right_cols].copy()
+        out = _null_safe_ints(df[right_cols].copy(), right_on)
         k = out[right_on].to_numpy(dtype=np.int64)
         out["_side"] = np.int8(1)
         out["_shard"] = (k.astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
