@@ -437,6 +437,36 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def _with_forced_env(forced: dict, fn, sf_dir: str):
+    """Run a query builder with size-gate env vars forced (the builders read
+    their limits eagerly at construction, so restore-after-return is safe)."""
+    saved = {k: os.environ.get(k) for k in forced}
+    os.environ.update(forced)
+    try:
+        return fn(sf_dir)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@register("q_region_revenue_shuffle", ORACLE_SQL["q_region_revenue"])
+def q_region_revenue_shuffle(sf_dir: str):
+    """q_region_revenue with the broadcast gate forced OFF — the >limit
+    shard-join path itself gets oracle-hashed (the 10^10 path must be the
+    correct one, not just the fast small-side shortcut)."""
+    return _with_forced_env({"ARER_BROADCAST_DIM_LIMIT": "0"}, q_region_revenue, sf_dir)
+
+
+@register("q_anti_join_shuffle", ORACLE_SQL["q_anti_join"])
+def q_anti_join_shuffle(sf_dir: str):
+    """q_anti_join with the exact-broadcast gate forced OFF — the Bloom
+    definite-out + distributed anti shard-join path gets oracle-hashed."""
+    return _with_forced_env({"ARER_ANTI_EXACT_LIMIT": "0"}, q_anti_join, sf_dir)
+
+
 @register(
     "q_asof_join",
     """

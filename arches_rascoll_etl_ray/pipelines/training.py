@@ -223,7 +223,8 @@ def _candidate_texts(sf_dir: str, pairs: ray.data.Dataset, n_pairs: int) -> ray.
         batch_format="pyarrow",
     )
     docs = _docs(sf_dir, ["doc_id", "text"])
-    if n_pairs <= _BROADCAST_PAIR_LIMIT:
+    pair_limit = int(os.environ.get("ARER_BROADCAST_PAIR_LIMIT", str(_BROADCAST_PAIR_LIMIT)))
+    if n_pairs <= pair_limit:
         ids = np.unique(members.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
         ref = ray.put(ids)
 
@@ -328,15 +329,96 @@ def _clusters_output(sf_dir: str, edges: ray.data.Dataset, ids_ds=None, id_col: 
     return attach_cluster_ids(ids_ds, id_col, labels, num_partitions=_JOIN_PARTITIONS)
 
 
+def _minhash_clusters(sf_dir: str, threshold: float):
+    """Shared LSH → verify → connected-components → attach pipeline."""
+    pairs = _minhash_pairs_ds(sf_dir)
+    verified = _verified_pairs_ds(sf_dir, pairs, threshold=threshold)
+    return _clusters_output(sf_dir, verified.select_columns(["a", "b"]))
+
+
 @register("dedup_minhash")
 def dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup clustering: (doc_id, cluster_id) where
     cluster_id = min doc_id of the verified near-dup cluster (Jaccard≥0.8 on
-    word 3-grams). Not SQL-expressible → rows-only driver check; recall is
-    asserted against brute-force Jaccard in tests/test_dedup.py."""
-    pairs = _minhash_pairs_ds(sf_dir)
-    verified = _verified_pairs_ds(sf_dir, pairs, threshold=0.8)
-    return _clusters_output(sf_dir, verified.select_columns(["a", "b"]))
+    word 3-grams). The 0.8-threshold production variant is rows-only (LSH
+    recall < 1 is not SQL-twinnable); `q_dedup_clusters` runs the SAME
+    pipeline at the recall-1.0 threshold and is fully DuckDB-hash-checked.
+    Recall is asserted against brute-force Jaccard in tests/test_dedup.py."""
+    return _minhash_clusters(sf_dir, threshold=0.8)
+
+
+# Recursive-CTE oracle for the clustering pipeline: exact word-3-gram
+# Jaccard pair set (O(n²) join — fine at oracle scale), symmetrized, then
+# min-label connected components via transitive closure, left-joined onto
+# every doc (singletons cluster to themselves).
+_CLUSTERS_SQL = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), gsets AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) = 0 THEN []
+                    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               END) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.g, b.g)) AS inter,
+             len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+      FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT a, b FROM pairs WHERE uni > 0 AND 2 * inter >= uni
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges
+    ), reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM sym s JOIN reach r ON s.src = r.node
+    ), cc AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN cc c ON d.doc_id = c.node
+"""
+
+
+@register("q_dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(sf_dir: str):
+    """The full MinHash-LSH clustering pipeline, hash-checked: at Jaccard
+    threshold 0.5 every qualifying pair on this corpus is ≥0.9 where LSH
+    recall is provably 1.0 (same argument as q_ngram_jaccard_pairs, verified
+    against brute force at sf0.01), so LSH candidates = the exhaustive pair
+    set and the DuckDB recursive-CTE connected components over the exact
+    pairs must match the distributed min-label propagation exactly."""
+    return _minhash_clusters(sf_dir, threshold=0.5)
+
+
+@register("q_dedup_clusters_dist", _CLUSTERS_SQL)
+def q_dedup_clusters_dist(sf_dir: str):
+    """q_dedup_clusters with every small-side fast path DISABLED (limits
+    forced to 0): distributed iterative min-label propagation instead of
+    driver CC, left shard-join attach instead of the broadcast lookup, and
+    the semi-join candidate-text path instead of the broadcast id filter —
+    so the 10^10-key code paths themselves get oracle-hashed, not just the
+    small-input gates that shortcut them."""
+    forced = {
+        "ARER_CC_DRIVER_LIMIT": "0",
+        "ARER_BROADCAST_PAIR_LIMIT": "0",
+    }
+    saved = {k: os.environ.get(k) for k in forced}
+    os.environ.update(forced)
+    try:
+        return _minhash_clusters(sf_dir, threshold=0.5)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 @register(
@@ -861,12 +943,33 @@ def q_embedding_nn(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("q_multimodal_features")
+@register(
+    "q_multimodal_features",
+    """
+    WITH chars AS (
+      SELECT doc_id, unicode(substr(text, CAST(i AS BIGINT), 1)) // 16 AS bin
+      FROM documents, UNNEST(range(1, strlen(text) + 1)) AS r(i)
+    ), cnts AS (
+      SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY doc_id, bin
+    ), agg AS (
+      SELECT doc_id, SUM(c * c) AS hist_sumsq FROM cnts GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS payload_bytes,
+           CAST(COALESCE(a.hist_sumsq, 0) AS BIGINT) AS hist_sumsq
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def q_multimodal_features(sf_dir: str):
     """Binary-payload featurization through an actor pool: documents.text is
     packed into an opaque `binary` column (standing in for stored blobs),
     then decoded/featurized by BinaryFeatureExtractor (stub codec; real Ray
-    plumbing — schema, batch size, actor signature, output layout)."""
+    plumbing — schema, batch size, actor signature, output layout).
+
+    Hash-checked: the summary is INTEGER-exact — the stage's float feature
+    is count/len per 16-wide byte-histogram bin, so round(feature·len)
+    reconstructs the integer counts exactly (counts ≪ 2^24, float32-safe)
+    and Σcount² is a pure-integer quantity the DuckDB twin recomputes from
+    character codes (the corpus is ASCII, so char code = payload byte)."""
     from arches_rascoll_etl_ray.stages.multimodal import BinaryFeatureExtractor
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -886,21 +989,46 @@ def q_multimodal_features(sf_dir: str):
 
     def summarize(t: pa.Table) -> pa.Table:
         f = t["feature"].combine_chunks()
-        arr = f.flatten().to_numpy(zero_copy_only=False).reshape(-1, 16)
-        norm_e6 = np.round(np.linalg.norm(arr, axis=1) * 1e6).astype(np.int64)
+        arr = f.flatten().to_numpy(zero_copy_only=False).reshape(-1, 16).astype(np.float64)
+        nbytes = t["payload_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.rint(arr * nbytes[:, None]).astype(np.int64)
+        sumsq = (counts * counts).sum(1)
         return pa.table(
-            {"doc_id": t["doc_id"], "payload_bytes": t["payload_bytes"], "feature_norm_e6": pa.array(norm_e6)}
+            {"doc_id": t["doc_id"], "payload_bytes": t["payload_bytes"], "hist_sumsq": pa.array(sumsq)}
         )
 
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
-@register("q_frame_sample")
+@register(
+    "q_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             CASE WHEN strlen(text) >= 32 THEN (strlen(text) - 32) // 64 + 1
+                  ELSE 0 END AS n_frames
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, unicode(substr(text, CAST(ff * 64 + j + 1 AS BIGINT), 1)) AS b
+      FROM f, UNNEST(range(0, n_frames)) AS rf(ff), UNNEST(range(0, 32)) AS rj(j)
+    ), en AS (
+      SELECT doc_id, SUM(b * b) AS energy FROM samp GROUP BY doc_id
+    )
+    SELECT f.doc_id, CAST(f.n_frames AS BIGINT) AS n_frames,
+           CAST(COALESCE(e.energy, 0) AS BIGINT) AS energy
+    FROM f LEFT JOIN en e USING (doc_id)
+    """,
+)
 def q_frame_sample(sf_dir: str):
     """Time-series binary payload → fixed-rate frame sampling through the
     FrameSampler actor pool (audio/video frame extraction plumbing — codec
-    stubbed, Ray-side schema/batching/actor wiring real). Rows-only:
-    summarizes frame counts and an integerized per-doc frame energy."""
+    stubbed, Ray-side schema/batching/actor wiring real).
+
+    Hash-checked: frame samples are byte/255 in float32, so round(v·255)
+    reconstructs the exact byte, and the per-doc energy Σb² over sampled
+    frame positions is pure-integer — the DuckDB twin enumerates the same
+    frame positions (size 32, hop 64) over character codes (ASCII corpus:
+    char code = payload byte)."""
     from arches_rascoll_etl_ray.stages.multimodal import FrameSampler
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -917,17 +1045,19 @@ def q_frame_sample(sf_dir: str):
     )
 
     def summarize(t: pa.Table) -> pa.Table:
-        flat = t["frames"].combine_chunks().flatten().flatten().to_numpy(zero_copy_only=False)
-        outer = t["frames"].combine_chunks().offsets.to_numpy(zero_copy_only=False)
-        # per-doc sum of squared samples over all its frames (×1e6, int)
-        sq = flat.astype(np.float64) ** 2
-        csum = np.concatenate([[0.0], np.cumsum(sq)])
+        col = t["frames"].combine_chunks()
+        flat = col.flatten().flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        outer = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # reconstruct the exact sampled bytes (v = b/255 in float32) and sum
+        # squared bytes per doc — integer-exact for the DuckDB twin
+        b = np.rint(flat * 255.0).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(b * b)])
         doc_energy = csum[outer[1:] * 32] - csum[outer[:-1] * 32]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "n_frames": t["n_frames"],
-                "energy_e6": pa.array(np.round(doc_energy * 1e6).astype(np.int64)),
+                "energy": pa.array(doc_energy.astype(np.int64)),
             }
         )
 

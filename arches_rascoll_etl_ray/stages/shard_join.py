@@ -57,27 +57,31 @@ def shard_join(
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
 
-    def _null_safe_ints(out: pd.DataFrame, key: str) -> pd.DataFrame:
-        # non-key int columns → nullable Int64 so the shuffle's schema-union
-        # null-fill stays exact (plain int64 + null would promote to float64,
-        # corrupting values above 2^53)
+    def _null_safe_ints(out: pd.DataFrame) -> pd.DataFrame:
+        # EVERY int column (keys included — when on != right_on each side's
+        # key is absent from the other side's blocks) rides the shuffle as
+        # nullable Int64, so the schema-union null-fill stays exact: plain
+        # int64 + null promotes to float64, silently corrupting values above
+        # 2^53 (pinned by test_attach_cluster_ids_shard_path_big_ids)
         for c in out.columns:
-            if c != key and pd.api.types.is_integer_dtype(out[c]) and not isinstance(
+            if pd.api.types.is_integer_dtype(out[c]) and not isinstance(
                 out[c].dtype, pd.Int64Dtype
             ):
                 out[c] = out[c].astype("Int64")
         return out
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = _null_safe_ints(df[left_cols].copy(), on)
+        out = df[left_cols].copy()
         k = out[on].to_numpy(dtype=np.int64)
+        out = _null_safe_ints(out)
         out["_side"] = np.int8(0)
         out["_shard"] = (k.astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = _null_safe_ints(df[right_cols].copy(), right_on)
+        out = df[right_cols].copy()
         k = out[right_on].to_numpy(dtype=np.int64)
+        out = _null_safe_ints(out)
         out["_side"] = np.int8(1)
         out["_shard"] = (k.astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
         return out

@@ -41,6 +41,9 @@ def test_crash_resume_wider_range_remerges(tmp_path):
     # "crashed" attempt: full epoch-2 merge over the narrow range, then the
     # checkpoint commit is lost (crash between partition merges and commit)
     eng.apply_epoch(clog, end_lsn=3000)
+    from arches_rascoll_etl_ray.state.manifest import read_manifest as _rm
+
+    crashed_total = sum(_rm(lake, p, 2).events_applied for p in range(4))
     _drop_checkpoint(lake, 2)
     assert eng.checkpoint().epoch == 1
 
@@ -50,6 +53,35 @@ def test_crash_resume_wider_range_remerges(tmp_path):
     for info in ckpt.partitions.values():
         assert info["applied_lsn"] <= 4000
     assert_matches_fold(eng, clog)
+
+    # metrics exactness: the resume read BOTH the crashed attempt's
+    # (2000,3000] pieces and its own (2000,4000] pieces. events_applied
+    # counts DISTINCT lsns reaching the fold (the spill pre-folds map-side,
+    # so it is a winners metric, bounded by the raw event count) — the
+    # overlap between the two piece sets must not double-count.
+    from arches_rascoll_etl_ray.state.manifest import read_manifest
+
+    def _epoch2_total(lake_dir):
+        return sum(
+            m.events_applied
+            for m in (read_manifest(lake_dir, p, 2) for p in range(4))
+            if m is not None
+        )
+
+    resumed_total = _epoch2_total(lake)
+    # crash-free twin: same changelog, same epoch bounds, fresh lake
+    clean_lake = str(tmp_path / "lake_clean")
+    clean = CDCEngine(EngineConfig(lake_dir=clean_lake, num_partitions=4))
+    clean.apply_epoch(clog, end_lsn=2000)
+    clean.apply_epoch(clog)
+    clean_total = _epoch2_total(clean_lake)
+    # the crashed (2000,3000] winners overlap the resume's (2000,4000]
+    # winners heavily; raw-row counting would approach crashed+clean
+    assert resumed_total <= 2000
+    assert clean_total <= resumed_total < crashed_total + clean_total, (
+        f"events_applied double-counted: resumed={resumed_total} "
+        f"clean={clean_total} crashed={crashed_total}"
+    )
 
 
 def test_leftover_wider_pieces_clipped(tmp_path):

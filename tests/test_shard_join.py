@@ -113,3 +113,47 @@ def test_cc_distributed_path_matches_driver_path():
         for r in connected_component_labels(edges, driver_edge_limit=0).take_all()
     }
     assert fast == dist and fast[4] == 1 and fast[12] == 10
+
+
+def test_left_join_int64_exact_above_2_53():
+    """Regression: non-key int columns must survive the shuffle's schema
+    union without a float64 round-trip (ids above 2^53 were silently
+    corrupted before the nullable-Int64 tagging)."""
+    big = (1 << 60) + 1
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3]}))
+    right = ray.data.from_pandas(
+        pd.DataFrame({"rid": [1, 3], "label": np.array([big, big + 2], dtype=np.int64)})
+    )
+    out = shard_join(
+        left, right, on="k", right_on="rid",
+        left_cols=["k"], right_cols=["rid", "label"], how="left", num_shards=4,
+    ).to_pandas().sort_values("k")
+    vals = [None if pd.isna(v) else int(v) for v in out["label"]]
+    assert vals == [big, None, big + 2]
+
+
+def test_attach_cluster_ids_shard_path_big_ids(monkeypatch):
+    """The >limit shard-join attach path must be exact for ids above 2^53
+    (the float64 null-promotion corrupted them before)."""
+    big = (1 << 60) + 1
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"a": [big], "b": [big + 2]})
+    )
+    labels = connected_component_labels(edges, num_partitions=4)
+    ids = ray.data.from_pandas(pd.DataFrame({"doc_id": [big, big + 2, big + 4]}))
+    monkeypatch.setenv("ARER_CC_DRIVER_LIMIT", "0")
+    out = attach_cluster_ids(ids, "doc_id", labels, num_partitions=4).to_pandas()
+    got = {int(k): int(v) for k, v in zip(out["doc_id"], out["cluster_id"])}
+    assert got == {big: big, big + 2: big, big + 4: big + 4}
+
+
+def test_cc_raises_when_unconverged():
+    """Exhausting max_iters without a fixed point must raise, not silently
+    return partial labels (a chain of length 6 needs >1 propagation round)."""
+    import pytest
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"a": [1, 2, 3, 4, 5], "b": [2, 3, 4, 5, 6]})
+    )
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_component_labels(edges, driver_edge_limit=0, max_iters=1)

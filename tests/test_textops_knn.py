@@ -181,3 +181,24 @@ def test_hll_query_close_to_truth():
         f"SELECT COUNT(DISTINCT text) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
     ).fetchone()[0]
     assert abs(est - truth) / truth < 0.1
+
+
+def test_ivf_params_scaling():
+    """nlist grows ~sqrt(N); member/probe grow slowly and stay hard-capped
+    so shuffle replication is bounded at any N."""
+    from arches_rascoll_etl_ray.pipelines.training import (
+        _IVF_MEMBER_CAP, _IVF_PROBE_CAP, _ivf_params,
+    )
+
+    assert _ivf_params(100) == (16, 2, 6)  # small-N floor
+    nlist, member, probe = _ivf_params(10**6)
+    assert nlist == 1000 and member <= _IVF_MEMBER_CAP and probe <= _IVF_PROBE_CAP
+    nlist_big, member_big, probe_big = _ivf_params(10**10)
+    assert nlist_big == 10**5
+    assert member_big == _IVF_MEMBER_CAP and probe_big == _IVF_PROBE_CAP
+    # monotone in N
+    prev = 0
+    for n in (10**2, 10**4, 10**6, 10**8, 10**10):
+        nl, _, _ = _ivf_params(n)
+        assert nl >= prev
+        prev = nl
