@@ -166,6 +166,55 @@ def q_window_tumbling(sf_dir: str):
     )
 
 
+@register(
+    "q_window_hopping",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             time_bucket(INTERVAL '30 minutes', ts) AS w0
+      FROM events
+    ), x AS (
+      SELECT user_id, cents, w0 AS window_start FROM e
+      UNION ALL
+      SELECT user_id, cents, w0 - INTERVAL '30 minutes' FROM e
+    )
+    SELECT user_id, window_start, COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+    FROM x GROUP BY user_id, window_start
+    """,
+)
+def q_window_hopping(sf_dir: str):
+    """Hopping (overlapping) event-time windows — size 1 h, hop 30 min, so
+    every event belongs to exactly two windows (SURVEY.md §2.10 extension;
+    the windowed-aggregate shape Ray Data lacks natively). The window
+    replication happens MAP-side (each batch emits one row per covering
+    window) so the shuffle is a plain grouped aggregate — no range join, no
+    per-window scan of the input."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        def _flat(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        w0 = _flat(pc.floor_temporal(batch["ts"], multiple=30, unit="minute"))
+        w1 = pc.subtract(w0, pa.scalar(1_800_000_000, pa.duration("us")))
+        uid = _flat(batch["user_id"])
+        cents = _flat(_cents(batch["value"]))
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays([uid, uid]),
+                "window_start": pa.concat_arrays([w0, _flat(w1)]),
+                "value_cents": pa.concat_arrays([cents, cents]),
+            }
+        )
+
+    return (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # B. Last-writer-wins fold (the reference's core reshape P1,
 #    ref_collection.py:88-198) expressed with pure Dataset ops
@@ -537,6 +586,79 @@ def q_asof_join(sf_dir: str):
         ds.map_batches(add_shard, batch_format="pandas")
         .groupby("_us")
         .map_groups(asof, batch_format="pandas")
+    )
+
+
+@register(
+    "q_range_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_range_join(sf_dir: str):
+    """Range (interval) join — the second custom join shape Ray Data lacks:
+    for each purchase, the count of same-user clicks in the trailing hour.
+    Composition: hash-partition by user into a CONSTANT shard count, then
+    express the interval count as a DIFFERENCE OF TWO AS-OF LOOKUPS on a
+    per-user running click counter — cum(ts) − cum(ts − 1h) — so each shard
+    runs two vectorized `pd.merge_asof(by='user_id')` passes instead of a
+    quadratic per-row interval scan. Partitioning assumption: one shard's
+    events fit in a group task (same contract as q_asof_join)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))),
+        batch_format="pyarrow",
+    )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["_us"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
+    _RJ_SCHEMA = pa.schema(
+        [("purchase_id", pa.int64()), ("user_id", pa.int64()), ("n_recent_clicks", pa.int64())]
+    )
+
+    def range_count(df: pd.DataFrame) -> pa.Table:
+        p = df[df["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        if len(p) == 0:
+            return _RJ_SCHEMA.empty_table()
+        c = df[df["event_type"] == "click"].sort_values(
+            ["user_id", "ts"], kind="mergesort"
+        )
+        # per-user running click count (1-based at each click row); keep the
+        # original ts dtype — merge_asof requires exact key-dtype equality
+        clicks = c[["user_id", "ts"]].copy()
+        clicks["cum"] = c.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        clicks = clicks.sort_values("ts", kind="mergesort")
+        left = p[["event_id", "user_id", "ts"]]
+        hi = pd.merge_asof(left, clicks, on="ts", by="user_id", direction="backward")
+        # subtract in the ts column's own unit — a pd.Timedelta (ns) would
+        # silently promote datetime64[us] to [ns] and break merge_asof's
+        # exact dtype match
+        left_lo = left.assign(ts=left["ts"] - np.timedelta64(3_600_000_000, "us"))
+        lo = pd.merge_asof(left_lo, clicks, on="ts", by="user_id", direction="backward")
+        n = hi["cum"].fillna(0).to_numpy(dtype=np.int64) - lo["cum"].fillna(0).to_numpy(
+            dtype=np.int64
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(hi["event_id"].to_numpy(dtype=np.int64)),
+                pa.array(hi["user_id"].to_numpy(dtype=np.int64)),
+                pa.array(n),
+            ],
+            schema=_RJ_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_us")
+        .map_groups(range_count, batch_format="pandas")
     )
 
 

@@ -1133,6 +1133,96 @@ def q_sample_deterministic(sf_dir: str):
     return ds.map_batches(sample, batch_format="pandas")
 
 
+# per-language sampling rates (percent) for the stratified sampler —
+# upsample the head language, downsample the tail (the standard
+# training-mix rebalance move)
+_STRATA_RATES = {"en": 60, "zh": 40}
+_STRATA_DEFAULT = 15
+
+
+@register(
+    "q_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < (CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 40 ELSE 15 END)
+    """,
+)
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: per-LANGUAGE keep rates (en 60%,
+    zh 40%, others 15%) with the same engine-portable md5(doc_id) coin as
+    q_sample_deterministic — reproducible across runs, cluster sizes and
+    engines, so the oracle checks exact sample membership. Map-only (zero
+    shuffle); the per-row md5 is the documented portability trade-off."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "source"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        h = np.fromiter(
+            (int(md5(s.encode()).hexdigest()[:8], 16) for s in df["doc_id"].astype(str)),
+            dtype=np.int64,
+            count=len(df),
+        )
+        rates = (
+            df["lang"].map(_STRATA_RATES).fillna(_STRATA_DEFAULT).to_numpy(dtype=np.int64)
+        )
+        return df[(h % 100) < rates]
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
+@register(
+    "q_vocab_topk",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 100
+    """,
+)
+def q_vocab_topk(sf_dir: str):
+    """Vocabulary builder (tokenizer-training / data-mix analysis): global
+    top-100 tokens by count, ties broken lexicographically. Map-side
+    combine (per-batch value_counts — Arrow kernels only), token-hash
+    shuffle into a CONSTANT 64 shards, per-shard exact totals + per-shard
+    top-100 (each token lives in exactly ONE shard, so the global top-100
+    is a subset of the 64 shard top-100s), then a tiny 6,400-row final
+    sort-limit. Shuffle volume = distinct (shard, token) partials, never
+    token instances."""
+    ds = _docs(sf_dir, ["text"])
+
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat.combine_chunks())
+        tok = vc.field("values")
+        n = pc.cast(vc.field("counts"), pa.int64())
+        shard = (stable_hash64(tok) % np.uint64(64)).astype(np.int32)
+        return pa.table({"tok": tok, "n": n, "shard": pa.array(shard)})
+
+    def shard_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False).agg(n=("n", "sum"))
+        g = g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+        return g.head(100)
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(100)
+    )
+
+
 @register("q_hll_distinct")
 def q_hll_distinct(sf_dir: str):
     """Approximate distinct doc texts via HyperLogLog: one mergeable sketch
