@@ -608,10 +608,46 @@ def q_quality_score(sf_dir: str):
     return ds.map_batches(score, batch_format="pandas")
 
 
-@register("q_lang_id")
+def _lang_id_sql() -> str:
+    """DuckDB twin of functions.text.lang_id, generated from the SAME
+    LANG_PROFILES: per-language stopword hit counts over a single-space
+    split, argmax with first-in-alphabetical-order tie-break (the
+    sequential CASE implements pandas idxmax's first-max exactly), 'und'
+    when every score is zero."""
+    langs = sorted(textfns.LANG_PROFILES)
+    score_cols = ",\n             ".join(
+        "SUM(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS s_{}".format(
+            ", ".join("'" + w + "'" for w in sorted(textfns.LANG_PROFILES[lang])), lang
+        )
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1 :]) or "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN greatest({greatest}) = 0 THEN 'und'
+                {' '.join(cases)}
+           END AS lang_pred
+    FROM documents d JOIN s USING (doc_id)
+    """
+
+
+@register("q_lang_id", _lang_id_sql())
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic (stopword-profile hit rate; rows-only —
-    prediction has no SQL oracle, determinism tested in pytest)."""
+    """Language-ID heuristic (stopword-profile hit rate). Hash-checked:
+    the DuckDB twin is GENERATED from the same LANG_PROFILES table
+    (`_lang_id_sql`), so scoring, tie-break and the 'und' fallback are
+    structurally identical."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def ident(df: pd.DataFrame) -> pd.DataFrame:

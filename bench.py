@@ -117,6 +117,10 @@ def run_queries() -> dict:
         "dedup_minhash",
         "knn_brute",
         "q_token_count",
+        # round-3 additions: custom join shapes + vocab build
+        "q_range_join",
+        "q_window_hopping",
+        "q_vocab_topk",
     ]
     qs = em.queries()
     out = {}
