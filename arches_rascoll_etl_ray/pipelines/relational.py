@@ -1263,6 +1263,64 @@ def q_median_exact(sf_dir: str):
 
 
 @register(
+    "q_quantiles_exact",
+    """
+    SELECT event_type,
+           CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.50) AS BIGINT) AS p50_cents,
+           CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.90) AS BIGINT) AS p90_cents,
+           CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_quantiles_exact(sf_dir: str):
+    """EXACT multi-quantile (P50/P90/P99 per group) from the same bounded
+    value-count histogram as q_median_exact: map-side partial counts, a tiny
+    grouped sum, quantiles read off the cumulative counts with integer
+    thresholds (smallest value whose cum count c satisfies 100·c ≥ p·n —
+    percentile_disc semantics, no float comparison). The distributed cost is
+    one small-histogram shuffle no matter how many quantiles are read — the
+    exact-quantile shape that replaces a per-group full sort at scale."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "value_cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out.groupby(["event_type", "value_cents"], as_index=False).agg(
+            cnt=("value_cents", "size")
+        )
+
+    _PCTS = (50, 90, 99)
+
+    def quantiles_from_hist(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"event_type": []}
+        for p in _PCTS:
+            rows[f"p{p}_cents"] = []
+        for etype, g in df.groupby("event_type"):
+            g = g.sort_values("value_cents", kind="mergesort")
+            cents = g["value_cents"].to_numpy()
+            cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+            n = int(cum[-1])
+            rows["event_type"].append(etype)
+            for p in _PCTS:
+                t = (p * n + 99) // 100  # smallest integer c with 100c >= pn
+                rows[f"p{p}_cents"].append(int(cents[np.searchsorted(cum, t)]))
+        return pd.DataFrame(rows)
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pandas", batch_size=64 * 1024)
+        .groupby(["event_type", "value_cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return counts.repartition(1).map_batches(
+        quantiles_from_hist, batch_format="pandas", batch_size=None
+    )
+
+
+@register(
     "q_top1_per_group",
     """
     SELECT o_custkey, o_orderkey AS top_orderkey,
