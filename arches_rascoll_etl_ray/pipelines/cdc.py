@@ -114,8 +114,15 @@ class CDCEngine:
 
             atomic_write_json(p, {"num_partitions": self.cfg.num_partitions})
 
-    def checkpoint(self) -> Checkpoint:
-        return load_latest_checkpoint(self.cfg.lake_dir)
+    def checkpoint(self, epoch: int | None = None) -> Checkpoint:
+        """Latest committed checkpoint, or — with `epoch` — the exact
+        committed checkpoint for that epoch (time travel; raises
+        FileNotFoundError for never-committed or vacuumed epochs)."""
+        if epoch is None:
+            return load_latest_checkpoint(self.cfg.lake_dir)
+        from arches_rascoll_etl_ray.state.checkpoint import load_checkpoint_at
+
+        return load_checkpoint_at(self.cfg.lake_dir, epoch)
 
     # ---------------------------------------------------------------- epoch
 
@@ -467,30 +474,35 @@ class CDCEngine:
 
     # ------------------------------------------------------------- snapshot
 
-    def snapshot_files(self) -> list[str]:
+    def snapshot_files(self, epoch: int | None = None) -> list[str]:
         import os
 
-        ckpt = self.checkpoint()
+        ckpt = self.checkpoint(epoch)
         return [
             os.path.join(self.cfg.lake_dir, info["data_file"])
             for _, info in sorted(ckpt.partitions.items())
             if info["data_file"] and info["rows"] > 0
         ]
 
-    def _has_runs(self) -> bool:
-        return any(i.get("runs") for i in self.checkpoint().partitions.values())
+    def _has_runs(self, ckpt: Checkpoint | None = None) -> bool:
+        ckpt = ckpt if ckpt is not None else self.checkpoint()
+        return any(i.get("runs") for i in ckpt.partitions.values())
 
-    def snapshot_dataset(self) -> ray.data.Dataset:
-        """The live lake table as a streaming Dataset. Fast path (no LSM
-        runs): a plain partition-pruned read_parquet. With pending runs:
-        one fold task per partition (from_items → map_batches(batch_size=1)),
-        each reading its base+runs and LWW-folding them."""
+    def snapshot_dataset(self, epoch: int | None = None) -> ray.data.Dataset:
+        """The lake table as a streaming Dataset — latest by default, or AS
+        OF a committed `epoch` (time travel over retained checkpoints; the
+        horizon is 'since the last vacuum'). Fast path (no LSM runs): a
+        plain partition-pruned read_parquet. With pending runs: one fold
+        task per partition (from_items → map_batches(batch_size=1)), each
+        reading its base+runs and LWW-folding them. Historical snapshots
+        are projected through the CURRENT evolution spec, like every other
+        read."""
         from arches_rascoll_etl_ray.stages.merge import empty_lake_table
         from arches_rascoll_etl_ray.stages.normalize import apply_evolution
 
-        ckpt = self.checkpoint()
-        if not self._has_runs():
-            files = self.snapshot_files()
+        ckpt = self.checkpoint(epoch)
+        if not self._has_runs(ckpt):
+            files = self.snapshot_files(epoch)
             if not files:
                 return ray.data.from_arrow(empty_lake_table(self.cfg))
             ds = ray.data.read_parquet(files)
@@ -523,18 +535,19 @@ class CDCEngine:
             fold_one, batch_size=1, batch_format="pandas"
         )
 
-    def snapshot_table(self, sort: bool = True) -> pa.Table:
-        """Materialized snapshot (tests / small results only)."""
+    def snapshot_table(self, sort: bool = True, epoch: int | None = None) -> pa.Table:
+        """Materialized snapshot (tests / small results only); `epoch` reads
+        AS OF that committed epoch (see snapshot_dataset)."""
         import pyarrow.parquet as pq
 
         from arches_rascoll_etl_ray.stages.merge import empty_lake_table
         from arches_rascoll_etl_ray.stages.normalize import apply_evolution
 
         cols = lake_columns(self.cfg)
-        if self._has_runs():
+        ckpt = self.checkpoint(epoch)
+        if self._has_runs(ckpt):
             from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
 
-            ckpt = self.checkpoint()
             parts = [
                 fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
                 for _, info in sorted(ckpt.partitions.items())
@@ -547,7 +560,7 @@ class CDCEngine:
                 else empty_lake_table(self.cfg)
             )
         else:
-            files = self.snapshot_files()
+            files = self.snapshot_files(epoch)
             if not files:
                 return empty_lake_table(self.cfg)
             tbl = pa.concat_tables(
@@ -558,11 +571,12 @@ class CDCEngine:
             tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
         return tbl
 
-    def snapshot_sha256(self) -> str:
-        """Replay-stable digest of the whole lake. Fast path: per-partition
-        manifest shas (no data read). Partitions with uncompacted LSM runs
-        have no manifest sha yet — those are folded and digested on the fly
-        (equal digests ⇒ equal tables either way)."""
+    def snapshot_sha256(self, epoch: int | None = None) -> str:
+        """Replay-stable digest of the whole lake (optionally AS OF a
+        committed `epoch`). Fast path: per-partition manifest shas (no data
+        read). Partitions with uncompacted LSM runs have no manifest sha
+        yet — those are folded and digested on the fly (equal digests ⇒
+        equal tables either way)."""
         from arches_rascoll_etl_ray.functions.hashing import table_content_sha256
         from arches_rascoll_etl_ray.stages.merge import (
             evolved_content_col,
@@ -572,7 +586,7 @@ class CDCEngine:
 
         from arches_rascoll_etl_ray.stages.merge import spec_version
 
-        ckpt = self.checkpoint()
+        ckpt = self.checkpoint(epoch)
         current_v = spec_version(self.cfg)
         h = hashlib.sha256()
         for part in sorted(ckpt.partitions):

@@ -101,6 +101,25 @@ def save_checkpoint(lake_dir: str, ckpt: Checkpoint) -> str:
     return path
 
 
+def load_checkpoint_at(lake_dir: str, epoch: int) -> Checkpoint:
+    """The committed checkpoint for an EXACT epoch — the time-travel anchor.
+    Epoch 0 is the empty lake. Raises FileNotFoundError when that epoch was
+    never committed or its files were vacuumed away (vacuum keeps only the
+    latest checkpoint's references, so the time-travel horizon is
+    'since the last vacuum' — same contract as any lake-format VACUUM)."""
+    if epoch == 0:
+        return Checkpoint()
+    path = os.path.join(checkpoint_dir(lake_dir), f"epoch_{epoch:09d}.json")
+    try:
+        with open(path) as f:
+            return Checkpoint.from_json(json.load(f))
+    except OSError as e:
+        raise FileNotFoundError(
+            f"no committed checkpoint for epoch {epoch} at {path} "
+            "(never committed, or vacuumed)"
+        ) from e
+
+
 def load_latest_checkpoint(lake_dir: str) -> Checkpoint:
     """Max committed *parseable* epoch, or the empty epoch-0 checkpoint.
 

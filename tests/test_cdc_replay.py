@@ -359,3 +359,29 @@ def test_merge_task_failure_retried_exactly_once(changelog, tmp_lake):
     assert ckpt.epoch == 2
     assert len(os.listdir(fault_dir)) == 8  # 4 partitions × 2 epochs each faulted once
     assert_matches_fold(eng, changelog)
+
+
+def test_time_travel_snapshots(changelog, tmp_lake):
+    """snapshot_*(epoch=k) reads the lake AS OF any retained committed
+    epoch: shas and tables match what was observed live at each epoch;
+    epoch 0 is the empty lake; an uncommitted epoch raises."""
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    live_shas, live_rows = {}, {}
+    for _ in range(4):
+        ckpt = eng.apply_epoch(changelog, max_events=1000)
+        live_shas[ckpt.epoch] = eng.snapshot_sha256()
+        live_rows[ckpt.epoch] = eng.snapshot_table().num_rows
+    assert eng.checkpoint().epoch == 4
+    for ep in (1, 2, 3, 4):
+        assert eng.snapshot_sha256(epoch=ep) == live_shas[ep]
+        assert eng.snapshot_table(epoch=ep).num_rows == live_rows[ep]
+    # as-of read through the Dataset path too
+    assert eng.snapshot_dataset(epoch=2).count() == live_rows[2]
+    # epoch 0 = empty lake; future epoch = never committed
+    assert eng.snapshot_table(epoch=0).num_rows == 0
+    with pytest.raises(FileNotFoundError):
+        eng.checkpoint(epoch=99)
+    # vacuum trims the horizon: old epochs' superseded files are gone, the
+    # latest epoch still reads exactly
+    eng.vacuum()
+    assert eng.snapshot_sha256(epoch=4) == live_shas[4]
