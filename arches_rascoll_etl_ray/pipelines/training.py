@@ -187,7 +187,7 @@ def _minhash_pairs_ds(sf_dir: str, ngram: int = 3) -> ray.data.Dataset:
     constant number of groups whose size scales as n_docs/S — each processed
     vectorized. Only (band, hash, id) triples and (a, b) id pairs shuffle."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    triples = ds.map_batches(_minhash_triples, batch_format="pandas", batch_size=512)
+    triples = ds.map_batches(_minhash_triples, batch_format="pandas", batch_size=1024)
 
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         df["shard"] = (
