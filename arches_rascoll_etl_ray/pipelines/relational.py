@@ -157,12 +157,27 @@ def q_window_tumbling(sf_dir: str):
 
     # NB: a per-batch Arrow partial aggregate was measured SLOWER here
     # (3.1 s vs 2.2 s at sf0.1) — the per-batch hash agg costs more than
-    # the shuffle rows it saves at this group cardinality; keep the direct
-    # grouped aggregate.
+    # the shuffle rows it saves at this group cardinality. The winner
+    # (round 3) is the repo-standard constant-shard pandas reduce: hash
+    # users into 64 shards, ONE vectorized groupby-agg per shard — 1.9 s →
+    # 1.1 s vs the native composite-key aggregate at sf0.1 (the native
+    # sort-based aggregate pays a full sort of the pair key).
     return (
         ds.map_batches(add_window, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .map_batches(_add_user_shard, batch_format="pandas")
+        .groupby("_sh")
+        .map_groups(_window_reduce, batch_format="pandas")
+    )
+
+
+def _add_user_shard(df: pd.DataFrame) -> pd.DataFrame:
+    df["_sh"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+    return df
+
+
+def _window_reduce(g: pd.DataFrame) -> pd.DataFrame:
+    return g.groupby(["user_id", "window_start"], as_index=False).agg(
+        n_events=("value_cents", "size"), sum_value_cents=("value_cents", "sum")
     )
 
 
@@ -210,8 +225,9 @@ def q_window_hopping(sf_dir: str):
 
     return (
         ds.map_batches(explode_windows, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .map_batches(_add_user_shard, batch_format="pandas")
+        .groupby("_sh")
+        .map_groups(_window_reduce, batch_format="pandas")
     )
 
 
