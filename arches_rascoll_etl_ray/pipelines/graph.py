@@ -119,7 +119,15 @@ def connected_component_labels(
             {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
         )
 
-    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    # coalesce before iterating: the upstream LSH/verify pipeline leaves
+    # ~1 block per shard-group (hundreds of tiny blocks for a few hundred
+    # edges), and every union/sort round ADDS its input's block count —
+    # round cost exploded to 30–100 s on 512 edges before this repartition
+    edges_sym = (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
     n_edges = edges_sym.count()
     if n_edges == 0:
         return _empty_labels()
@@ -133,12 +141,16 @@ def connected_component_labels(
 
     # initial labels: node → itself (batch-level unique; global dedup by the
     # min reduce)
-    labels = _min_label_per_node(
-        edges_sym.map_batches(
-            lambda t: pa.table({"node": pc.unique(t["src"]), "label": pc.unique(t["src"])}),
-            batch_format="pyarrow",
+    labels = (
+        _min_label_per_node(
+            edges_sym.map_batches(
+                lambda t: pa.table({"node": pc.unique(t["src"]), "label": pc.unique(t["src"])}),
+                batch_format="pyarrow",
+            )
         )
-    ).materialize()
+        .repartition(num_partitions)
+        .materialize()
+    )
 
     prev_sum = None
     converged = False
@@ -163,7 +175,46 @@ def connected_component_labels(
             ),
             batch_format="pandas",
         )
-        labels = _min_label_per_node(msgs.union(labels)).materialize()
+        # pointer jumping: also ship each node its LABEL'S label (labels
+        # self-joined on label == node). Plain neighbor propagation needs
+        # O(diameter) rounds — 162 s measured on sf0.1's near-dup graph;
+        # the label-of-label shortcut halves every path per round, so the
+        # fixed point arrives in O(log diameter) rounds instead. Labels
+        # only ever decrease, so the convergence detector is unchanged.
+        lut = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "lnode": df["node"].to_numpy(dtype=np.int64),
+                    "llabel": df["label"].to_numpy(dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        short = shard_join(
+            labels,
+            lut,
+            on="label",
+            right_on="lnode",
+            left_cols=["node", "label"],
+            right_cols=["lnode", "llabel"],
+            how="inner",
+            num_shards=num_partitions,
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].to_numpy(dtype=np.int64),
+                    "label": df["llabel"].to_numpy(dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        # repartition keeps the per-round block count CONSTANT — without it
+        # every union adds its input's blocks and sort cost compounds
+        labels = (
+            _min_label_per_node(msgs.union(labels).union(short))
+            .repartition(num_partitions)
+            .materialize()
+        )
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
             converged = True

@@ -1151,10 +1151,16 @@ def q_pivot_wide(sf_dir: str):
             .sum()
         )
 
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["_sh"]).groupby("user_id", as_index=False).sum()
+
+    # constant-shard reduce: the native multi-Sum aggregate measured 6.5 s
+    # at sf0.1 vs ~1 s for 64 shards × one vectorized pandas sum each
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=64 * 1024)
-        .groupby("user_id")
-        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in cats])
+        .map_batches(_add_user_shard, batch_format="pandas")
+        .groupby("_sh")
+        .map_groups(reduce_shard, batch_format="pandas")
     )
 
 
@@ -1267,14 +1273,33 @@ def q_median_exact(sf_dir: str):
             {"event_type": out_types, "median_x200": [m for m in out_med]}
         )
 
-    counts = (
+    counts = _hist_reduce(
         ds.map_batches(partial_counts, batch_format="pandas", batch_size=64 * 1024)
-        .groupby(["event_type", "value_cents"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
     )
     # the histogram is tiny (types × distinct cents): one block, one pass
     return counts.repartition(1).map_batches(
         median_from_hist, batch_format="pandas", batch_size=None
+    )
+
+
+def _hist_reduce(partials: ray.data.Dataset) -> ray.data.Dataset:
+    """Global (event_type, value_cents) count reduce via the constant-shard
+    pattern. The native composite-key `.aggregate(Sum)` measured 104 s at
+    sf0.1 (~300k distinct groups — Ray 2.49's sort aggregate collapses at
+    this cardinality); 64 value-hash shards with one vectorized pandas
+    groupby-sum each run in ~1 s."""
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["_sh"] = (df["value_cents"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "value_cents"], as_index=False).agg(cnt=("cnt", "sum"))
+
+    return (
+        partials.map_batches(add_shard, batch_format="pandas")
+        .groupby("_sh")
+        .map_groups(reduce_shard, batch_format="pandas")
     )
 
 
@@ -1326,10 +1351,8 @@ def q_quantiles_exact(sf_dir: str):
                 rows[f"p{p}_cents"].append(int(cents[np.searchsorted(cum, t)]))
         return pd.DataFrame(rows)
 
-    counts = (
+    counts = _hist_reduce(
         ds.map_batches(partial_counts, batch_format="pandas", batch_size=64 * 1024)
-        .groupby(["event_type", "value_cents"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
     )
     return counts.repartition(1).map_batches(
         quantiles_from_hist, batch_format="pandas", batch_size=None
