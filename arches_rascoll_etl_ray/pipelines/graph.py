@@ -154,7 +154,7 @@ def connected_component_labels(
 
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # each edge ships its src's label to its dst; node keeps the min of
         # (own label, received labels)
         msgs = shard_join(
@@ -181,40 +181,40 @@ def connected_component_labels(
         # the label-of-label shortcut halves every path per round, so the
         # fixed point arrives in O(log diameter) rounds instead. Labels
         # only ever decrease, so the convergence detector is unchanged.
-        lut = labels.map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "lnode": df["node"].to_numpy(dtype=np.int64),
-                    "llabel": df["label"].to_numpy(dtype=np.int64),
-                }
-            ),
-            batch_format="pandas",
-        )
-        short = shard_join(
-            labels,
-            lut,
-            on="label",
-            right_on="lnode",
-            left_cols=["node", "label"],
-            right_cols=["lnode", "llabel"],
-            how="inner",
-            num_shards=num_partitions,
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "node": df["node"].to_numpy(dtype=np.int64),
-                    "label": df["llabel"].to_numpy(dtype=np.int64),
-                }
-            ),
-            batch_format="pandas",
-        )
+        # Round 0's labels are the identity map — nothing to jump yet.
+        fold_in = msgs.union(labels)
+        if it > 0:
+            lut = labels.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "lnode": df["node"].to_numpy(dtype=np.int64),
+                        "llabel": df["label"].to_numpy(dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            short = shard_join(
+                labels,
+                lut,
+                on="label",
+                right_on="lnode",
+                left_cols=["node", "label"],
+                right_cols=["lnode", "llabel"],
+                how="inner",
+                num_shards=num_partitions,
+            ).map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "node": df["node"].to_numpy(dtype=np.int64),
+                        "label": df["llabel"].to_numpy(dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            fold_in = fold_in.union(short)
         # repartition keeps the per-round block count CONSTANT — without it
         # every union adds its input's blocks and sort cost compounds
-        labels = (
-            _min_label_per_node(msgs.union(labels).union(short))
-            .repartition(num_partitions)
-            .materialize()
-        )
+        labels = _min_label_per_node(fold_in).repartition(num_partitions).materialize()
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
             converged = True
