@@ -1233,6 +1233,112 @@ def q_stratified_sample(sf_dir: str):
 
 
 @register(
+    "q_term_importance",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS doclen FROM toks GROUP BY doc_id
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             (1000 * tf.tf * n.n_docs) // (dl.doclen * df.df) AS score_e3
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_e3 DESC, tok) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok AS top_term, CAST(score_e3 AS BIGINT) AS score_e3
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_term_importance(sf_dir: str):
+    """Per-document top term by a TF-IDF-shaped importance score — keyword
+    extraction for training-data analysis — kept INTEGER-exact so the
+    DuckDB twin hashes: score_e3 = (1000·tf·N) // (doclen·df), pure BIGINT
+    arithmetic on both engines (a float log-idf would diverge in the last
+    bit and flip rounding).
+
+    Shape: one map pass emits per-doc (tok, tf, doclen) rows (a doc is one
+    row, so tf is exact map-side); document frequencies reduce through a
+    token-hash 64-shard groupby; the (tok, df) VOCABULARY — not the corpus
+    — broadcasts via ray.put (the standard small-side contract: vocab is
+    millions of rows when the corpus is billions; above worker heap it
+    would become a token-hash shard_join + string-equality check); the
+    per-doc argmax is a constant-shard reduce."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # parquet-metadata read
+
+    def tf_rows(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tok_np = flat.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, lens)
+        keep = tok_np != ""
+        df_ = pd.DataFrame({"doc_id": doc_of[keep], "tok": tok_np[keep]})
+        out = df_.groupby(["doc_id", "tok"], as_index=False).size().rename(columns={"size": "tf"})
+        doclen = df_.groupby("doc_id").size()
+        out["doclen"] = out["doc_id"].map(doclen).astype(np.int64)
+        return out
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    # distributed df: one row per (doc, tok) already — count per token
+    def add_tshard(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_[["tok"]].copy()
+        df_["_ts"] = (stable_hash64(df_["tok"].to_numpy(dtype=object)) % np.uint64(64)).astype(np.int32)
+        return df_
+
+    def df_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tok", as_index=False).size().rename(columns={"size": "df"})
+
+    df_tbl = (
+        tf.map_batches(add_tshard, batch_format="pandas")
+        .groupby("_ts")
+        .map_groups(df_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["tok"], df_tbl["df"].to_numpy(dtype=np.int64))))
+
+    def score(df_: pd.DataFrame) -> pd.DataFrame:
+        dfv = df_["tok"].map(ray.get(df_ref)).to_numpy(dtype=np.int64)
+        tfv = df_["tf"].to_numpy(dtype=np.int64)
+        dlv = df_["doclen"].to_numpy(dtype=np.int64)
+        df_ = df_[["doc_id", "tok"]].copy()
+        df_["score_e3"] = (1000 * tfv * n_docs) // (dlv * dfv)
+        df_["_ds"] = (df_["doc_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df_
+
+    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score_e3", "tok"], ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates("doc_id", keep="first")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "top_term": g["tok"].to_numpy(dtype=object),
+                "score_e3": g["score_e3"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        tf.map_batches(score, batch_format="pandas")
+        .groupby("_ds")
+        .map_groups(top_per_doc, batch_format="pandas")
+    )
+
+
+@register(
     "q_vocab_topk",
     r"""
     WITH toks AS (
