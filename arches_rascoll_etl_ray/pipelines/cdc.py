@@ -36,7 +36,12 @@ from arches_rascoll_etl_ray.sources.changelog import max_available_lsn, read_sha
 from arches_rascoll_etl_ray.stages.merge import delta_dir as delta_dir_for
 from arches_rascoll_etl_ray.stages.merge import lake_columns
 from arches_rascoll_etl_ray.stages.normalize import make_normalize_fn, make_salted_reduce_fn
-from arches_rascoll_etl_ray.state.checkpoint import Checkpoint, load_latest_checkpoint, save_checkpoint
+from arches_rascoll_etl_ray.state.checkpoint import (
+    Checkpoint,
+    checkpoint_dir,
+    load_latest_checkpoint,
+    save_checkpoint,
+)
 from arches_rascoll_etl_ray.state.manifest import PartitionManifest
 
 logger = logging.getLogger(__name__)
@@ -753,6 +758,21 @@ class CDCEngine:
 
     def _vacuum_locked(self, os, re) -> int:
         ckpt = self.checkpoint()
+        # Drop non-latest checkpoint JSONs too: they reference the data files
+        # being deleted below, so keeping them would let checkpoint(epoch=old)
+        # succeed and snapshot_*(epoch=old) fail later with a raw
+        # missing-parquet error (or snapshot_sha256's fast path silently
+        # digest vanished data). Removing them makes the documented
+        # time-travel horizon — 'since the last vacuum' — real:
+        # load_checkpoint_at(old) now raises FileNotFoundError immediately.
+        ckpt_d = checkpoint_dir(self.cfg.lake_dir)
+        removed = 0
+        if os.path.isdir(ckpt_d):
+            for name in os.listdir(ckpt_d):
+                m = re.match(r"^epoch_(\d{9})\.json$", name)
+                if m and int(m.group(1)) != ckpt.epoch:
+                    os.remove(os.path.join(ckpt_d, name))
+                    removed += 1
         live = {info["data_file"] for info in ckpt.partitions.values() if info["data_file"]}
         committed_epoch = {p: info["epoch"] for p, info in ckpt.partitions.items()}
         for info in ckpt.partitions.values():

@@ -309,7 +309,10 @@ def _verified_pairs_ds(
             df = df.copy()
             df["text"] = df["a"].map(lookup)
             df["text_b"] = df["b"].map(lookup)
-            return verify(df)
+            # a pair member absent from documents yields NaN text; drop such
+            # pairs so this path matches the >limit shard-join route (which
+            # inner-joins them away) instead of crashing in verify()
+            return verify(df.dropna(subset=["text", "text_b"]))
 
         return pairs.map_batches(verify_broadcast, batch_format="pandas")
 
@@ -788,6 +791,9 @@ def _kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 0) -> np.ndarray:
     # ((x[:,None,:]-c[None,:,:])²) allocates an n×k×dim temp, which explodes
     # as _ivf_params grows nlist ~sqrt(N)
     rng = np.random.default_rng(seed)
+    # a sample smaller than k (tiny tables under the nlist floor, or an
+    # unlucky fractional sample) degrades to k=len(x) instead of raising
+    k = min(k, len(x))
     centroids = x[rng.choice(len(x), size=k, replace=False)].copy()
     xx = (x**2).sum(1)[:, None]
     for _ in range(iters):

@@ -104,9 +104,10 @@ def save_checkpoint(lake_dir: str, ckpt: Checkpoint) -> str:
 def load_checkpoint_at(lake_dir: str, epoch: int) -> Checkpoint:
     """The committed checkpoint for an EXACT epoch — the time-travel anchor.
     Epoch 0 is the empty lake. Raises FileNotFoundError when that epoch was
-    never committed or its files were vacuumed away (vacuum keeps only the
-    latest checkpoint's references, so the time-travel horizon is
-    'since the last vacuum' — same contract as any lake-format VACUUM)."""
+    never committed or its files were vacuumed away (vacuum deletes
+    superseded data files AND every non-latest checkpoint JSON, so the
+    time-travel horizon is 'since the last vacuum' — same contract as any
+    lake-format VACUUM; pinned by tests/test_evolution.py)."""
     if epoch == 0:
         return Checkpoint()
     path = os.path.join(checkpoint_dir(lake_dir), f"epoch_{epoch:09d}.json")

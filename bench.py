@@ -246,6 +246,12 @@ def scaling() -> None:
                 "metric": "scaling_efficiency",
                 "primary_config": primary_name,
                 **configs[primary_name],
+                # the shipped default config's own numbers, surfaced top-level
+                # so a reader consuming only headline fields sees BOTH the
+                # best-efficiency row and what the default config scales at
+                "default_config": "fast_8_32",
+                "default_config_efficiency": configs["fast_8_32"]["scaling_efficiency"],
+                "default_config_events_per_sec_hi": configs["fast_8_32"]["events_per_sec_hi"],
                 "sha_equal_across_configs": all_equal,
                 "configs": configs,
             }

@@ -381,7 +381,15 @@ def test_time_travel_snapshots(changelog, tmp_lake):
     assert eng.snapshot_table(epoch=0).num_rows == 0
     with pytest.raises(FileNotFoundError):
         eng.checkpoint(epoch=99)
-    # vacuum trims the horizon: old epochs' superseded files are gone, the
-    # latest epoch still reads exactly
+    # vacuum trims the horizon: old epochs' superseded files AND their
+    # checkpoint JSONs are gone, so time travel to them raises the documented
+    # FileNotFoundError up front (not a raw missing-parquet error later, nor
+    # a silently-wrong snapshot_sha256 fast-path digest); the latest epoch
+    # still reads exactly
     eng.vacuum()
     assert eng.snapshot_sha256(epoch=4) == live_shas[4]
+    for ep in (1, 2, 3):
+        with pytest.raises(FileNotFoundError):
+            eng.checkpoint(epoch=ep)
+        with pytest.raises(FileNotFoundError):
+            eng.snapshot_sha256(epoch=ep)
