@@ -1238,9 +1238,7 @@ def q_stratified_sample(sf_dir: str):
     return ds.map_batches(sample, batch_format="pandas")
 
 
-@register(
-    "q_term_importance",
-    r"""
+_TERM_IMPORTANCE_SQL = r"""
     WITH toks AS (
       SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                         x -> x <> '')) AS tok
@@ -1263,9 +1261,16 @@ def q_stratified_sample(sf_dir: str):
     )
     SELECT doc_id, tok AS top_term, CAST(score_e3 AS BIGINT) AS score_e3
     FROM ranked WHERE rn = 1
-    """,
-)
-def q_term_importance(sf_dir: str):
+    """
+
+# above this many DISTINCT tokens the (tok, df) vocabulary no longer
+# broadcasts to workers via ray.put — it joins onto the tf rows through a
+# token-hash string-key shard_join instead (web-corpus vocabularies are
+# 10^8-10^9 tokens, beyond worker heap). q_term_importance_dist forces 0.
+_BROADCAST_VOCAB_LIMIT = 5_000_000
+
+
+def _term_importance(sf_dir: str):
     """Per-document top term by a TF-IDF-shaped importance score — keyword
     extraction for training-data analysis — kept INTEGER-exact so the
     DuckDB twin hashes: score_e3 = (1000·tf·N) // (doclen·df), pure BIGINT
@@ -1274,11 +1279,13 @@ def q_term_importance(sf_dir: str):
 
     Shape: one map pass emits per-doc (tok, tf, doclen) rows (a doc is one
     row, so tf is exact map-side); document frequencies reduce through a
-    token-hash 64-shard groupby; the (tok, df) VOCABULARY — not the corpus
-    — broadcasts via ray.put (the standard small-side contract: vocab is
-    millions of rows when the corpus is billions; above worker heap it
-    would become a token-hash shard_join + string-equality check); the
-    per-doc argmax is a constant-shard reduce."""
+    token-hash 64-shard groupby into a materialized (tok, df) vocabulary.
+    Below ARER_BROADCAST_VOCAB_LIMIT distinct tokens the vocabulary
+    broadcasts via ray.put (the standard small-side contract); above it the
+    df attach is a token-hash shard_join on the token STRING itself (shard
+    by SipHash, equality on the string — collisions cannot mis-join), so
+    nothing unbounded ever lands on the driver. The per-doc argmax is a
+    constant-shard reduce either way."""
     from arches_rascoll_etl_ray.functions.hashing import stable_hash64
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1309,22 +1316,55 @@ def q_term_importance(sf_dir: str):
     def df_shard(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("tok", as_index=False).size().rename(columns={"size": "df"})
 
-    df_tbl = (
+    df_ds = (
         tf.map_batches(add_tshard, batch_format="pandas")
         .groupby("_ts")
         .map_groups(df_shard, batch_format="pandas")
-        .to_pandas()
+        .materialize()  # the vocabulary: one row per distinct token
     )
-    df_ref = ray.put(dict(zip(df_tbl["tok"], df_tbl["df"].to_numpy(dtype=np.int64))))
 
-    def score(df_: pd.DataFrame) -> pd.DataFrame:
-        dfv = df_["tok"].map(ray.get(df_ref)).to_numpy(dtype=np.int64)
+    def _scores(df_: pd.DataFrame, dfv: np.ndarray) -> pd.DataFrame:
         tfv = df_["tf"].to_numpy(dtype=np.int64)
         dlv = df_["doclen"].to_numpy(dtype=np.int64)
-        df_ = df_[["doc_id", "tok"]].copy()
-        df_["score_e3"] = (1000 * tfv * n_docs) // (dlv * dfv)
-        df_["_ds"] = (df_["doc_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
-        return df_
+        out = pd.DataFrame(
+            {
+                "doc_id": df_["doc_id"].to_numpy(dtype=np.int64),
+                "tok": df_["tok"].to_numpy(dtype=object),
+            }
+        )
+        out["score_e3"] = (1000 * tfv * n_docs) // (dlv * dfv)
+        out["_ds"] = (out["doc_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return out
+
+    vocab_limit = int(os.environ.get("ARER_BROADCAST_VOCAB_LIMIT", str(_BROADCAST_VOCAB_LIMIT)))
+    if df_ds.count() <= vocab_limit:
+        df_tbl = df_ds.to_pandas()
+        df_ref = ray.put(dict(zip(df_tbl["tok"], df_tbl["df"].to_numpy(dtype=np.int64))))
+
+        def score(df_: pd.DataFrame) -> pd.DataFrame:
+            dfv = df_["tok"].map(ray.get(df_ref)).to_numpy(dtype=np.int64)
+            return _scores(df_, dfv)
+
+        scored = tf.map_batches(score, batch_format="pandas")
+    else:
+        from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+        joined = shard_join(
+            tf,
+            df_ds,
+            on="tok",
+            right_on="tok",
+            left_cols=["doc_id", "tok", "tf", "doclen"],
+            right_cols=["tok", "df"],
+            how="inner",  # every tf token exists in the vocabulary
+            num_shards=64,
+            key_type="str",
+        )
+
+        def score_joined(df_: pd.DataFrame) -> pd.DataFrame:
+            return _scores(df_, df_["df"].to_numpy(dtype=np.int64))
+
+        scored = joined.map_batches(score_joined, batch_format="pandas")
 
     def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "score_e3", "tok"], ascending=[True, False, True], kind="mergesort")
@@ -1337,11 +1377,34 @@ def q_term_importance(sf_dir: str):
             }
         )
 
-    return (
-        tf.map_batches(score, batch_format="pandas")
-        .groupby("_ds")
-        .map_groups(top_per_doc, batch_format="pandas")
-    )
+    return scored.groupby("_ds").map_groups(top_per_doc, batch_format="pandas")
+
+
+@register("q_term_importance", _TERM_IMPORTANCE_SQL)
+def q_term_importance(sf_dir: str):
+    return _term_importance(sf_dir)
+
+
+q_term_importance.__doc__ = _term_importance.__doc__
+
+
+@register("q_term_importance_dist", _TERM_IMPORTANCE_SQL)
+def q_term_importance_dist(sf_dir: str):
+    """q_term_importance with the vocabulary broadcast DISABLED
+    (ARER_BROADCAST_VOCAB_LIMIT=0): the df attach runs through the
+    string-key token-hash shard_join — the 10^9-token web-corpus route —
+    and is hash-checked against the same DuckDB twin (the established
+    forced-path discipline of q_region_revenue_shuffle /
+    q_anti_join_shuffle / q_dedup_clusters_dist)."""
+    saved = os.environ.get("ARER_BROADCAST_VOCAB_LIMIT")
+    os.environ["ARER_BROADCAST_VOCAB_LIMIT"] = "0"
+    try:
+        return _term_importance(sf_dir)
+    finally:
+        if saved is None:
+            os.environ.pop("ARER_BROADCAST_VOCAB_LIMIT", None)
+        else:
+            os.environ["ARER_BROADCAST_VOCAB_LIMIT"] = saved
 
 
 @register(

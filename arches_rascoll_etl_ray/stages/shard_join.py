@@ -15,14 +15,18 @@ hash-partitions by key, and ONE pandas merge per shard joins vectorized —
 never a per-key map_groups (the known Ray perf trap at high key
 cardinality). Shuffle volume = both join inputs, the same as any hash join.
 
-Keys must be int64 (every join in this repo is on int ids). Because blocks
-from both sides concatenate during the shuffle, absent columns null-fill; to
-keep that exact, non-key integer columns ride the shuffle as pandas nullable
-``Int64`` (a float64 promotion would silently corrupt ids above 2^53 — real
-at the 10^10-key scale this substrate targets). Outputs may therefore carry
-``Int64`` extension columns; callers materializing a FINAL result must cast
-to plain int64 / Arrow (Ray can't type pandas extension blocks in
-``ds.schema()``, and the driver's oracle canonicalization diverges on them).
+Keys are int64 ids (default) or strings (``key_type="str"`` — e.g. the
+vocabulary attach in q_term_importance_dist, where the join key is the token
+itself; sharding uses the process-stable SipHash of the string and equality
+is on the actual strings, so hash collisions cannot produce wrong matches).
+Because blocks from both sides concatenate during the shuffle, absent
+columns null-fill; to keep that exact, integer columns (keys included) ride
+the shuffle as pandas nullable ``Int64`` (a float64 promotion would silently
+corrupt ids above 2^53 — real at the 10^10-key scale this substrate
+targets). Outputs may therefore carry ``Int64`` extension columns; callers
+materializing a FINAL result must cast to plain int64 / Arrow (Ray can't
+type pandas extension blocks in ``ds.schema()``, and the driver's oracle
+canonicalization diverges on them).
 """
 
 from __future__ import annotations
@@ -45,8 +49,10 @@ def shard_join(
     how: str = "inner",
     num_shards: int = _DEFAULT_SHARDS,
     right_suffix: str = "_r",
+    key_type: str = "int",
 ) -> ray.data.Dataset:
-    """Equi-join on int64 keys. ``how`` ∈ {"inner", "left", "semi", "anti"}.
+    """Equi-join on int64 keys (``key_type="int"``) or string keys
+    (``key_type="str"``). ``how`` ∈ {"inner", "left", "semi", "anti"}.
 
     - inner/left: pandas-merge semantics; overlapping non-key right columns
       get ``right_suffix``. The right key column is dropped from the output.
@@ -56,6 +62,17 @@ def shard_join(
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if key_type not in ("int", "str"):
+        raise ValueError(f"unsupported key_type={key_type!r}")
+    int_keys = key_type == "int"
+
+    def _shard_of(s: pd.Series) -> np.ndarray:
+        if int_keys:
+            k = s.to_numpy(dtype=np.int64)
+            return (k.astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
+        from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+        return (stable_hash64(s.to_numpy(dtype=object)) % np.uint64(num_shards)).astype(np.int32)
 
     def _null_safe_ints(out: pd.DataFrame) -> pd.DataFrame:
         # EVERY int column (keys included — when on != right_on each side's
@@ -72,18 +89,18 @@ def shard_join(
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df[left_cols].copy()
-        k = out[on].to_numpy(dtype=np.int64)
+        shard = _shard_of(out[on])
         out = _null_safe_ints(out)
         out["_side"] = np.int8(0)
-        out["_shard"] = (k.astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
+        out["_shard"] = shard
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = df[right_cols].copy()
-        k = out[right_on].to_numpy(dtype=np.int64)
+        shard = _shard_of(out[right_on])
         out = _null_safe_ints(out)
         out["_side"] = np.int8(1)
-        out["_shard"] = (k.astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
+        out["_shard"] = shard
         return out
 
     lcols = list(left_cols)
@@ -95,18 +112,20 @@ def shard_join(
         # the missing ones so empty selections stay well-formed
         side = g["_side"].to_numpy()
         lg = g[side == 0].reindex(columns=lcols).copy()
-        lg[on] = lg[on].astype(np.int64)
+        if int_keys:
+            lg[on] = lg[on].astype(np.int64)
         if how in ("semi", "anti"):
             rg_keys = g[side == 1]
             rkeys = (
-                rg_keys[right_on].to_numpy(dtype=np.int64)
+                rg_keys[right_on].to_numpy(dtype=np.int64 if int_keys else object)
                 if right_on in rg_keys.columns and len(rg_keys)
-                else np.empty(0, dtype=np.int64)
+                else np.empty(0, dtype=np.int64 if int_keys else object)
             )
             mask = lg[on].isin(rkeys)
             return lg[mask] if how == "semi" else lg[~mask]
         rg = g[side == 1].reindex(columns=rcols).copy()
-        rg[right_on] = rg[right_on].fillna(-1).astype(np.int64)
+        if int_keys:
+            rg[right_on] = rg[right_on].fillna(-1).astype(np.int64)
         merged = lg.merge(
             rg,
             left_on=on,

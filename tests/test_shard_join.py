@@ -157,3 +157,27 @@ def test_cc_raises_when_unconverged():
     )
     with pytest.raises(RuntimeError, match="no fixed point"):
         connected_component_labels(edges, driver_edge_limit=0, max_iters=1)
+
+
+def test_shard_join_string_keys():
+    """key_type='str': shard by SipHash of the string, join on the string
+    itself (collision-safe equality); inner/left/semi/anti all exact."""
+    left = ray.data.from_pandas(
+        pd.DataFrame({"tok": ["apple", "banana", "cherry", "apple"], "n": [1, 2, 3, 4]})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"tok": ["apple", "cherry", "durian"], "df": [10, 30, 99]})
+    )
+    inner = shard_join(
+        left, right, on="tok", right_on="tok",
+        left_cols=["tok", "n"], right_cols=["tok", "df"],
+        how="inner", num_shards=4, key_type="str",
+    ).to_pandas().sort_values(["tok", "n"]).reset_index(drop=True)
+    assert inner["tok"].tolist() == ["apple", "apple", "cherry"]
+    assert [int(v) for v in inner["df"]] == [10, 10, 30]
+    anti = shard_join(
+        left, right, on="tok", right_on="tok",
+        left_cols=["tok", "n"], right_cols=["tok"],
+        how="anti", num_shards=4, key_type="str",
+    ).to_pandas()
+    assert anti["tok"].tolist() == ["banana"]
