@@ -665,17 +665,16 @@ class CDCEngine:
         'csv' or 'jsonl' (text sinks — nested columns JSON-stringified, the
         reference's S2 serializer, arches_rascoll/ref_collection.py:30-50).
         Partitions with pending LSM runs or a stale evolution version are
-        folded/projected before export."""
-        import shutil
+        folded/projected before export.
 
-        import pyarrow.parquet as _pq
+        Fan-out: ONE Ray task per pending partition (the `_merge_epoch`
+        shape) — the driver only scans markers and sums the returned row
+        counts, so export wall-time scales with cores/nodes instead of
+        O(partitions)×single-thread. Each task writes tmp→rename with its
+        own .done marker, so a crashed export resumes exactly."""
+        import ray as _ray
 
-        from arches_rascoll_etl_ray.stages.merge import (
-            fold_partition_tables,
-            read_partition_state,
-            spec_version,
-        )
-        from arches_rascoll_etl_ray.stages.normalize import apply_evolution
+        from arches_rascoll_etl_ray.stages.merge import spec_version
 
         if fmt not in ("parquet", "csv", "jsonl"):
             raise ValueError(f"unknown export format {fmt!r}")
@@ -684,11 +683,11 @@ class CDCEngine:
         cols = lake_columns(self.cfg)
         os.makedirs(out_dir, exist_ok=True)
         total = 0
+        pending: list = []
         for part, info in sorted(ckpt.partitions.items()):
             if not (info["data_file"] or info.get("runs")):
                 continue
-            ext = {"parquet": "parquet", "csv": "csv", "jsonl": "jsonl"}[fmt]
-            dst = os.path.join(out_dir, f"part-{part:05d}.{ext}")
+            dst = os.path.join(out_dir, f"part-{part:05d}.{fmt}")
             marker = dst + ".done"
             if os.path.exists(marker):
                 with open(marker) as f:
@@ -708,40 +707,16 @@ class CDCEngine:
                     continue
                 # stale or older-format marker: re-export
                 os.remove(marker)
-            tmp = dst + ".tmp"
-            needs_transform = bool(info.get("runs")) or (
-                info.get("evolution_version", 1) != current_v
+            pending.append((info, dst))
+        if pending:
+            task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(
+                _export_partition_file
             )
-            if needs_transform:
-                tbl = fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
-            else:
-                tbl = _pq.read_table(os.path.join(self.cfg.lake_dir, info["data_file"]))
-            if tbl.num_rows == 0:
-                with open(marker, "w") as f:
-                    f.write(f"{info['epoch']} - 0\n")
-                continue
-            if fmt == "parquet":
-                if needs_transform:
-                    _pq.write_table(tbl, tmp)
-                else:
-                    shutil.copyfile(os.path.join(self.cfg.lake_dir, info["data_file"]), tmp)
-            else:
-                from arches_rascoll_etl_ray.functions.json_io import stringify_nested_columns
-
-                tbl2 = apply_evolution(tbl, self.cfg.evolution).select(cols) if not needs_transform else tbl
-                nested = [
-                    f.name for f in tbl2.schema
-                    if pa.types.is_struct(f.type) or pa.types.is_list(f.type) or pa.types.is_map(f.type)
-                ]
-                df = stringify_nested_columns(tbl2, nested).to_pandas()
-                if fmt == "csv":
-                    df.to_csv(tmp, index=False)
-                else:
-                    df.to_json(tmp, orient="records", lines=True, force_ascii=False)
-            os.replace(tmp, dst)
-            total += tbl.num_rows
-            with open(marker, "w") as f:
-                f.write(f"{info['epoch']} {info.get('content_sha') or '-'} {tbl.num_rows}\n")
+            refs = [
+                task.remote(self.cfg, info, dst, fmt, cols, current_v)
+                for info, dst in pending
+            ]
+            total += sum(_ray.get(refs))
         return total
 
     def vacuum(self) -> int:
@@ -797,3 +772,50 @@ class CDCEngine:
                     os.remove(os.path.join(pdir, f))
                     removed += 1
         return removed
+
+
+def _export_partition_file(cfg, info: dict, dst: str, fmt: str, cols, current_v: int) -> int:
+    """Worker side of export_snapshot: fold/read ONE partition's committed
+    state and write `dst` atomically (tmp→rename) with its `.done` marker
+    ("<epoch> <sha|-> <rows>"). Idempotent per (partition, epoch), so task
+    retries and crashed-export reruns are no-ops once the marker lands."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
+    from arches_rascoll_etl_ray.stages.normalize import apply_evolution
+
+    marker = dst + ".done"
+    tmp = dst + ".tmp"
+    needs_transform = bool(info.get("runs")) or (info.get("evolution_version", 1) != current_v)
+    if needs_transform:
+        tbl = fold_partition_tables(cfg, read_partition_state(cfg, info))
+    else:
+        tbl = _pq.read_table(os.path.join(cfg.lake_dir, info["data_file"]))
+    if tbl.num_rows == 0:
+        with open(marker, "w") as f:
+            f.write(f"{info['epoch']} - 0\n")
+        return 0
+    if fmt == "parquet":
+        if needs_transform:
+            _pq.write_table(tbl, tmp)
+        else:
+            shutil.copyfile(os.path.join(cfg.lake_dir, info["data_file"]), tmp)
+    else:
+        from arches_rascoll_etl_ray.functions.json_io import stringify_nested_columns
+
+        tbl2 = apply_evolution(tbl, cfg.evolution).select(cols) if not needs_transform else tbl
+        nested = [
+            f.name for f in tbl2.schema
+            if pa.types.is_struct(f.type) or pa.types.is_list(f.type) or pa.types.is_map(f.type)
+        ]
+        df = stringify_nested_columns(tbl2, nested).to_pandas()
+        if fmt == "csv":
+            df.to_csv(tmp, index=False)
+        else:
+            df.to_json(tmp, orient="records", lines=True, force_ascii=False)
+    os.replace(tmp, dst)
+    with open(marker, "w") as f:
+        f.write(f"{info['epoch']} {info.get('content_sha') or '-'} {tbl.num_rows}\n")
+    return tbl.num_rows

@@ -258,6 +258,47 @@ def test_export_formats(tmp_path):
         eng.export_snapshot(str(tmp_path / "x"), fmt="xml")
 
 
+def test_export_parallel_deterministic(tmp_path):
+    """export_snapshot fans out one Ray task per partition; two independent
+    exports of the same lake must produce byte-identical files and markers
+    (same bytes, same .done contents — the timing-free equivalence check for
+    the parallelized path), and a partial export must resume by writing only
+    the missing partitions."""
+    import hashlib
+
+    df = generate_changelog(120, 900, seed=31)
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=2)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8))
+    eng.replay(d)
+
+    def digest(out):
+        return {
+            f: hashlib.sha256(open(os.path.join(out, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(out))
+        }
+
+    out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    n1 = eng.export_snapshot(out1, fmt="jsonl")
+    n2 = eng.export_snapshot(out2, fmt="jsonl")
+    assert n1 == n2 == sum(i["rows"] for i in eng.checkpoint().partitions.values())
+    assert digest(out1) == digest(out2)
+    # partial resume: delete some outputs+markers, re-export fills only those
+    victims = [f for f in sorted(os.listdir(out1)) if f.endswith(".jsonl")][:3]
+    kept_mtime = {}
+    for f in os.listdir(out1):
+        p = os.path.join(out1, f)
+        if f in victims or f.replace(".done", "") in victims:
+            os.remove(p)
+        else:
+            kept_mtime[f] = os.path.getmtime(p)
+    n3 = eng.export_snapshot(out1, fmt="jsonl")
+    assert n3 == n1
+    assert digest(out1) == digest(out2)
+    for f, m in kept_mtime.items():  # untouched partitions were not rewritten
+        assert os.path.getmtime(os.path.join(out1, f)) == m
+
+
 def test_corrupt_checkpoint_falls_back(changelog, tmp_lake):
     """A torn/truncated latest checkpoint must not brick the lake: resume
     falls back to the newest parseable epoch and replays the gap."""
