@@ -501,13 +501,17 @@ def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sig.view(np.int64)})
 
 
-@register("dedup_simhash")
-def dedup_simhash(sf_dir: str):
-    """SimHash near-dup: 64-bit sign-sum sketch, 4×16-bit band bucketing,
-    hamming≤3 verification, min-id clusters. Rows-only driver check; recall
-    asserted in tests."""
+def _simhash_cluster_pipeline(sf_dir: str, sig_fn, band_bits: int, max_hamming: int = 3):
+    """Shared SimHash near-dup shape: signature map → 4-band bucketing
+    (band width `band_bits`) → in-bucket vectorized hamming verification →
+    distributed pair dedup → min-label clusters. With 4 bands over
+    4·band_bits signature bits, any pair within hamming ≤ 3 shares at least
+    one unchanged band (pigeonhole) — LSH recall is exactly 1.0 at the
+    verification threshold, which is what makes the md5-variant SQL twin
+    (q_simhash_clusters) an exact oracle."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    sigs = ds.map_batches(_simhash_batch, batch_format="pandas", batch_size=4096)
+    sigs = ds.map_batches(sig_fn, batch_format="pandas", batch_size=4096)
+    band_mask = np.uint64((1 << band_bits) - 1)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         sim = df["simhash"].to_numpy().view(np.uint64)
@@ -515,7 +519,7 @@ def dedup_simhash(sf_dir: str):
         band_id = np.tile(np.arange(4, dtype=np.int32), n)
         band_hash = np.empty(4 * n, dtype=np.int64)
         for b in range(4):
-            band_hash[b::4] = ((sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            band_hash[b::4] = ((sim >> np.uint64(band_bits * b)) & band_mask).astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
@@ -551,7 +555,7 @@ def dedup_simhash(sf_dir: str):
                     continue
                 usims = sims[s:e][uidx]
                 ii, jj = np.triu_indices(len(uids), k=1)
-                keep = sketches.hamming64(usims[ii], usims[jj]) <= 3
+                keep = sketches.hamming64(usims[ii], usims[jj]) <= max_hamming
                 aa.append(uids[ii][keep])
                 bb.append(uids[jj][keep])
         if not aa:
@@ -567,6 +571,129 @@ def dedup_simhash(sf_dir: str):
     # hamming verification already happened in-bucket; dedup (a pair can
     # surface in up to 4 bands) then cluster distributedly
     return _clusters_output(sf_dir, _dedup_pairs(pairs))
+
+
+@register("dedup_simhash")
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup: 64-bit sign-sum sketch, 4×16-bit band bucketing,
+    hamming≤3 verification, min-id clusters. Rows-only driver check; recall
+    asserted in tests. The hash-checked twin is q_simhash_clusters (same
+    pipeline over the engine-portable md5 gram hash)."""
+    return _simhash_cluster_pipeline(sf_dir, _simhash_batch, band_bits=16)
+
+
+def _md5_gram_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged per-doc word-2-gram hashes using the engine-portable 60-bit
+    md5 prefix (int(md5(gram)[:15], 16) — the samplers' cross-engine hash),
+    so a DuckDB twin recomputes identical values. Gram STRINGS are built
+    vectorized (C-level pandas concat over flat word arrays); md5 runs once
+    per UNIQUE gram in the batch (factorize), not per position. Docs with
+    one word get that word as their single gram; empty docs get none."""
+    import hashlib
+
+    tok = texts.str.split()
+    counts = tok.str.len().fillna(0).to_numpy(dtype=np.int64)
+    flat_words = np.asarray(
+        [w for words in tok for w in (words if isinstance(words, list) else [])], dtype=object
+    )
+    word_starts = np.r_[0, np.cumsum(counts)]
+    n_grams = np.where(counts >= 2, counts - 1, np.where(counts > 0, 1, 0))
+    offsets = np.r_[0, np.cumsum(n_grams)].astype(np.int64)
+    grams = np.empty(offsets[-1], dtype=object)
+    full = counts >= 2
+    if full.any():
+        full_ids = np.flatnonzero(full)
+        first_slot = np.repeat(offsets[full_ids], n_grams[full])
+        slot = np.concatenate([np.arange(offsets[d], offsets[d + 1]) for d in full_ids]).astype(
+            np.int64
+        )
+        doc_idx = np.repeat(full_ids, n_grams[full])
+        gstart = word_starts[doc_idx] + (slot - first_slot)
+        grams[slot] = (
+            pd.Series(flat_words[gstart]) + " " + pd.Series(flat_words[gstart + 1])
+        ).to_numpy(dtype=object)
+    for d in np.flatnonzero(counts == 1):
+        grams[offsets[d]] = flat_words[word_starts[d]]
+    if len(grams):
+        codes, uniques = pd.factorize(pd.Series(grams))
+        md5 = hashlib.md5
+        uh = np.fromiter(
+            (int(md5(u.encode()).hexdigest()[:15], 16) for u in uniques),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
+        flat = uh[codes]
+    else:
+        flat = np.empty(0, dtype=np.uint64)
+    return flat, offsets
+
+
+def _simhash_md5_batch(df: pd.DataFrame) -> pd.DataFrame:
+    flat, offsets = _md5_gram_hashes(df["text"].reset_index(drop=True))
+    sig = sketches.simhash64(flat, offsets)  # bits 60-63 stay 0 (60-bit grams)
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sig.view(np.int64)})
+
+
+# DuckDB twin of the md5-gram SimHash clustering: identical word-2-gram
+# strings, identical 60-bit md5 gram hash, per-(doc, bit) signed sums over
+# gram POSITIONS (duplicates count, matching simhash64's reduceat), sign →
+# signature, exact O(n²) hamming join via bit_count(xor(..)) ≤ 3, then the
+# same recursive-CTE min-label connected components as _CLUSTERS_SQL.
+_SIMHASH_SQL = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) = 0 THEN []
+                         WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])
+                    END) AS g
+      FROM toks
+    ), gh AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM grams
+    ), bits AS (
+      SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+      FROM gh, UNNEST(range(0, 60)) AS r(b)
+      GROUP BY doc_id, b
+    ), sigs0 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+      FROM bits GROUP BY doc_id
+    ), sigs AS (
+      SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+      FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+    ), edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sigs a JOIN sigs b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges
+    ), reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM sym s JOIN reach r ON s.src = r.node
+    ), cc AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN cc c ON d.doc_id = c.node
+"""
+
+
+@register("q_simhash_clusters", _SIMHASH_SQL)
+def q_simhash_clusters(sf_dir: str):
+    """The full SimHash near-dup clustering, hash-checked end-to-end: the
+    same distributed pipeline as dedup_simhash but over the engine-portable
+    md5 gram hash (60 bits → 4×15-bit bands). Pigeonhole makes band recall
+    exactly 1.0 at hamming ≤ 3, so the DuckDB twin's exhaustive
+    bit_count(xor) pair join plus recursive-CTE components must equal the
+    distributed min-label propagation exactly — the r3 VERDICT's missing
+    simhash oracle (VERDICT.md 'Next round' #4)."""
+    return _simhash_cluster_pipeline(sf_dir, _simhash_md5_batch, band_bits=15)
 
 
 # ---------------------------------------------------------------------------
@@ -1164,6 +1291,102 @@ def dedup_embedding(sf_dir: str):
     edges = _dedup_pairs(pairs)
     return _clusters_output(
         sf_dir, edges, ids_ds=_embs(sf_dir, ["vec_id"]), id_col="vec_id"
+    )
+
+
+# exact-cosine clustering threshold: 0.4 sits in a measured ≥1e-5 gap of the
+# synthetic corpus's cosine distribution at every SF — ~10 orders of
+# magnitude above the ≤1e-14 numpy-vs-DuckDB float64 rounding divergence, so
+# no edge can flip between engines and int-only output hashes are exact
+_EMB_CLUSTER_THR = 0.4
+_EMB_PAIR_BLOCKS = 8
+
+_EMB_CLUSTERS_SQL = r"""
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ), sym AS (
+      SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges
+    ), reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM sym s JOIN reach r ON s.src = r.node
+    ), cc AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT e.vec_id, CAST(COALESCE(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id
+    FROM embeddings e LEFT JOIN cc c ON e.vec_id = c.node
+"""
+
+
+@register("q_embedding_clusters", _EMB_CLUSTERS_SQL)
+def q_embedding_clusters(sf_dir: str):
+    """EXACT embedding-cosine clustering — the recall-1.0 brute-force
+    baseline the r3 VERDICT asked to oracle (dedup_embedding's IVF variant
+    stays the sub-quadratic scale path, rows-only). Distributed as a blocked
+    all-pairs join: vec_id % B assigns a block, every vector replicates to
+    its B pair-buckets (lo,hi), each bucket computes ONE cross/triangular
+    matmul and emits pairs ≥ threshold — every pair lands in exactly one
+    bucket, nothing materializes on the driver, per-task memory is
+    O((N/B)·dim) with O(N²/B²) compute (exactness is inherently quadratic;
+    B scales with the cluster). Clusters via the shared distributed
+    min-label propagation; DuckDB twin = exhaustive cosine join + the
+    recursive-CTE components."""
+    B = _EMB_PAIR_BLOCKS
+    thr = _EMB_CLUSTER_THR
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        blk = (vids % B).astype(np.int64)
+        n = len(df)
+        j = np.tile(np.arange(B, dtype=np.int64), n)
+        bi = np.repeat(blk, B)
+        return pd.DataFrame(
+            {
+                "bucket": np.minimum(bi, j) * B + np.maximum(bi, j),
+                "blk": bi,
+                "vec_id": np.repeat(vids, B),
+                "embedding": np.repeat(df["embedding"].to_numpy(), B),
+            }
+        )
+
+    def _norm(rows: pd.Series) -> np.ndarray:
+        em = np.stack(rows.to_numpy()).astype(np.float64)
+        return em / np.linalg.norm(em, axis=1, keepdims=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        lo, hi = divmod(int(g["bucket"].iloc[0]), B)
+        if lo == hi:
+            sub = g.drop_duplicates("vec_id")
+            if len(sub) < 2:
+                return pd.DataFrame(_EMPTY_PAIRS)
+            em = _norm(sub["embedding"])
+            vids = sub["vec_id"].to_numpy(dtype=np.int64)
+            ii, jj = np.nonzero(np.triu(em @ em.T >= thr, k=1))
+            va, vb = vids[ii], vids[jj]
+        else:
+            L = g[g["blk"].to_numpy() == lo].drop_duplicates("vec_id")
+            R = g[g["blk"].to_numpy() == hi].drop_duplicates("vec_id")
+            if not len(L) or not len(R):
+                return pd.DataFrame(_EMPTY_PAIRS)
+            ii, jj = np.nonzero(_norm(L["embedding"]) @ _norm(R["embedding"]).T >= thr)
+            va = L["vec_id"].to_numpy(dtype=np.int64)[ii]
+            vb = R["vec_id"].to_numpy(dtype=np.int64)[jj]
+        return pd.DataFrame({"a": np.minimum(va, vb), "b": np.maximum(va, vb)})
+
+    pairs = (
+        _embs(sf_dir, ["vec_id", "embedding"])
+        .map_batches(replicate, batch_format="pandas", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # each unordered pair is computed in exactly ONE bucket — no dedup pass
+    return _clusters_output(
+        sf_dir, pairs, ids_ds=_embs(sf_dir, ["vec_id"]), id_col="vec_id"
     )
 
 
