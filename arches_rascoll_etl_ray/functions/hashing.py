@@ -106,6 +106,19 @@ def partition_ids(key_hash: np.ndarray, num_partitions: int) -> np.ndarray:
     return (key_hash % np.uint64(num_partitions)).astype(np.int32)
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 (Steele/Lea/Flaherty JDK mixer — public domain)
+    over int64/uint64 keys: three xorshift-multiply rounds in wrapping
+    uint64 arithmetic. Engine-portable: the training samplers' DuckDB twins
+    recompute the identical value via generated HUGEINT mul-mod SQL
+    (pipelines/training.py _splitmix64_sql), so sample membership hashes
+    exactly while staying fully vectorized (no per-row Python digest)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def sha256_hex(text: str | bytes) -> str:
     if isinstance(text, str):
         text = text.encode("utf-8")

@@ -202,3 +202,36 @@ def test_ivf_params_scaling():
         nl, _, _ = _ivf_params(n)
         assert nl >= prev
         prev = nl
+
+
+def test_kmeans_hierarchical_path():
+    """Above flat_max cells the two-level build kicks in: ≈k centroids,
+    deterministic, and never allocates an O(sample×k) distance matrix
+    (exercised here with a small flat_max to force the hierarchical route)."""
+    from arches_rascoll_etl_ray.pipelines.training import _kmeans, _kmeans_hier
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(3000, 16))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    c = _kmeans_hier(x, 900, flat_max=256)
+    assert 700 <= len(c) <= 900 and c.shape[1] == 16
+    assert np.isfinite(c).all()
+    assert np.array_equal(c, _kmeans_hier(x, 900, flat_max=256))  # deterministic
+    # below the gate it is exactly the flat build
+    assert np.array_equal(_kmeans_hier(x, 64, flat_max=256), _kmeans(x, 64))
+
+
+def test_splitmix64_matches_reference_vectors():
+    """splitmix64 against independently computed reference values (the
+    Steele et al. mixer) — the generated-SQL oracle twin depends on these
+    exact bits."""
+    from arches_rascoll_etl_ray.functions.hashing import splitmix64
+
+    got = splitmix64(np.array([0, 1, 2**62, 2**63 - 1], dtype=np.int64))
+    def ref(v):
+        M = (1 << 64) - 1
+        z = (v + 0x9E3779B97F4A7C15) & M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        return (z ^ (z >> 31)) & M
+    assert [int(g) for g in got] == [ref(v) for v in (0, 1, 2**62, 2**63 - 1)]
