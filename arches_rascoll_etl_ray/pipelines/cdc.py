@@ -47,14 +47,96 @@ from arches_rascoll_etl_ray.state.manifest import PartitionManifest
 logger = logging.getLogger(__name__)
 
 
+def _writer_identity() -> str:
+    """host:pid:nonce — the lease owner token. host+pid lets a SAME-host
+    successor detect a dead holder and steal immediately (the flock
+    analogue); the nonce disambiguates pid reuse within one boot."""
+    import socket
+    import uuid
+
+    return f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 class _WriterLock:
-    """Single-writer guard per lake (epochs are serial by design). flock is
-    kernel-released on process death, so a crashed writer never wedges the
-    lake. NB: advisory and local-host only — on a shared filesystem run one
-    driver (the normal `ray job submit` deployment)."""
+    """Single-writer guard per lake (epochs are serial by design), layered:
+
+    1. flock on `_writer.lock` — kernel-released on process death, so a
+       crashed same-host writer never wedges the lake. Local-host only.
+    2. a LEASE file `_writer.lease` (owner token + expiry, written by atomic
+       tmp→rename) — the shared-filesystem multi-driver story: a second
+       driver on ANOTHER host is rejected while the lease is live, an
+       expired lease is stolen, and a same-host lease whose pid is dead is
+       stolen immediately (crash-resume never waits out the TTL). Long
+       replays renew per epoch group (`renew()`), so the default TTL only
+       gates takeover after a cross-host crash. Honest limits: rename gives
+       last-writer-wins on a simultaneous cross-host steal and NFS clock
+       skew eats into the TTL margin — advisory mutual exclusion for
+       crash-stop failures, not fencing; a CAS object store would be needed
+       for the latter."""
+
+    TTL = float(os.environ.get("ARER_WRITER_LEASE_TTL", "900"))
 
     def __init__(self, lake_dir: str):
         self.path = os.path.join(lake_dir, "_writer.lock")
+        self.lease_path = os.path.join(lake_dir, "_writer.lease")
+        self.owner = _writer_identity()
+
+    def _read_lease(self) -> dict | None:
+        import json
+
+        try:
+            with open(self.lease_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _write_lease(self) -> None:
+        import time
+
+        from arches_rascoll_etl_ray.state.manifest import atomic_write_json
+
+        now = time.time()
+        atomic_write_json(
+            self.lease_path,
+            {"owner": self.owner, "acquired_at": now, "expires_at": now + self.TTL},
+        )
+
+    def _acquire_lease(self) -> None:
+        import socket
+        import time
+
+        cur = self._read_lease()
+        if cur is not None and cur.get("owner") != self.owner:
+            expires = float(cur.get("expires_at", 0))
+            if time.time() < expires:
+                host, _, rest = str(cur.get("owner", "")).partition(":")
+                pid_s = rest.partition(":")[0]
+                same_host_dead = (
+                    host == socket.gethostname()
+                    and pid_s.isdigit()
+                    and not _pid_alive(int(pid_s))
+                )
+                if not same_host_dead:
+                    raise RuntimeError(
+                        f"lake {os.path.dirname(self.lease_path)} is leased by "
+                        f"{cur.get('owner')} until {expires:.0f}; one writer per lake"
+                    )
+        self._write_lease()
+
+    def renew(self) -> None:
+        """Extend the held lease (called at epoch-group boundaries during
+        long replays so the TTL never lapses mid-run)."""
+        self._write_lease()
 
     def __enter__(self):
         import fcntl
@@ -68,6 +150,12 @@ class _WriterLock:
             raise RuntimeError(
                 f"another writer holds {self.path}; one writer per lake at a time"
             ) from None
+        try:
+            self._acquire_lease()
+        except BaseException:
+            fcntl.flock(self._f, fcntl.LOCK_UN)
+            self._f.close()
+            raise
         self._f.seek(0)
         self._f.truncate()
         self._f.write(f"{os.getpid()}\n")
@@ -77,6 +165,14 @@ class _WriterLock:
     def __exit__(self, *exc):
         import fcntl
 
+        # release the lease only if still ours (a cross-host steal after an
+        # expiry must not have its fresh lease deleted by the old holder)
+        cur = self._read_lease()
+        if cur is not None and cur.get("owner") == self.owner:
+            try:
+                os.remove(self.lease_path)
+            except OSError:
+                pass
         fcntl.flock(self._f, fcntl.LOCK_UN)
         self._f.close()
         return False
@@ -337,7 +433,7 @@ class CDCEngine:
         # committing between an unlocked read and the flock would cause
         # epoch-number reuse over stale bounds (read-inside-lock invariant,
         # same rule as apply_epoch)
-        with _WriterLock(self.cfg.lake_dir):
+        with _WriterLock(self.cfg.lake_dir) as wlock:
             ckpt = self.checkpoint()
             avail = max_available_lsn(changelog_dir)
             bounds: list[tuple[int, int]] = []
@@ -354,8 +450,9 @@ class CDCEngine:
                 while ckpt.end_lsn < avail:
                     ckpt = self._apply_next_epoch(changelog_dir, max_events=events_per_epoch)
                     avail = max_available_lsn(changelog_dir)
+                    wlock.renew()
                 return ckpt
-            return self._replay_batched_spill(changelog_dir, ckpt, bounds)
+            return self._replay_batched_spill(changelog_dir, ckpt, bounds, wlock=wlock)
 
     # how many epochs one spill execution covers: bounds delta-storage
     # footprint to `lookahead` epochs of pieces while amortizing executor
@@ -363,7 +460,7 @@ class CDCEngine:
     _SPILL_LOOKAHEAD = 8
 
     def _replay_batched_spill(
-        self, changelog_dir: str, ckpt: Checkpoint, bounds: list[tuple[int, int]]
+        self, changelog_dir: str, ckpt: Checkpoint, bounds: list[tuple[int, int]], wlock=None
     ) -> Checkpoint:
         """Group-spill + in-order merges; the writer lock is already held."""
         import time as _time
@@ -373,6 +470,8 @@ class CDCEngine:
         lookahead = int(os.environ.get("ARER_SPILL_LOOKAHEAD", str(self._SPILL_LOOKAHEAD)))
         i = 0
         while i < len(bounds):
+            if wlock is not None:
+                wlock.renew()  # the lease TTL never lapses mid-replay
             group = bounds[i : i + lookahead]
             i += len(group)
             epoch_bounds = [

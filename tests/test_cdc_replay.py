@@ -434,3 +434,68 @@ def test_time_travel_snapshots(changelog, tmp_lake):
             eng.checkpoint(epoch=ep)
         with pytest.raises(FileNotFoundError):
             eng.snapshot_sha256(epoch=ep)
+
+
+def test_writer_lease(tmp_path):
+    """Shared-FS multi-driver story: a live foreign lease rejects a second
+    writer; an EXPIRED foreign lease is stolen; a same-host lease whose pid
+    is dead is stolen immediately (crash-resume never waits out the TTL);
+    clean exit releases our lease but never deletes a foreign one."""
+    import json
+    import socket
+    import time
+
+    from arches_rascoll_etl_ray.pipelines.cdc import _WriterLock
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    lease = os.path.join(lake, "_writer.lease")
+
+    def put(owner, expires_in):
+        with open(lease, "w") as f:
+            json.dump(
+                {"owner": owner, "acquired_at": time.time(),
+                 "expires_at": time.time() + expires_in}, f,
+            )
+
+    # live cross-host lease → rejected (flock can't see other hosts)
+    put("otherhost:1:beef", 3600)
+    with pytest.raises(RuntimeError, match="leased by otherhost:1"):
+        with _WriterLock(lake):
+            pass
+    assert json.load(open(lease))["owner"] == "otherhost:1:beef"  # untouched
+
+    # expired cross-host lease → stolen; clean exit removes OUR lease
+    put("otherhost:1:beef", -5)
+    with _WriterLock(lake) as wl:
+        assert json.load(open(lease))["owner"] == wl.owner
+        old = json.load(open(lease))["expires_at"]
+        time.sleep(0.01)
+        wl.renew()
+        assert json.load(open(lease))["expires_at"] > old
+    assert not os.path.exists(lease)
+
+    # same-host dead pid with a FUTURE expiry → stolen immediately
+    dead = 1
+    while _pid_alive(dead := dead + 1) and dead < 99999:
+        pass
+    put(f"{socket.gethostname()}:{dead}:cafe", 3600)
+    with _WriterLock(lake):
+        assert json.load(open(lease))["owner"] != f"{socket.gethostname()}:{dead}:cafe"
+    # replay end-to-end still works with the lease layer in place
+    df = generate_changelog(40, 200, seed=5)
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=1)
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=2))
+    eng.replay(d)
+    assert not os.path.exists(lease)
+
+
+def _pid_alive(pid):
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
