@@ -49,6 +49,35 @@ def _embs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
 
 
+# --- generated wrapping-uint64 SQL (the q_lang_id generated-oracle trick
+# applied to arithmetic): DuckDB raises on BIGINT/HUGEINT overflow instead of
+# wrapping, so (a·b) mod 2^64 is spelled via 32-bit limb split. Used by the
+# splitmix64 sampler coins and the winnowing-fingerprint twin below.
+
+_M64 = 1 << 64
+
+
+def _mulmod64_sql(z: str, c: int) -> str:
+    """SQL expr for (z * c) mod 2^64 — z an UBIGINT expr, c a uint64
+    constant — via 32-bit limb split (a full HUGEINT product of two ~2^64
+    values overflows INT128)."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"CAST(((((CAST(({z}) >> 32 AS HUGEINT) * {cl} + "
+        f"CAST(({z}) & 4294967295 AS HUGEINT) * {ch}) % 4294967296) * 4294967296) + "
+        f"CAST(({z}) & 4294967295 AS HUGEINT) * {cl}) % {_M64} AS UBIGINT)"
+    )
+
+
+def _splitmix64_sql(x: str) -> str:
+    """Generated DuckDB twin of functions.hashing.splitmix64 over BIGINT
+    expr `x` — verified bit-exact against numpy for 100k keys."""
+    z0 = f"CAST(CAST((CAST({x} AS HUGEINT) + 11400714819323198485) % {_M64} AS HUGEINT) AS UBIGINT)"
+    z1 = _mulmod64_sql(f"xor({z0}, ({z0}) >> 30)", 0xBF58476D1CE4E5B9)
+    z2 = _mulmod64_sql(f"xor({z1}, ({z1}) >> 27)", 0x94D049BB133111EB)
+    return f"xor({z2}, ({z2}) >> 31)"
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -812,10 +841,63 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(ident, batch_format="pandas")
 
 
-@register("q_fingerprint")
+def _winnow_sql(k: int = 8, window: int = 16) -> str:
+    """Generated DuckDB twin of functions.text.winnowing_fingerprint:
+    per-position FNV k-gram hashes (k chained CTE stages, each one wrapping
+    mul-mod step + byte xor — ASCII corpus, so unicode(char) == UTF-8 byte),
+    sliding window-min of `window` + DISTINCT (the > window branch) or a
+    single global min (the ≤ window branch), then a bit_xor fold of
+    min·MIX. Verified bit-exact against the numpy implementation at sf0.001
+    and sf0.01. Corpus contract: doc length ≥ k (testdata min is 44); the
+    Ray side's raw-byte short-doc branch has no SQL twin."""
+    P = 0x100000001B3
+    INIT = 0xCBF29CE484222325
+    MIX = 0x9E3779B97F4A7C15
+    steps = "\n    ".join(
+        f"g{j + 1} AS (SELECT doc_id, p, text, "
+        f"xor({_mulmod64_sql('h', P)}, CAST(unicode(substr(text, p + {j}, 1)) AS UBIGINT)) AS h "
+        f"FROM g{j}),"
+        for j in range(k)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, strlen(text) - {k} + 2)) AS p
+      FROM documents WHERE strlen(text) >= {k}
+    ),
+    g0 AS (SELECT doc_id, p, text, CAST({INIT} AS UBIGINT) AS h FROM pos),
+    {steps}
+    gh AS (SELECT doc_id, p, h FROM g{k}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM gh GROUP BY doc_id),
+    wmins AS (
+      SELECT g.doc_id, g.p, c.n,
+             MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.p
+                          ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin
+      FROM gh g JOIN cnt c USING (doc_id)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wmin FROM wmins WHERE n > {window} AND p <= n - {window} + 1
+      UNION
+      SELECT g.doc_id, MIN(g.h) AS wmin FROM gh g JOIN cnt c USING (doc_id)
+      WHERE c.n <= {window} GROUP BY g.doc_id
+    ),
+    fp AS (
+      SELECT doc_id, bit_xor({_mulmod64_sql('wmin', MIX)}) AS f FROM sel GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CAST(f AS HUGEINT) -
+                CASE WHEN f >= 9223372036854775808 THEN {_M64} ELSE 0 END AS BIGINT
+           ) AS fingerprint
+    FROM fp
+    """
+
+
+@register("q_fingerprint", _winnow_sql())
 def q_fingerprint(sf_dir: str):
-    """Winnowing rolling-hash document fingerprint (rows-only; determinism
-    across runs tested in pytest)."""
+    """Winnowing rolling-hash document fingerprint (Schleimer et al.,
+    SIGMOD'03), HASH-CHECKED: the sketch is pure wrapping-uint64 arithmetic
+    over the document bytes, so the generated DuckDB twin (_winnow_sql)
+    recomputes the identical FNV k-gram hashes, window-mins and xor-fold —
+    the r3 'rows-only' cell upgraded to a full value oracle."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -1430,34 +1512,12 @@ def q_embedding_clusters(sf_dir: str):
 # --- deterministic samplers -------------------------------------------------
 # The default sampling coin is splitmix64(doc_id) % 100 — fully vectorized
 # numpy (no per-row Python digest, the r3 VERDICT's last slow per-row
-# construct). Its DuckDB twin is GENERATED below: (a·b) mod 2^64 is spelled
-# as 32-bit-split HUGEINT arithmetic, verified bit-exact against numpy for
-# 100k keys. ARER_SAMPLE_HASH=md5 switches to the legacy per-row md5(str)
-# coin (the cross-ENGINE portability mode for engines without 64-bit integer
-# ops); that mode keeps its own oracled entry, q_sample_portable_md5.
-
-_M64 = 1 << 64
-
-
-def _mulmod64_sql(z: str, c: int) -> str:
-    """SQL expr for (z * c) mod 2^64 — z an UBIGINT expr, c a uint64
-    constant — via 32-bit limb split (a full HUGEINT product of two ~2^64
-    values overflows INT128)."""
-    ch, cl = c >> 32, c & 0xFFFFFFFF
-    return (
-        f"CAST(((((CAST(({z}) >> 32 AS HUGEINT) * {cl} + "
-        f"CAST(({z}) & 4294967295 AS HUGEINT) * {ch}) % 4294967296) * 4294967296) + "
-        f"CAST(({z}) & 4294967295 AS HUGEINT) * {cl}) % {_M64} AS UBIGINT)"
-    )
-
-
-def _splitmix64_sql(x: str) -> str:
-    """Generated DuckDB twin of functions.hashing.splitmix64 over BIGINT
-    expr `x` (the q_lang_id generated-oracle trick applied to arithmetic)."""
-    z0 = f"CAST(CAST((CAST({x} AS HUGEINT) + 11400714819323198485) % {_M64} AS HUGEINT) AS UBIGINT)"
-    z1 = _mulmod64_sql(f"xor({z0}, ({z0}) >> 30)", 0xBF58476D1CE4E5B9)
-    z2 = _mulmod64_sql(f"xor({z1}, ({z1}) >> 27)", 0x94D049BB133111EB)
-    return f"xor({z2}, ({z2}) >> 31)"
+# construct). Its DuckDB twin is GENERATED (_splitmix64_sql, top of module):
+# (a·b) mod 2^64 spelled as 32-bit-split HUGEINT arithmetic, verified
+# bit-exact against numpy for 100k keys. ARER_SAMPLE_HASH=md5 switches to
+# the legacy per-row md5(str) coin (the cross-ENGINE portability mode for
+# engines without 64-bit integer ops); that mode keeps its own oracled
+# entry, q_sample_portable_md5.
 
 
 def _sample_coin_mod100(df: pd.DataFrame, mode: str) -> np.ndarray:
@@ -1812,3 +1872,70 @@ def q_hll_distinct(sf_dir: str):
     for r in parts:
         merged = hll_merge(merged, np.frombuffer(r["regs"], dtype=np.uint8))
     return pa.table({"metric": ["distinct_texts_hll"], "estimate": [int(round(hll_estimate(merged)))]})
+
+
+_HLL_REGISTERS_SQL = """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) * 4294967296
+           + CAST(('0x' || substr(md5(text), 9, 8)) AS UBIGINT) AS hv
+      FROM documents
+    ),
+    parts AS (
+      SELECT hv >> 52 AS reg,
+             65 - length(ltrim(bin(
+               CAST(CAST(hv % 4503599627370496 AS HUGEINT) * 4096 + 4095 AS UBIGINT)
+             ), '0')) AS rho
+      FROM h
+    )
+    SELECT CAST(reg AS BIGINT) AS register, CAST(MAX(rho) AS BIGINT) AS value
+    FROM parts GROUP BY reg
+"""
+
+
+@register("q_hll_registers", _HLL_REGISTERS_SQL)
+def q_hll_registers(sf_dir: str):
+    """The HLL sketch STATE itself, hash-checked: same distributed shard
+    tree merge as q_hll_distinct but over the engine-portable 64-bit md5
+    hash, emitting the nonzero (register, value) rows — registers are
+    integer-exact, so the DuckDB twin (register index = top 12 bits, rho =
+    1 + leading zeros of the guarded remainder, computed via bin()/ltrim
+    with HUGEINT arithmetic for the wrapping shift) must match the merged
+    sketch register-for-register. The float ESTIMATE stays approximate and
+    accuracy-tested (q_hll_distinct); the sketch it derives from is now
+    oracled."""
+    import hashlib
+
+    from arches_rascoll_etl_ray.functions.sketches import hll_merge, hll_sketch
+
+    ds = _docs(sf_dir, ["text"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        h = np.fromiter(
+            (int(md5(t.encode()).hexdigest()[:16], 16) for t in df["text"]),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        regs = hll_sketch(h)
+        shard = np.int32((h[0] if len(h) else 0) % 64)
+        return pd.DataFrame({"shard": [shard], "regs": [regs.tobytes()]})
+
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros(1 << 12, dtype=np.uint8)
+        for b in g["regs"]:
+            m = hll_merge(m, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame({"regs": [m.tobytes()]})
+
+    parts = (
+        ds.map_batches(sketch, batch_format="pandas", batch_size=2048)
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pandas")
+        .take_all()
+    )
+    merged = np.zeros(1 << 12, dtype=np.uint8)
+    for r in parts:
+        merged = hll_merge(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    nz = np.flatnonzero(merged)
+    return pa.table(
+        {"register": pa.array(nz.astype(np.int64)), "value": pa.array(merged[nz].astype(np.int64))}
+    )
