@@ -539,7 +539,11 @@ def _simhash_cluster_pipeline(sf_dir: str, sig_fn, band_bits: int, max_hamming: 
     verification threshold, which is what makes the md5-variant SQL twin
     (q_simhash_clusters) an exact oracle."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    sigs = ds.map_batches(sig_fn, batch_format="pandas", batch_size=4096)
+    # Signature hashing is the CPU-bound stage of this pipeline (the md5
+    # gram variant costs ~0.6 ms/doc); small batches keep it wide enough
+    # that a 5k-doc table still fans out across the pool instead of
+    # serializing into one or two 2.5 s UDF calls.
+    sigs = ds.map_batches(sig_fn, batch_format="pandas", batch_size=512)
     band_mask = np.uint64((1 << band_bits) - 1)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
