@@ -1943,3 +1943,267 @@ def q_hll_registers(sf_dir: str):
     return pa.table(
         {"register": pa.array(nz.astype(np.int64)), "value": pa.array(merged[nz].astype(np.int64))}
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination detection (decontamination)
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5  # word n-gram width (GPT-3 appendix C uses 13-grams; 5 suits the synthetic vocab)
+_BROADCAST_EVAL_LIMIT = 5_000_000
+
+
+def _doc_grams(t: pa.Table, n: int = _CONTAM_N, distinct: bool = True) -> pd.DataFrame:
+    """Per-document word n-grams as (doc_id, gram) rows — DISTINCT within
+    each document by default, every occurrence with ``distinct=False``.
+
+    Tokenization is a literal single-space split (DuckDB string_split twin);
+    gram assembly is vectorized object-array concat over shifted views of
+    the flat token array, with grams that would cross a document boundary
+    masked out — no per-row Python loop."""
+    toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64), "gram": np.empty(0, object)})
+    doc_of = np.repeat(ids, lens)
+    # a gram may start at position p only if p+n-1 stays inside p's document
+    ends = np.cumsum(lens)  # exclusive end offset per doc
+    end_of = np.repeat(ends, lens)  # for each token position, its doc's end
+    pos = np.arange(len(flat), dtype=np.int64)
+    ok = pos + n <= end_of
+    starts = pos[ok]
+    if len(starts) == 0:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64), "gram": np.empty(0, object)})
+    gram = flat[starts].astype(object)
+    for j in range(1, n):
+        gram = gram + " "
+        gram = gram + flat[starts + j].astype(object)
+    out = pd.DataFrame({"doc_id": doc_of[starts], "gram": gram})
+    if not distinct:
+        return out
+    # docs never span batches, so a per-batch dedup IS per-doc distinct
+    return out.drop_duplicates(["doc_id", "gram"], ignore_index=True)
+
+
+_CONTAMINATION_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(l) - {_CONTAM_N} + 2),
+                    i -> array_to_string(l[i:i+{_CONTAM_N - 1}], ' '))) AS gram
+      FROM toks
+    ),
+    eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 7)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM grams g JOIN eval_grams e USING (gram)
+    WHERE g.doc_id % 10 <> 7
+    GROUP BY g.doc_id
+"""
+
+
+def _contamination(sf_dir: str):
+    """Benchmark-contamination detection: flag training documents sharing
+    word {n}-grams with a held-out eval split (doc_id % 10 = 7 stands in
+    for the benchmark set) and report the distinct-overlap count — the
+    GPT-3-style decontamination filter (Brown et al. 2020, appendix C;
+    reference analogue: the J4 anti-join discipline,
+    arches_rascoll/prov_acts.py:81-90, lifted from ids to n-gram keys).
+
+    Shape: gram extraction is one stateless map pass on BOTH sides (per-doc
+    distinct, so downstream counts need no DISTINCT shuffle). Real eval
+    sets are tiny relative to the corpus, so the default path broadcasts
+    the distinct eval-gram set via ray.put and counts overlaps map-only —
+    zero shuffle over the 100-TB side. Above ARER_BROADCAST_EVAL_LIMIT
+    distinct eval grams the overlap runs as a string-key semi shard_join
+    (shard by SipHash of the gram, equality on the gram itself) plus a
+    constant-shard per-doc count — nothing unbounded on the driver."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    grams = ds.map_batches(_doc_grams, batch_format="pyarrow").materialize()
+
+    def eval_side(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_[df_["doc_id"] % 10 == 7][["gram"]].copy()
+        df_ = df_.drop_duplicates("gram", ignore_index=True)
+        df_["_gs"] = (stable_hash64(df_["gram"].to_numpy(dtype=object)) % np.uint64(64)).astype(
+            np.int32
+        )
+        return df_
+
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("gram", ignore_index=True)[["gram"]]
+
+    eval_distinct = (
+        grams.map_batches(eval_side, batch_format="pandas")
+        .groupby("_gs")
+        .map_groups(dedup_shard, batch_format="pandas")
+        .materialize()  # one row per distinct eval gram
+    )
+
+    def train_side(df_: pd.DataFrame) -> pd.DataFrame:
+        return df_[df_["doc_id"] % 10 != 7]
+
+    train_pairs = grams.map_batches(train_side, batch_format="pandas")
+
+    eval_limit = int(os.environ.get("ARER_BROADCAST_EVAL_LIMIT", str(_BROADCAST_EVAL_LIMIT)))
+    if eval_distinct.count() <= eval_limit:
+        eval_ref = ray.put(frozenset(eval_distinct.to_pandas()["gram"]))
+
+        def hit_counts(df_: pd.DataFrame) -> pd.DataFrame:
+            hits = df_[df_["gram"].isin(ray.get(eval_ref))]
+            out = hits.groupby("doc_id", as_index=False).size().rename(columns={"size": "n"})
+            return out
+
+        partials = train_pairs.map_batches(hit_counts, batch_format="pandas")
+    else:
+        hits = shard_join(
+            train_pairs,
+            eval_distinct,
+            on="gram",
+            right_on="gram",
+            left_cols=["doc_id", "gram"],
+            right_cols=["gram"],
+            how="semi",
+            num_shards=64,
+            key_type="str",
+        )
+
+        def count_partial(df_: pd.DataFrame) -> pd.DataFrame:
+            out = df_.groupby("doc_id", as_index=False).size().rename(columns={"size": "n"})
+            out["doc_id"] = out["doc_id"].to_numpy(dtype=np.int64)
+            return out
+
+        partials = hits.map_batches(count_partial, batch_format="pandas")
+
+    # grams are per-doc distinct at the source, so summing partial hit
+    # counts over a constant 64-shard reduce gives the exact distinct
+    # overlap per document (hits-only rows — tiny relative to the corpus)
+    def add_dshard(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.copy()
+        df_["_ds"] = (df_["doc_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df_
+
+    def sum_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+                "n_overlap": out["n"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        partials.map_batches(add_dshard, batch_format="pandas")
+        .groupby("_ds")
+        .map_groups(sum_shard, batch_format="pandas")
+    )
+
+
+@register("q_contamination", _CONTAMINATION_SQL)
+def q_contamination(sf_dir: str):
+    return _contamination(sf_dir)
+
+
+@register("q_contamination_dist", _CONTAMINATION_SQL)
+def q_contamination_dist(sf_dir: str):
+    """q_contamination with the eval-gram broadcast DISABLED
+    (ARER_BROADCAST_EVAL_LIMIT=0): the overlap runs through the string-key
+    semi shard_join — the route for an eval set too large to broadcast —
+    hash-checked against the same DuckDB twin (the forced-path discipline
+    of q_region_revenue_shuffle / q_term_importance_dist)."""
+    saved = os.environ.get("ARER_BROADCAST_EVAL_LIMIT")
+    os.environ["ARER_BROADCAST_EVAL_LIMIT"] = "0"
+    try:
+        return _contamination(sf_dir)
+    finally:
+        if saved is None:
+            os.environ.pop("ARER_BROADCAST_EVAL_LIMIT", None)
+        else:
+            os.environ["ARER_BROADCAST_EVAL_LIMIT"] = saved
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS n_uniq FROM toks
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS gram
+      FROM toks WHERE len(l) >= 2
+    ),
+    top2 AS (
+      SELECT doc_id, max(c) AS top2_cnt FROM (
+        SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST((1000 * (b.n_tok - b.n_uniq)) // b.n_tok AS BIGINT) AS dup_word_e3,
+           CAST((1000 * 2 * coalesce(t.top2_cnt, 0)) // b.n_tok AS BIGINT) AS top2_cover_e3
+    FROM base b LEFT JOIN top2 t USING (doc_id)
+"""
+
+
+@register("q_repetition_score", _REPETITION_SQL)
+def q_repetition_score(sf_dir: str):
+    """Per-document repetition signals for quality filtering — the
+    Gopher/MassiveText repetition heuristics (Rae et al. 2021, table A1)
+    restated integer-exact so the DuckDB twin hashes: duplicate-word
+    fraction (1 - distinct/total, scaled e3 with floor division on both
+    engines) and the token share covered by the most frequent word 2-gram.
+    Reference analogue: the §2.8 scalar quality functions (q_quality_score),
+    extended with the within-doc n-gram statistics a training-data curation
+    pass needs.
+
+    Shape: entirely map-side — a document is one row, so every statistic is
+    exact within the batch; zero shuffle at any corpus size. Tokenization
+    is the same literal single-space split as the contamination twin; the
+    per-doc top-2-gram count is one vectorized pandas groupby over the
+    exploded (doc, gram) frame per batch."""
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(ids, lens)
+        words = pd.DataFrame({"doc_id": doc_of, "w": flat})
+        n_uniq = words.groupby("doc_id")["w"].nunique()
+        base = pd.DataFrame({"doc_id": ids, "n_tok": lens})
+        base["n_uniq"] = base["doc_id"].map(n_uniq).fillna(0).astype(np.int64)
+        # word 2-grams: shifted-view concat, masked at doc boundaries
+        if len(flat) > 0:
+            ends = np.repeat(np.cumsum(lens), lens)
+            pos = np.arange(len(flat), dtype=np.int64)
+            ok = pos + 2 <= ends
+            starts = pos[ok]
+        else:
+            starts = np.empty(0, np.int64)
+        if len(starts) > 0:
+            gram = flat[starts].astype(object) + " " + flat[starts + 1].astype(object)
+            g2 = pd.DataFrame({"doc_id": doc_of[starts], "gram": gram})
+            top2 = g2.groupby(["doc_id", "gram"]).size().groupby(level=0).max()
+        else:
+            top2 = pd.Series(dtype=np.int64)
+        base["top2_cnt"] = base["doc_id"].map(top2).fillna(0).astype(np.int64)
+        n_tok = base["n_tok"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": base["doc_id"].to_numpy(),
+                "dup_word_e3": (1000 * (n_tok - base["n_uniq"].to_numpy())) // n_tok,
+                "top2_cover_e3": (1000 * 2 * base["top2_cnt"].to_numpy()) // n_tok,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")

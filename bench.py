@@ -121,6 +121,9 @@ def run_queries() -> dict:
         "q_range_join",
         "q_window_hopping",
         "q_vocab_topk",
+        # round-4 additions: decontamination + repetition quality signal
+        "q_contamination",
+        "q_repetition_score",
     ]
     qs = em.queries()
     out = {}

@@ -235,3 +235,46 @@ def test_splitmix64_matches_reference_vectors():
         z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
         return (z ^ (z >> 31)) & M
     assert [int(g) for g in got] == [ref(v) for v in (0, 1, 2**62, 2**63 - 1)]
+
+
+def test_doc_grams_boundary_masking():
+    """n-grams never cross a document boundary and are per-doc distinct."""
+    from arches_rascoll_etl_ray.pipelines.training import _doc_grams
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a b c d e f", "c d e f g", "x y"]),
+        }
+    )
+    out = _doc_grams(t, n=5)
+    got = set(zip(out["doc_id"], out["gram"]))
+    assert got == {
+        (1, "a b c d e"),
+        (1, "b c d e f"),
+        (2, "c d e f g"),
+    }  # doc 3 is shorter than n -> no grams; nothing spans doc 1 -> doc 2
+
+    rep = pa.table(
+        {"doc_id": pa.array([7], type=pa.int64()), "text": pa.array(["a a a a a a"])}
+    )
+    out2 = _doc_grams(rep, n=5)
+    assert list(out2["gram"]) == ["a a a a a"]  # distinct within the doc
+
+
+def test_repetition_score_exact_values():
+    from arches_rascoll_etl_ray.pipelines.training import q_repetition_score
+    import duckdb, os
+
+    res = q_repetition_score(SF_SMOKE).to_pandas().set_index("doc_id")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF_SMOKE, 'documents.parquet')}')"
+    )
+    from arches_rascoll_etl_ray.pipelines.training import _REPETITION_SQL
+
+    ora = con.sql(_REPETITION_SQL).df().set_index("doc_id")
+    assert len(res) == len(ora)
+    for c in ("dup_word_e3", "top2_cover_e3"):
+        assert (res[c].sort_index() == ora[c].sort_index()).all()
