@@ -2207,3 +2207,66 @@ def q_repetition_score(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
+
+
+_DUP_SPAN_N = 8
+
+_DUP_SPANS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(l) - {_DUP_SPAN_N} + 2),
+             i -> array_to_string(l[i:i+{_DUP_SPAN_N - 1}], ' '))) AS gram
+      FROM toks
+    )
+    SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+@register("q_dup_spans", _DUP_SPANS_SQL)
+def q_dup_spans(sf_dir: str):
+    """Cross-document repeated spans: every word {n}-gram occurring in
+    more than one document, with its distinct-doc and total-occurrence
+    counts — the detection half of exact-substring deduplication (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    restated over fixed-width spans so the result is SQL-expressible;
+    reference analogue: A2 distinct mining, arches_rascoll/places.py:61,
+    lifted from whole values to in-document spans).
+
+    Shape: one map pass emits per-(gram, doc) occurrence counts (a doc is
+    one row, so the pair count is exact map-side — singleton-within-doc
+    grams collapse before the shuffle); the shuffle ships (gram, doc_id,
+    occ) triples into a gram-hash 64-shard reduce where n_docs is a plain
+    row count per gram and the HAVING filter drops the singleton long
+    tail. Nothing materializes on the driver."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        g = _doc_grams(t, n=_DUP_SPAN_N, distinct=False)
+        out = g.groupby(["gram", "doc_id"], as_index=False).size().rename(columns={"size": "occ"})
+        out["_gs"] = (stable_hash64(out["gram"].to_numpy(dtype=object)) % np.uint64(64)).astype(
+            np.int32
+        )
+        return out
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("gram").agg(n_docs=("doc_id", "nunique"), n_occ=("occ", "sum"))
+        agg = agg[agg["n_docs"] > 1].reset_index()
+        return pd.DataFrame(
+            {
+                "gram": agg["gram"].to_numpy(dtype=object),
+                "n_docs": agg["n_docs"].to_numpy(dtype=np.int64),
+                "n_occ": agg["n_occ"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_gs")
+        .map_groups(reduce_shard, batch_format="pandas")
+    )
