@@ -2270,3 +2270,247 @@ def q_dup_spans(sf_dir: str):
         .groupby("_gs")
         .map_groups(reduce_shard, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup — removal half (rewrite corpus without repeated spans)
+# ---------------------------------------------------------------------------
+
+_BROADCAST_SPAN_LIMIT = 5_000_000
+
+_DEDUP_SPANS_REMOVED_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    gp AS (
+      SELECT doc_id, struct_extract(s, 'p') AS p, struct_extract(s, 'g') AS gram
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l) - {_DUP_SPAN_N} + 2),
+                      i -> {{'p': i, 'g': array_to_string(l[i:i+{_DUP_SPAN_N - 1}], ' ')}})) AS s
+        FROM toks
+      )
+    ),
+    dup AS (SELECT gram FROM gp GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.p + t.off AS p
+      FROM gp g JOIN dup d USING (gram) CROSS JOIN range(0, {_DUP_SPAN_N}) t(off)
+    ),
+    tp AS (
+      SELECT doc_id, struct_extract(s, 'p') AS p, struct_extract(s, 'w') AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l) + 1), i -> {{'p': i, 'w': l[i]}})) AS s
+        FROM toks
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.w FROM tp t
+      LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+      WHERE c.doc_id IS NULL
+    )
+    SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text_clean
+               FROM kept GROUP BY doc_id) k USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id) r USING (doc_id)
+"""
+
+
+def _rebuild_without_spans(
+    ids: np.ndarray, lens: np.ndarray, flat: np.ndarray, dup_start_pos: np.ndarray
+) -> pd.DataFrame:
+    """Rewrite documents with every token covered by a duplicated span
+    removed. ``flat`` is the concatenated token array of the docs (one doc
+    contiguous), ``lens`` the per-doc token counts, ``dup_start_pos`` the
+    GLOBAL flat positions where a duplicated {n}-gram starts. Coverage is a
+    backward window-OR computed as a single running max over dup-start
+    positions (a position p is covered iff the latest dup start at or
+    before it is within n-1 tokens AND inside p's own document — the
+    doc_start guard stops carryover across the contiguous doc boundary).
+    Everything is vectorized; the only per-doc Python work is one
+    ``' '.join`` over each doc's kept tokens."""
+    n = _DUP_SPAN_N
+    npos = len(flat)
+    pos = np.arange(npos, dtype=np.int64)
+    dstart = np.zeros(npos, dtype=bool)
+    if len(dup_start_pos):
+        dstart[dup_start_pos] = True
+    cand = np.where(dstart, pos, np.int64(-1))
+    lastdup = np.maximum.accumulate(cand) if npos else cand
+    ends = np.cumsum(lens)
+    doc_start = np.repeat(ends - lens, lens)
+    covered = (lastdup >= pos - (n - 1)) & (lastdup >= doc_start)
+    doc_of = np.repeat(ids, lens)
+    rem = pd.Series(doc_of[covered]).value_counts()
+    keep = ~covered
+    joined = pd.Series(flat[keep]).groupby(doc_of[keep]).agg(" ".join)
+    id_ser = pd.Series(ids)
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text_clean": id_ser.map(joined).fillna("").to_numpy(dtype=object),
+            "n_removed": id_ser.map(rem).fillna(0).to_numpy(dtype=np.int64),
+        }
+    )
+
+
+def _tokenize_flat(texts: pa.ChunkedArray | pa.Array):
+    toks = pc.split_pattern(texts, pattern=" ")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, lens
+
+
+def _dedup_spans_removed(sf_dir: str):
+    """The REMOVAL half of exact-substring deduplication (Lee et al. 2021):
+    q_dup_spans finds the cross-document repeated {n}-token spans; this
+    pipeline rewrites the corpus with every token covered by such a span
+    deleted, emitting (doc_id, text_clean, n_removed). Reference analogue:
+    D2 dedup-keep-first (arches_rascoll/places.py:61) lifted from whole
+    rows to in-document spans.
+
+    Shape: the duplicated-gram set comes from the same gram-hash 64-shard
+    reduce as q_dup_spans (HAVING n_docs>1 — only the cross-doc repeated
+    spans survive, a tiny fraction of the gram universe). Below
+    ARER_BROADCAST_SPAN_LIMIT grams it broadcasts via ray.put and the
+    rewrite is one map-only pass over the corpus (zero text shuffle).
+    Above the limit, per-doc gram occurrences semi-shard_join against the
+    dup set (string keys), and the covered start positions meet the text in
+    ONE doc_id-sharded shuffle — the corpus ships once, as in the CDC
+    merge, never twice."""
+    dup = q_dup_spans(sf_dir).select_columns(["gram"]).materialize()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    limit = int(os.environ.get("ARER_BROADCAST_SPAN_LIMIT", str(_BROADCAST_SPAN_LIMIT)))
+
+    if dup.count() <= limit:
+        dup_ref = ray.put(frozenset(dup.to_pandas()["gram"]))
+
+        def rewrite(t: pa.Table) -> pd.DataFrame:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            flat, lens = _tokenize_flat(t["text"].combine_chunks())
+            n = _DUP_SPAN_N
+            end_of = np.repeat(np.cumsum(lens), lens)
+            pos = np.arange(len(flat), dtype=np.int64)
+            starts = pos[pos + n <= end_of]
+            if len(starts):
+                gram = flat[starts].astype(object)
+                for j in range(1, n):
+                    gram = gram + " "
+                    gram = gram + flat[starts + j].astype(object)
+                hit = pd.Series(gram).isin(ray.get(dup_ref)).to_numpy()
+                dup_pos = starts[hit]
+            else:
+                dup_pos = np.empty(0, np.int64)
+            return _rebuild_without_spans(ids, lens, flat, dup_pos)
+
+        return ds.map_batches(rewrite, batch_format="pyarrow")
+
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    def gram_positions(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, lens = _tokenize_flat(t["text"].combine_chunks())
+        n = _DUP_SPAN_N
+        end_of = np.repeat(np.cumsum(lens), lens)
+        pos = np.arange(len(flat), dtype=np.int64)
+        starts = pos[pos + n <= end_of]
+        if not len(starts):
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "p": np.empty(0, np.int64),
+                    "gram": np.empty(0, object),
+                }
+            )
+        gram = flat[starts].astype(object)
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[starts + j].astype(object)
+        doc_start = np.repeat(np.cumsum(lens) - lens, lens)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, lens)[starts],
+                "p": starts - doc_start[starts],  # per-doc 0-based start
+                "gram": gram,
+            }
+        )
+
+    pairs = ds.map_batches(gram_positions, batch_format="pyarrow")
+    cov_starts = shard_join(
+        pairs,
+        dup,
+        on="gram",
+        right_on="gram",
+        left_cols=["doc_id", "p", "gram"],
+        right_cols=["gram"],
+        how="semi",
+        num_shards=64,
+        key_type="str",
+    )
+
+    # one doc_id-sharded shuffle carries BOTH the text (kind 0) and the
+    # covered start positions (kind 1) to the same reduce task
+    def tag_docs(df_: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df_["doc_id"].to_numpy(dtype=np.int64),
+                "text": df_["text"].to_numpy(dtype=object),
+                "p": np.full(len(df_), -1, np.int64),
+                "kind": np.zeros(len(df_), np.int8),
+                "_ds": (df_["doc_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32),
+            }
+        )
+
+    def tag_starts(df_: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df_["doc_id"].to_numpy(dtype=np.int64),
+                "text": np.full(len(df_), "", object),
+                "p": df_["p"].to_numpy(dtype=np.int64),
+                "kind": np.ones(len(df_), np.int8),
+                "_ds": (df_["doc_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32),
+            }
+        )
+
+    tagged = ds.map_batches(tag_docs, batch_format="pandas").union(
+        cov_starts.map_batches(tag_starts, batch_format="pandas")
+    )
+
+    def rebuild_shard(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["kind"] == 0]
+        ids = docs["doc_id"].to_numpy(dtype=np.int64)
+        flat, lens = _tokenize_flat(pa.array(docs["text"].to_numpy(dtype=object)))
+        starts = g[g["kind"] == 1]
+        offset = pd.Series(np.cumsum(lens) - lens, index=ids)
+        glob = (
+            starts["doc_id"].map(offset).to_numpy(dtype=np.int64)
+            + starts["p"].to_numpy(dtype=np.int64)
+        )
+        return _rebuild_without_spans(ids, lens, flat, glob)
+
+    return tagged.groupby("_ds").map_groups(rebuild_shard, batch_format="pandas")
+
+
+@register("q_dedup_spans_removed", _DEDUP_SPANS_REMOVED_SQL)
+def q_dedup_spans_removed(sf_dir: str):
+    return _dedup_spans_removed(sf_dir)
+
+
+@register("q_dedup_spans_removed_dist", _DEDUP_SPANS_REMOVED_SQL)
+def q_dedup_spans_removed_dist(sf_dir: str):
+    """q_dedup_spans_removed with the dup-gram broadcast DISABLED
+    (ARER_BROADCAST_SPAN_LIMIT=0): the rewrite runs through the string-key
+    semi shard_join + single doc_id-sharded text shuffle — the route for a
+    dup-span set too large to broadcast — hash-checked against the same
+    DuckDB twin (the forced-path discipline of q_contamination_dist)."""
+    saved = os.environ.get("ARER_BROADCAST_SPAN_LIMIT")
+    os.environ["ARER_BROADCAST_SPAN_LIMIT"] = "0"
+    try:
+        return _dedup_spans_removed(sf_dir)
+    finally:
+        if saved is None:
+            os.environ.pop("ARER_BROADCAST_SPAN_LIMIT", None)
+        else:
+            os.environ["ARER_BROADCAST_SPAN_LIMIT"] = saved
