@@ -2155,6 +2155,45 @@ _REPETITION_SQL = """
 """
 
 
+def _repetition_stats(t: pa.Table) -> pd.DataFrame:
+    """Per-document repetition signals, in input row order: (doc_id, n_tok,
+    dup_word_e3, top2_cover_e3). Shared by q_repetition_score and the
+    composed q_curation pipeline."""
+    toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(ids, lens)
+    words = pd.DataFrame({"doc_id": doc_of, "w": flat})
+    n_uniq = words.groupby("doc_id")["w"].nunique()
+    base = pd.DataFrame({"doc_id": ids, "n_tok": lens})
+    base["n_uniq"] = base["doc_id"].map(n_uniq).fillna(0).astype(np.int64)
+    # word 2-grams: shifted-view concat, masked at doc boundaries
+    if len(flat) > 0:
+        ends = np.repeat(np.cumsum(lens), lens)
+        pos = np.arange(len(flat), dtype=np.int64)
+        ok = pos + 2 <= ends
+        starts = pos[ok]
+    else:
+        starts = np.empty(0, np.int64)
+    if len(starts) > 0:
+        gram = flat[starts].astype(object) + " " + flat[starts + 1].astype(object)
+        g2 = pd.DataFrame({"doc_id": doc_of[starts], "gram": gram})
+        top2 = g2.groupby(["doc_id", "gram"]).size().groupby(level=0).max()
+    else:
+        top2 = pd.Series(dtype=np.int64)
+    base["top2_cnt"] = base["doc_id"].map(top2).fillna(0).astype(np.int64)
+    n_tok = base["n_tok"].to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": base["doc_id"].to_numpy(),
+            "n_tok": n_tok,
+            "dup_word_e3": (1000 * (n_tok - base["n_uniq"].to_numpy())) // n_tok,
+            "top2_cover_e3": (1000 * 2 * base["top2_cnt"].to_numpy()) // n_tok,
+        }
+    )
+
+
 @register("q_repetition_score", _REPETITION_SQL)
 def q_repetition_score(sf_dir: str):
     """Per-document repetition signals for quality filtering — the
@@ -2173,38 +2212,7 @@ def q_repetition_score(sf_dir: str):
     exploded (doc, gram) frame per batch."""
 
     def stats(t: pa.Table) -> pd.DataFrame:
-        toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_of = np.repeat(ids, lens)
-        words = pd.DataFrame({"doc_id": doc_of, "w": flat})
-        n_uniq = words.groupby("doc_id")["w"].nunique()
-        base = pd.DataFrame({"doc_id": ids, "n_tok": lens})
-        base["n_uniq"] = base["doc_id"].map(n_uniq).fillna(0).astype(np.int64)
-        # word 2-grams: shifted-view concat, masked at doc boundaries
-        if len(flat) > 0:
-            ends = np.repeat(np.cumsum(lens), lens)
-            pos = np.arange(len(flat), dtype=np.int64)
-            ok = pos + 2 <= ends
-            starts = pos[ok]
-        else:
-            starts = np.empty(0, np.int64)
-        if len(starts) > 0:
-            gram = flat[starts].astype(object) + " " + flat[starts + 1].astype(object)
-            g2 = pd.DataFrame({"doc_id": doc_of[starts], "gram": gram})
-            top2 = g2.groupby(["doc_id", "gram"]).size().groupby(level=0).max()
-        else:
-            top2 = pd.Series(dtype=np.int64)
-        base["top2_cnt"] = base["doc_id"].map(top2).fillna(0).astype(np.int64)
-        n_tok = base["n_tok"].to_numpy()
-        return pd.DataFrame(
-            {
-                "doc_id": base["doc_id"].to_numpy(),
-                "dup_word_e3": (1000 * (n_tok - base["n_uniq"].to_numpy())) // n_tok,
-                "top2_cover_e3": (1000 * 2 * base["top2_cnt"].to_numpy()) // n_tok,
-            }
-        )
+        return _repetition_stats(t)[["doc_id", "dup_word_e3", "top2_cover_e3"]]
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
@@ -2514,3 +2522,129 @@ def q_dedup_spans_removed_dist(sf_dir: str):
             os.environ.pop("ARER_BROADCAST_SPAN_LIMIT", None)
         else:
             os.environ["ARER_BROADCAST_SPAN_LIMIT"] = saved
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline (filter -> exact dedup -> decontaminate)
+# ---------------------------------------------------------------------------
+
+_CUR_MIN_TOK, _CUR_MAX_TOK, _CUR_MAX_DUP_E3 = 20, 90, 600
+
+_CURATION_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS l FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text, len(l) AS n_tok, len(list_distinct(l)) AS n_uniq FROM toks
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS gram
+      FROM toks WHERE len(l) >= 2
+    ),
+    top2 AS (
+      SELECT doc_id, max(c) AS top2_cnt FROM (
+        SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT b.doc_id, b.text, b.n_tok,
+             CAST((1000 * (b.n_tok - b.n_uniq)) // b.n_tok AS BIGINT) AS dup_word_e3,
+             CAST((1000 * 2 * coalesce(t.top2_cnt, 0)) // b.n_tok AS BIGINT) AS top2_cover_e3
+      FROM base b LEFT JOIN top2 t USING (doc_id)
+    ),
+    filt AS (
+      SELECT * FROM sig
+      WHERE doc_id % 10 <> 7 AND n_tok BETWEEN {_CUR_MIN_TOK} AND {_CUR_MAX_TOK}
+        AND dup_word_e3 <= {_CUR_MAX_DUP_E3}
+    ),
+    kept1 AS (
+      SELECT f.* FROM filt f
+      JOIN (SELECT text, min(doc_id) AS keep_id FROM filt GROUP BY text) m
+        ON f.doc_id = m.keep_id
+    ),
+    cgrams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(l) - {_CONTAM_N} + 2),
+                    i -> array_to_string(l[i:i+{_CONTAM_N - 1}], ' '))) AS gram
+      FROM toks
+    ),
+    eval_grams AS (SELECT DISTINCT gram FROM cgrams WHERE doc_id % 10 = 7),
+    contam AS (
+      SELECT DISTINCT g.doc_id FROM cgrams g JOIN eval_grams e USING (gram)
+      WHERE g.doc_id % 10 <> 7
+    )
+    SELECT CAST(k.doc_id AS BIGINT) AS doc_id, CAST(k.n_tok AS BIGINT) AS n_tok,
+           k.dup_word_e3, k.top2_cover_e3
+    FROM kept1 k LEFT JOIN contam c USING (doc_id) WHERE c.doc_id IS NULL
+"""
+
+
+@register("q_curation", _CURATION_SQL)
+def q_curation(sf_dir: str):
+    """End-to-end training-data curation, composed from the engine's own
+    stages: (1) per-doc quality signals and threshold filter — token count
+    in [{min},{max}], Gopher duplicate-word fraction <= 0.6 — plus eval-split
+    exclusion, all in ONE map pass over the corpus; (2) exact dedup
+    keep-first among the survivors (sha256 shuffle key — text never
+    shuffles); (3) GPT-3-style decontamination — drop any survivor sharing
+    a distinct word 5-gram with the held-out eval split (anti shard_join
+    against the contamination pipeline's hit list). Output: the kept
+    doc_ids with their signals. Reference analogue: the P2 pipeline driver
+    shape (arches_rascoll/ref_collection.py:201-248) — a fixed sequence of
+    the engine's own operators run as one job.
+
+    Scale shape: stage 1 is map-only (the 100-TB pass); stage 2 ships
+    (sha, id, signals) rows only; stage 3's right side is the contaminated
+    id list (bounded by the corpus' overlap with the eval set, int64 keys).
+    Thresholds are module constants so the SQL twin is generated from the
+    same values."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def signals(t: pa.Table) -> pd.DataFrame:
+        out = _repetition_stats(t)
+        out["sha"] = np.asarray(sha256_hex_column(t["text"]), dtype=object)
+        m = (
+            (out["doc_id"].to_numpy() % 10 != 7)
+            & out["n_tok"].between(_CUR_MIN_TOK, _CUR_MAX_TOK).to_numpy()
+            & (out["dup_word_e3"].to_numpy() <= _CUR_MAX_DUP_E3)
+        )
+        out = out[m].reset_index(drop=True)
+        out["_ss"] = (stable_hash64(out["sha"].to_numpy(dtype=object)) % np.uint64(64)).astype(
+            np.int32
+        )
+        return out
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates("sha", ignore_index=True)
+        return g[["doc_id", "n_tok", "dup_word_e3", "top2_cover_e3"]]
+
+    kept = (
+        ds.map_batches(signals, batch_format="pyarrow")
+        .groupby("_ss")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+    contam = _contamination(sf_dir)
+    res = shard_join(
+        kept,
+        contam,
+        on="doc_id",
+        right_on="doc_id",
+        left_cols=["doc_id", "n_tok", "dup_word_e3", "top2_cover_e3"],
+        right_cols=["doc_id"],
+        how="anti",
+        num_shards=64,
+    )
+
+    # plain int64 out (never Int64 extension to the driver)
+    def finalize(df_: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: df_[c].to_numpy(dtype=np.int64) for c in
+             ["doc_id", "n_tok", "dup_word_e3", "top2_cover_e3"]}
+        )
+
+    return res.map_batches(finalize, batch_format="pandas")
