@@ -242,6 +242,117 @@ ORACLE_SQL["cdc_multi_table"] = """
 """
 
 
+def cdc_changefeed(sf_dir: str):
+    """Changefeed between two committed epochs through the REAL engine:
+    first half of the events change stream committed as epoch 1, the rest
+    as epoch 2, then `changefeed(1, 2)` emits one row per user whose live
+    state changed (op I/U/D with before/after images). Oracle: FULL OUTER
+    JOIN of the two LWW horizons in DuckDB."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    avail = max_available_lsn(clog_dir)
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"events_feed_{tag}"), num_partitions=8))
+    eng.apply_epoch(clog_dir, max_events=max(1, avail // 2))  # epoch 1
+    eng.apply_epoch(clog_dir)  # epoch 2 = everything else
+    feed = eng.changefeed(1, 2)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_key": t["repo"],
+                "op": t["op"],
+                "old_event_id": pc.cast(t["old_commit"], pa.int64()),
+                "new_event_id": pc.cast(t["new_commit"], pa.int64()),
+                "new_event_type": t["new_lang"],
+                "new_value_str": pc.cast(t["new_content"], pa.string()),
+            }
+        )
+
+    return feed.map_batches(project, batch_format="pyarrow")
+
+
+QUERIES["cdc_changefeed"] = cdc_changefeed
+ORACLE_SQL["cdc_changefeed"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), old_state AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type, value, lsn,
+               row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+        FROM ordered WHERE lsn <= (SELECT count(*) // 2 FROM events)
+      ) WHERE rn = 1 AND event_type <> 'delete'
+    ), new_state AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, event_type, value, lsn,
+               row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+        FROM ordered
+      ) WHERE rn = 1 AND event_type <> 'delete'
+    )
+    SELECT 'user' || CAST(coalesce(o.user_id, n.user_id) AS VARCHAR) AS user_key,
+           CASE WHEN o.user_id IS NULL THEN 'I'
+                WHEN n.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           CAST(o.event_id AS BIGINT) AS old_event_id,
+           CAST(n.event_id AS BIGINT) AS new_event_id,
+           n.event_type AS new_event_type,
+           CASE WHEN n.user_id IS NULL THEN NULL
+                ELSE printf('%.6f', n.value) END AS new_value_str
+    FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.lsn <> n.lsn
+"""
+
+
+def cdc_incremental_mv(sf_dir: str):
+    """Incrementally-maintained GROUP BY view: replay the events change
+    stream in 4 epochs; after EACH epoch fold only that epoch's changefeed
+    into the view (pipelines/incremental.py) — the view is never recomputed
+    from the table. Output = live-user count and exact int64 sum of the
+    last event id per last event type; the oracle aggregates the final LWW
+    state from scratch, so any drift in the delta fold is a hash mismatch."""
+    from arches_rascoll_etl_ray.pipelines.incremental import IncrementalGroupAgg
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    avail = max_available_lsn(clog_dir)
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"events_mv_{tag}"), num_partitions=8))
+    view = IncrementalGroupAgg(group_col="lang", measure_col="commit")
+    per = max(1, avail // 4)
+    prev = 0
+    while True:
+        ckpt = eng.apply_epoch(clog_dir, max_events=per)
+        if ckpt.epoch == prev:
+            break
+        view.apply(eng.changefeed(prev, ckpt.epoch))
+        prev = ckpt.epoch
+    t = view.to_table()
+    return pa.table(
+        {
+            "group_key": t["group_key"],
+            "n_users": t["n_keys"],
+            "sum_event_id": t["sum_measure"],
+        }
+    )
+
+
+QUERIES["cdc_incremental_mv"] = cdc_incremental_mv
+ORACLE_SQL["cdc_incremental_mv"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    )
+    SELECT event_type AS group_key,
+           count(*) AS n_users,
+           sum(CAST(event_id AS BIGINT)) AS sum_event_id
+    FROM last WHERE rn = 1 AND event_type <> 'delete'
+    GROUP BY event_type
+"""
+
+
 def cdc_replay_synthetic(sf_dir: str):
     """Full F2 synthetic replay (scaled by sf via event count). Rows-only
     driver check; the sha-exactness gate for this path lives in

@@ -1,0 +1,105 @@
+"""Incremental materialized-view maintenance over the changefeed.
+
+A GROUP BY aggregate (live-key count + an int64-sum measure per group) kept
+in sync by folding per-epoch changefeed deltas — the view is NEVER
+recomputed from the full table. Per delta row:
+
+    I:  +1 / +measure  on the new row's group
+    D:  -1 / -measure  on the old row's group
+    U:  -old on the old group, +new on the new group (handles group moves)
+
+Integer arithmetic makes the fold exact and order-independent, so the
+incrementally-maintained view is bit-equal to a from-scratch aggregate of
+the final state (the DuckDB oracle for `cdc_incremental_mv` checks exactly
+that, and tests/test_changefeed.py checks it at EVERY epoch horizon).
+
+Scale shape: the heavy side (the feed) is reduced inside `map_batches` to
+per-batch (group, Δcount, Δsum) partials — one row per group per batch —
+and only those partials reach the driver. The view state itself is bounded
+by group cardinality, which is by definition driver-small for a
+materialized GROUP BY view; a view too big for one machine should be a lake
+table, not this class.
+
+Reference analogue: the reference recomputes its summary CSVs from scratch
+each run (arches_rascoll/ref_collection.py:401-420); this is the
+incremental recast the continuous-CDC north star implies.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+class IncrementalGroupAgg:
+    """count(*) + sum(int64 measure) per group, maintained from changefeed
+    deltas (CDCEngine.changefeed output schema: op, old_*/new_* images)."""
+
+    def __init__(self, group_col: str, measure_col: str):
+        self.group_col = group_col
+        self.measure_col = measure_col
+        # group -> [n_live_keys, sum_measure]
+        self.state: dict[str, list[int]] = {}
+
+    def apply(self, feed: ray.data.Dataset) -> None:
+        """Fold one changefeed into the view."""
+        g, m = self.group_col, self.measure_col
+        new_g, old_g = "new_" + g, "old_" + g
+        new_m, old_m = "new_" + m, "old_" + m
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            add = df[df["op"].isin(("I", "U"))]
+            if len(add):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "grp": add[new_g].to_numpy(),
+                            "d_n": 1,
+                            "d_m": pd.to_numeric(add[new_m]).astype("int64").to_numpy(),
+                        }
+                    )
+                )
+            sub = df[df["op"].isin(("D", "U"))]
+            if len(sub):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "grp": sub[old_g].to_numpy(),
+                            "d_n": -1,
+                            "d_m": -pd.to_numeric(sub[old_m]).astype("int64").to_numpy(),
+                        }
+                    )
+                )
+            if not parts:
+                return pd.DataFrame(
+                    {
+                        "grp": pd.Series([], dtype=object),
+                        "d_n": pd.Series([], dtype="int64"),
+                        "d_m": pd.Series([], dtype="int64"),
+                    }
+                )
+            return pd.concat(parts).groupby("grp", as_index=False).sum()
+
+        # stream the (≤ groups-per-batch)-row partials; the raw feed never
+        # materializes on the driver
+        for batch in feed.map_batches(partials, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        ):
+            for grp, dn, dm in batch[["grp", "d_n", "d_m"]].itertuples(index=False):
+                cur = self.state.setdefault(grp, [0, 0])
+                cur[0] += int(dn)
+                cur[1] += int(dm)
+        # groups with no live keys left drop out of the view
+        self.state = {k: v for k, v in self.state.items() if v[0] != 0}
+
+    def to_table(self) -> pa.Table:
+        keys = sorted(self.state)
+        return pa.table(
+            {
+                "group_key": pa.array(keys, pa.string()),
+                "n_keys": pa.array([self.state[k][0] for k in keys], pa.int64()),
+                "sum_measure": pa.array([self.state[k][1] for k in keys], pa.int64()),
+            }
+        )

@@ -189,6 +189,55 @@ def read_partition_state(cfg: EngineConfig, info: dict) -> list[pa.Table]:
     return tables
 
 
+# --------------------------------------------------------------- changefeed
+
+CHANGEFEED_KEYS = ["repo", "path"]
+
+
+def changefeed_schema(cfg: EngineConfig) -> pa.Schema:
+    """Schema of the delta stream between two committed epochs: the key
+    columns, an op ('I' insert / 'U' update / 'D' delete), and each lake
+    value column twice — its before-image (`old_*`, null for inserts) and
+    after-image (`new_*`, null for deletes)."""
+    lake = empty_lake_table(cfg).schema
+    fields = [pa.field("repo", pa.string()), pa.field("path", pa.string()),
+              pa.field("op", pa.string())]
+    for name in lake.names:
+        if name in CHANGEFEED_KEYS:
+            continue
+        t = lake.field(name).type
+        fields.append(pa.field("old_" + name, t))
+        fields.append(pa.field("new_" + name, t))
+    return pa.schema(fields)
+
+
+def diff_partition_states(cfg: EngineConfig, old: pa.Table, new: pa.Table) -> pa.Table:
+    """Key-aligned diff of one partition's folded state at two horizons.
+
+    A key present only in `new` is an insert; only in `old` a delete; in
+    both with a different `lsn` an update (every applied event bumps the
+    winner's lsn, so lsn inequality IS state change). Same-lsn rows are
+    untouched and emit nothing. Runs inside one per-partition task — both
+    sides are that partition's own state, never another partition's."""
+    val_cols = [c for c in lake_columns(cfg) if c not in CHANGEFEED_KEYS]
+    schema = changefeed_schema(cfg)
+    o = old.select(CHANGEFEED_KEYS + val_cols).to_pandas()
+    o = o.rename(columns={c: "old_" + c for c in val_cols})
+    n = new.select(CHANGEFEED_KEYS + val_cols).to_pandas()
+    n = n.rename(columns={c: "new_" + c for c in val_cols})
+    m = o.merge(n, on=CHANGEFEED_KEYS, how="outer", indicator=True, sort=False)
+    both = m["_merge"].to_numpy() == "both"
+    changed = ~both | (m["old_lsn"].to_numpy() != m["new_lsn"].to_numpy())
+    m = m[changed]
+    merge_tag = m["_merge"].to_numpy()
+    m = m.drop(columns=["_merge"])
+    m["op"] = np.where(merge_tag == "right_only", "I", np.where(merge_tag == "left_only", "D", "U"))
+    m = m.sort_values(CHANGEFEED_KEYS, kind="mergesort")
+    return pa.Table.from_pandas(
+        m[[f.name for f in schema]], schema=schema, preserve_index=False
+    )
+
+
 def _apply_lsm_merge(
     cfg: EngineConfig,
     epoch: int,

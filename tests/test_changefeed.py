@@ -1,0 +1,135 @@
+"""Changefeed + incremental-view conformance.
+
+The changefeed's contract is COMPLETENESS: applying the delta stream
+(a→b) onto the state at `a` must reproduce the state at `b` exactly —
+the downstream-sync property. The incremental view's contract is
+EQUIVALENCE AT EVERY HORIZON: the delta-folded aggregate equals a
+from-scratch aggregate of the snapshot after each epoch, not just the last.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.datagen.changelog_gen import ensure_changelog
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+from arches_rascoll_etl_ray.pipelines.incremental import IncrementalGroupAgg
+
+BASE_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+@pytest.fixture(scope="module")
+def changelog(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clog_feed"))
+    return ensure_changelog(root, num_files=300, num_events=3000, seed=11, num_shards=8)
+
+
+@pytest.fixture(scope="module")
+def engine(changelog, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake_feed"))
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8))
+    eng.replay(changelog, events_per_epoch=1000)  # epochs 1..3
+    return eng
+
+
+def _snap(eng: CDCEngine, epoch=None) -> pd.DataFrame:
+    t = eng.snapshot_table(epoch=epoch).select(BASE_COLS + ["lsn"])
+    return t.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _apply_feed(state: pd.DataFrame, feed: pa.Table) -> pd.DataFrame:
+    """Reference downstream-sync: apply I/U/D rows onto a key-indexed copy."""
+    f = feed.to_pandas()
+    idx = state.set_index(["repo", "path"])
+    dels = f[f["op"] == "D"]
+    idx = idx.drop(index=list(zip(dels["repo"], dels["path"])), errors="raise")
+    ups = f[f["op"].isin(["I", "U"])]
+    new = pd.DataFrame(
+        {
+            "commit": ups["new_commit"].to_numpy(),
+            "lang": ups["new_lang"].to_numpy(),
+            "content": ups["new_content"].to_numpy(),
+            "lsn": ups["new_lsn"].to_numpy(),
+        },
+        index=pd.MultiIndex.from_arrays([ups["repo"], ups["path"]]),
+    )
+    idx = idx.drop(index=new.index, errors="ignore")
+    out = pd.concat([idx, new]).reset_index(names=["repo", "path"])
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)[
+        BASE_COLS + ["lsn"]
+    ]
+
+
+def test_feed_from_empty_is_full_snapshot(engine):
+    feed = engine.changefeed(0).to_arrow_refs()
+    import ray
+
+    feed = pa.concat_tables([ray.get(r) for r in feed], promote_options="permissive")
+    assert set(feed["op"].to_pylist()) <= {"I"}
+    snap = _snap(engine)
+    assert feed.num_rows == len(snap)
+    got = (
+        feed.select(["repo", "path", "new_commit", "new_lang", "new_content"])
+        .rename_columns(["repo", "path", "commit", "lang", "content"])
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, snap[BASE_COLS], check_dtype=False)
+
+
+@pytest.mark.parametrize("a,b", [(1, 2), (2, 3), (1, 3)])
+def test_feed_apply_reconverges(engine, a, b):
+    from arches_rascoll_etl_ray.stages.merge import changefeed_schema
+
+    batches = list(engine.changefeed(a, b).iter_batches(batch_format="pyarrow"))
+    schema = changefeed_schema(engine.cfg)
+    feed = (
+        pa.concat_tables(batches, promote_options="permissive")
+        if batches
+        else pa.table({f.name: pa.array([], f.type) for f in schema})
+    )
+    replayed = _apply_feed(_snap(engine, epoch=a), feed)
+    expected = _snap(engine, epoch=b)
+    pd.testing.assert_frame_equal(replayed, expected, check_dtype=False)
+
+
+def test_quiet_feed_is_empty(engine):
+    assert engine.changefeed(3, 3).count() == 0
+
+
+def test_feed_ops_are_consistent(engine):
+    batches = list(engine.changefeed(1, 3).iter_batches(batch_format="pyarrow"))
+    feed = pa.concat_tables(batches, promote_options="permissive")
+    df = feed.to_pandas()
+    ins = df[df["op"] == "I"]
+    assert ins["old_lsn"].isna().all() and ins["new_lsn"].notna().all()
+    dels = df[df["op"] == "D"]
+    assert dels["new_lsn"].isna().all() and dels["old_lsn"].notna().all()
+    ups = df[df["op"] == "U"]
+    assert (ups["new_lsn"] > ups["old_lsn"]).all()
+    # keys are unique in a feed
+    assert not df.duplicated(["repo", "path"]).any()
+
+
+def test_incremental_view_matches_recompute_at_every_epoch(changelog, tmp_path):
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake_mv"), num_partitions=8))
+    view = IncrementalGroupAgg(group_col="lang", measure_col="lsn")
+    prev = 0
+    while True:
+        ckpt = eng.apply_epoch(changelog, max_events=700)
+        if ckpt.epoch == prev:
+            break
+        view.apply(eng.changefeed(prev, ckpt.epoch))
+        prev = ckpt.epoch
+        snap = eng.snapshot_table().to_pandas()
+        expect = (
+            snap.groupby("lang")
+            .agg(n_keys=("lang", "size"), sum_measure=("lsn", "sum"))
+            .reset_index()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        got = view.to_table().to_pandas().rename(columns={"group_key": "lang"})
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
