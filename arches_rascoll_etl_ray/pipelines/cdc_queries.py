@@ -353,6 +353,51 @@ ORACLE_SQL["cdc_incremental_mv"] = """
 """
 
 
+def cdc_time_travel(sf_dir: str):
+    """AS-OF read through the real engine: replay the events change stream
+    in 4 epochs, then `snapshot_dataset(epoch=2)` — the committed state at
+    the epoch-2 LSN horizon, read from retained checkpoints without any
+    replay. Oracle: the LWW fold of the events table truncated at the same
+    horizon (2 · ⌊n/4⌋ events)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    avail = max_available_lsn(clog_dir)
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"events_tt_{tag}"), num_partitions=8))
+    eng.replay(clog_dir, events_per_epoch=max(1, avail // 4))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_key": t["repo"],
+                "last_event_id": pc.cast(t["commit"], pa.int64()),
+                "last_event_type": t["lang"],
+                "last_value_str": pc.cast(t["content"], pa.string()),
+            }
+        )
+
+    return eng.snapshot_dataset(epoch=2).map_batches(project, batch_format="pyarrow")
+
+
+QUERIES["cdc_time_travel"] = cdc_time_travel
+ORACLE_SQL["cdc_time_travel"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+      WHERE lsn <= least((SELECT count(*) FROM events),
+                         2 * greatest(1, (SELECT count(*) // 4 FROM events)))
+    )
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str
+    FROM last WHERE rn = 1 AND event_type <> 'delete'
+"""
+
+
 def cdc_replay_synthetic(sf_dir: str):
     """Full F2 synthetic replay (scaled by sf via event count). Rows-only
     driver check; the sha-exactness gate for this path lives in

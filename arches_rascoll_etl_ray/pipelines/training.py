@@ -759,6 +759,54 @@ def q_token_count(sf_dir: str):
     return ds.map_batches(count, batch_format="pandas")
 
 
+# PII-masking shape: the operator is a generic RE2 redaction (mask every
+# substring matching a pattern, count the masks, extract the first match).
+# Real deployments pass email/phone/IP patterns; the synthetic corpus has
+# none, so the checked pattern masks '-er' words — the Arrow kernels
+# (replace_substring_regex / count_substring_regex / extract_regex) and
+# DuckDB's regexp_* are BOTH RE2, which is what makes the oracle exact.
+_REDACT_PAT = r"\b\w+er\b"
+_EXTRACT_PAT = r"\b(c\w+)\b"
+
+
+@register(
+    "q_regex_redact",
+    f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_REDACT_PAT}', '<MASK>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) AS BIGINT) AS n_masked,
+           regexp_extract(text, '{_EXTRACT_PAT}', 1) AS first_c_word
+    FROM documents
+    """,
+)
+def q_regex_redact(sf_dir: str):
+    """Regex redaction + extraction over the text column — the PII-masking
+    operator (emails/phones/IPs in a real corpus; see _REDACT_PAT note).
+    Pure zero-copy Arrow compute per batch: replace_substring_regex for the
+    mask, count_substring_regex for the audit count, extract_regex for the
+    first match — no Python-level row loop anywhere."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        # Arrow's extract_regex requires NAMED groups; DuckDB's
+        # regexp_extract(..., 1) addresses the same group by index
+        ext = pc.extract_regex(text, _EXTRACT_PAT.replace("(c", "(?P<m>c"))
+        first = pc.struct_field(ext, "m")
+        # DuckDB's regexp_extract returns '' (not NULL) on no match
+        first = pc.fill_null(first, "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "redacted": pc.replace_substring_regex(text, _REDACT_PAT, "<MASK>"),
+                "n_masked": pc.cast(pc.count_substring_regex(text, _REDACT_PAT), pa.int64()),
+                "first_c_word": first,
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
 _SW = sorted(textfns.STOPWORDS_EN)
 _SW_SQL = ", ".join(f"'{w}'" for w in _SW)
 
