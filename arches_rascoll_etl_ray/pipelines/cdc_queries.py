@@ -353,6 +353,53 @@ ORACLE_SQL["cdc_incremental_mv"] = """
 """
 
 
+def cdc_replicate(sf_dir: str):
+    """Changefeed-driven replication: replay the events change stream into
+    a PRIMARY lake in 3 epochs; after each epoch, render that epoch's
+    changefeed as change events (pipelines.incremental.write_feed_as_changelog)
+    and replay them into a REPLICA lake through the normal upsert engine.
+    The replica's final state must equal the primary's — the oracle is the
+    same LWW SQL that checks the primary (cdc_events_upsert), and
+    tests/test_changefeed.py pins full content-sha equality of the two
+    lakes."""
+    from arches_rascoll_etl_ray.pipelines.incremental import write_feed_as_changelog
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    avail = max_available_lsn(clog_dir)
+    primary = CDCEngine(
+        EngineConfig(lake_dir=_fresh_lake(f"events_repl_p_{tag}"), num_partitions=8)
+    )
+    replica = CDCEngine(
+        EngineConfig(lake_dir=_fresh_lake(f"events_repl_r_{tag}"), num_partitions=8)
+    )
+    feed_dir = _fresh_lake(f"events_repl_wal_{tag}")
+    per = max(1, avail // 3)
+    prev = 0
+    while True:
+        ckpt = primary.apply_epoch(clog_dir, max_events=per)
+        if ckpt.epoch == prev:
+            break
+        write_feed_as_changelog(primary.changefeed(prev, ckpt.epoch), feed_dir, lsn=ckpt.epoch)
+        replica.apply_epoch(feed_dir)
+        prev = ckpt.epoch
+
+    snap = replica.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_replicate"] = cdc_replicate
+ORACLE_SQL["cdc_replicate"] = ORACLE_SQL["cdc_events_upsert"]
+
+
 def cdc_time_travel(sf_dir: str):
     """AS-OF read through the real engine: replay the events change stream
     in 4 epochs, then `snapshot_dataset(epoch=2)` — the committed state at

@@ -32,6 +32,62 @@ import pyarrow as pa
 import ray.data
 
 
+def write_feed_as_changelog(feed: ray.data.Dataset, out_dir: str, lsn: int) -> int:
+    """Render one changefeed as change-event shards a downstream CDCEngine
+    can replay — the replication fan-out (primary lake → WAL → replica
+    lake through the NORMAL upsert path, so the replica inherits the
+    exactly-once manifests).
+
+    Every row of one feed gets the SAME lsn tick: a feed has at most one
+    row per key, so per-key LWW never sees a tie, and successive feeds use
+    increasing ticks. Distributed + retry-idempotent: each task writes its
+    own shard named by its content hash (a retried task rewrites the same
+    bytes to the same name). Returns the lsn tick written.
+
+    Assumes the base (un-evolved) event schema; replicate BEFORE applying
+    an evolution spec on the replica, the same order the primary applied it.
+    """
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from arches_rascoll_etl_ray.functions.hashing import table_content_sha256
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        dels = pa.compute.equal(t["op"], "D")
+        blank = pa.array([""] * t.num_rows, pa.string())
+
+        def img(col: str, typ) -> pa.Array:
+            return pa.compute.if_else(dels, blank.cast(typ), t["new_" + col].cast(typ))
+
+        ev = pa.table(
+            {
+                "lsn": pa.array([lsn] * t.num_rows, pa.int64()),
+                "op": pa.compute.if_else(dels, "D", "U"),
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": img("commit", pa.string()),
+                "lang": img("lang", pa.string()),
+                "content": img("content", pa.large_string()),
+            }
+        )
+        sha = table_content_sha256(ev, ["repo", "path", "commit"])
+        idx = int(sha[:12], 16) % 10**12
+        name = f"changelog-{lsn:012d}-{lsn:012d}-{idx:012d}.parquet"
+        tmp = os.path.join(out_dir, f".tmp-{name}")
+        _pq.write_table(ev, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"rows": pa.array([ev.num_rows], pa.int64())})
+
+    # consume the stats stream to drive the writes; nothing big returns
+    feed.map_batches(write_shard, batch_format="pyarrow").count()
+    return lsn
+
+
 class IncrementalGroupAgg:
     """count(*) + sum(int64 measure) per group, maintained from changefeed
     deltas (CDCEngine.changefeed output schema: op, old_*/new_* images)."""
