@@ -1065,6 +1065,102 @@ def q_join_large(sf_dir: str):
 
 
 @register(
+    "q_full_outer_join",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal >= 0
+    ), ords AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name AS c_name,
+           o.n_orders AS n_orders,
+           o.total_cents AS total_cents
+    FROM cust c FULL OUTER JOIN ords o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_full_outer_join(sf_dir: str):
+    """Full outer join, hash-partitioned via shard_join(how='outer'):
+    unmatched rows from BOTH sides survive null-padded (17 left-only /
+    10 right-only at sf0.001, so both directions are exercised). The heavy
+    side pre-aggregates per key map-side before the shuffle, same
+    discipline as q_join_large."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c_acctbal"], pa.scalar(0.0))).select(
+            ["c_custkey", "c_name"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")))
+        cents = pc.cast(pc.round(pc.multiply(f["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        g = (
+            pa.table({"o_custkey": f["o_custkey"], "total_cents": cents})
+            .group_by(["o_custkey"])
+            .aggregate([("total_cents", "sum"), ("total_cents", "count")])
+        )
+        return g.rename_columns(["o_custkey", "total_cents", "n_orders"])
+
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"]).map_batches(
+        pre, batch_format="pyarrow"
+    )
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    joined = shard_join(
+        cust,
+        ords,
+        on="c_custkey",
+        right_on="o_custkey",
+        left_cols=["c_custkey", "c_name"],
+        right_cols=["o_custkey", "total_cents", "n_orders"],
+        how="outer",
+    )
+
+    def add_gshard(df: pd.DataFrame) -> pd.DataFrame:
+        # custkey is never null post-coalesce (every row carries a key from
+        # one side), so the shard hash is total
+        df["gshard"] = (df["c_custkey"].astype("int64").to_numpy() % 64).astype(np.int32)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # combine the per-batch right-side partials that met at the join; a
+        # key lives in exactly one gshard group so this reduce is global.
+        # count() tracks non-null partials: keys with none (left-only) keep
+        # NULL aggregates, matching FULL OUTER JOIN semantics
+        out = g.groupby("c_custkey", as_index=False).agg(
+            c_name=("c_name", "first"),
+            n_orders=("n_orders", "sum"),
+            total_cents=("total_cents", "sum"),
+            n_present=("n_orders", "count"),
+        )
+        none = out["n_present"].to_numpy() == 0
+        out["n_orders"] = out["n_orders"].astype("Int64").mask(none)
+        out["total_cents"] = out["total_cents"].astype("Int64").mask(none)
+        return out.drop(columns=["n_present"])
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pa.array(df["c_custkey"].astype("Int64"), pa.int64()),
+                "c_name": pa.array(df["c_name"], pa.string()),
+                "n_orders": pa.array(df["n_orders"], pa.int64()),
+                "total_cents": pa.array(df["total_cents"], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(add_gshard, batch_format="pandas")
+        .groupby("gshard")
+        .map_groups(combine, batch_format="pandas")
+        .map_batches(finalize, batch_format="pandas")
+    )
+
+
+@register(
     "q_lang_dict_json",
     """
     SELECT doc_id,

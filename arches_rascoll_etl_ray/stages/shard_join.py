@@ -59,8 +59,13 @@ def shard_join(
     - semi: left rows whose key appears in the right key set (no right
       columns in the output).
     - anti: left rows whose key does NOT appear in the right key set.
+    - outer: full outer — unmatched rows from BOTH sides survive with the
+      other side's columns null; the output key column `on` is coalesced
+      from whichever side had the row. Int keys ride as nullable Int64 in
+      the outer output (a right-only row has no left key, and a float64
+      promotion would corrupt ids above 2^53).
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(f"unsupported how={how!r}")
     if key_type not in ("int", "str"):
         raise ValueError(f"unsupported key_type={key_type!r}")
@@ -124,6 +129,20 @@ def shard_join(
             mask = lg[on].isin(rkeys)
             return lg[mask] if how == "semi" else lg[~mask]
         rg = g[side == 1].reindex(columns=rcols).copy()
+        if how == "outer":
+            if int_keys:
+                # nullable keys on BOTH sides: an unmatched row leaves the
+                # other side's key NA, and int64+NA would promote to float64
+                lg[on] = lg[on].astype("Int64")
+                rg[right_on] = rg[right_on].astype("Int64")
+            merged = lg.merge(
+                rg, left_on=on, right_on=right_on, how="outer", suffixes=("", right_suffix)
+            )
+            rk = right_on if right_on != on else right_on + right_suffix
+            if rk in merged.columns and rk != on:
+                merged[on] = merged[on].fillna(merged[rk])
+                merged = merged.drop(columns=[rk])
+            return merged
         if int_keys:
             rg[right_on] = rg[right_on].fillna(-1).astype(np.int64)
         merged = lg.merge(

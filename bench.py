@@ -124,6 +124,9 @@ def run_queries() -> dict:
         # round-4 additions: decontamination + repetition quality signal
         "q_contamination",
         "q_repetition_score",
+        # round-4 CDC-surface additions: delta-stream + incremental view
+        "cdc_incremental_mv",
+        "q_regex_redact",
     ]
     qs = em.queries()
     out = {}

@@ -20,7 +20,7 @@ def _frames(lk, rk):
 
 
 @pytest.mark.slow
-@given(lk=keys, rk=keys, how=st.sampled_from(["inner", "left", "semi", "anti"]), shards=st.sampled_from([1, 3, 16]))
+@given(lk=keys, rk=keys, how=st.sampled_from(["inner", "left", "semi", "anti", "outer"]), shards=st.sampled_from([1, 3, 16]))
 @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_shard_join_matches_pandas(lk, rk, how, shards):
     left, right = _frames(lk, rk)
@@ -39,6 +39,10 @@ def test_shard_join_matches_pandas(lk, rk, how, shards):
         mask = left["k"].isin(right["rk"])
         want = left[mask] if how == "semi" else left[~mask]
         want = want[["k", "x"]]
+    elif how == "outer":
+        want = left.merge(right, left_on="k", right_on="rk", how="outer")
+        want["k"] = want["k"].astype("Int64").fillna(want["rk"].astype("Int64"))
+        want = want.drop(columns=["rk"])
     else:
         want = left.merge(right, left_on="k", right_on="rk", how=how).drop(columns=["rk"])
     if len(got) == 0:
@@ -46,7 +50,11 @@ def test_shard_join_matches_pandas(lk, rk, how, shards):
         # with the empty expectation is meaningful
         assert len(want) == 0
         return
-    got = got[list(want.columns)].astype({"k": np.int64, "x": np.int64})
+    # outer results carry nullable ints (x is NA on right-only rows)
+    int_t = "Int64" if how == "outer" else np.int64
+    got = got[list(want.columns)].astype({"k": int_t, "x": int_t})
+    if how == "outer":
+        want = want.astype({"k": "Int64", "x": "Int64"})
     sort_cols = list(want.columns)
     want = want.sort_values(sort_cols, kind="mergesort", na_position="last").reset_index(drop=True)
     got = got.sort_values(sort_cols, kind="mergesort", na_position="last").reset_index(drop=True)
