@@ -1501,6 +1501,221 @@ def q_top1_per_group(sf_dir: str):
 
 
 @register(
+    "q_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(sf_dir: str):
+    """Top-k per key (k=3 orders per customer, deterministic tiebreak on
+    orderkey). Per-batch combiner keeps ≤k candidates per key — the only
+    rows that can make the global top-k — then a constant-shard reduce
+    finishes; never a per-key map_groups."""
+    K = 3
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def keep_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("o_custkey", sort=False).head(K)
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df["_cs"] = (df["o_custkey"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = keep_topk(df)
+        rank = df.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "price_cents": np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64),
+                "rank": rank.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(keep_topk, batch_format="pandas", batch_size=32 * 1024)
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("_cs")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+@register(
+    "q_lag_diff",
+    """
+    SELECT user_id, event_id,
+           CAST(ROUND(value * 100) AS BIGINT)
+             - lag(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+    FROM events
+    """,
+)
+def q_lag_diff(sf_dir: str):
+    """Per-key LAG/consecutive-delta (the change-per-event signal): hash-
+    shard by user, ONE vectorized sort + diff per shard with a group-
+    boundary mask — the distributed recast of a LAG window function. A
+    key's whole history lives in one shard, so the diff is globally
+    correct; shard count is constant, so no per-key task explosion."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "ts": df["ts"].to_numpy(),
+                "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        df["_cs"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
+    def diff_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = g["cents"].to_numpy()
+        users = g["user_id"].to_numpy()
+        delta = np.empty(len(g), dtype=np.float64)
+        delta[1:] = cents[1:] - cents[:-1]
+        delta[0] = np.nan
+        if len(g) > 1:
+            delta[1:][users[1:] != users[:-1]] = np.nan
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "event_id": g["event_id"].to_numpy(),
+                "delta_cents": pd.array(delta, dtype="Int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_cs")
+        .map_groups(diff_shard, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_id": t["event_id"],
+                    "delta_cents": t["delta_cents"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+@register(
+    "q_decile_bucket",
+    """
+    WITH th AS (
+      SELECT quantile_disc(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(len(list_filter((SELECT qs FROM th), q -> n_chars > q)) AS BIGINT) AS decile
+    FROM documents
+    """,
+)
+def q_decile_bucket(sf_dir: str):
+    """Global percentile bucketing: EXACT decile thresholds from the
+    bounded value-count histogram (same integer-threshold arithmetic as
+    q_quantiles_exact — smallest value whose cumulative count c satisfies
+    10c ≥ kn, i.e. quantile_disc semantics), broadcast to a second map-only
+    pass that assigns each row its bucket via searchsorted. Two streaming
+    passes; the only driver materialization is 9 integers."""
+    ds = _docs_read(sf_dir)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"v": t["n_chars"]})
+            .group_by(["v"])
+            .aggregate([("v", "count")])
+        )
+        return g.rename_columns(["v", "cnt"])
+
+    hist = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=64 * 1024)
+        .groupby("v")
+        .sum("cnt")
+        .to_pandas()
+    )
+    hist = hist.sort_values("v", kind="mergesort")
+    vals = hist["v"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist["sum(cnt)"].to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+    # smallest value with 10*cum >= k*n  (quantile_disc discrete semantics)
+    thresholds = np.array(
+        [vals[np.searchsorted(cum, (k * n + 9) // 10)] for k in range(1, 10)], dtype=np.int64
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy()
+        # side='left' = count of thresholds strictly below the value, which
+        # is exactly the oracle's len(list_filter(qs, q -> n_chars > q))
+        decile = np.searchsorted(thresholds, nc, side="left")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "decile": pa.array(decile.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _docs_read(sf_dir: str) -> "ray.data.Dataset":
+    import os as _os
+
+    return ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+
+@register(
+    "q_unpivot",
+    """
+    SELECT c_custkey, 'acctbal_cents' AS metric,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS BIGINT) FROM customer
+    """,
+)
+def q_unpivot(sf_dir: str):
+    """Unpivot / melt (wide → long): each input row emits one output row
+    per measure column — a pure map-side widening, no shuffle."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy()
+        n = len(k)
+        cents = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        nk = t["c_nationkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(np.concatenate([k, k])),
+                "metric": pa.array(["acctbal_cents"] * n + ["nationkey"] * n, pa.string()),
+                "value": pa.array(np.concatenate([cents, nk])),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+@register(
     "q_string_agg",
     """
     SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
