@@ -709,6 +709,34 @@ class CDCEngine:
                 h.update(f"{part}:{info['content_sha']}\n".encode())
         return h.hexdigest()
 
+    def lookup(self, repo: str, path: str, epoch: int | None = None) -> pa.Table:
+        """Point read of one key's live row (optionally AS OF an epoch):
+        the key hashes to exactly one partition — the same `key_hash64 % P`
+        the write path uses — so a lookup folds ONE partition's state and
+        never touches the other P-1, O(table/P) instead of O(table).
+        Returns an empty (schema-correct) table when the key is absent or
+        tombstoned. Reference analogue: the reference's per-key dict
+        access after its fold (arches_rascoll/ref_collection.py:142),
+        recast as a partition-pruned lake read."""
+        import numpy as np
+
+        from arches_rascoll_etl_ray.functions.hashing import key_hash64
+        from arches_rascoll_etl_ray.stages.merge import (
+            empty_lake_table,
+            fold_partition_tables,
+            read_partition_state,
+        )
+
+        kh = key_hash64(pa.table({"repo": pa.array([repo]), "path": pa.array([path])}))
+        part = int(kh[0] % np.uint64(self.cfg.num_partitions))
+        info = self.checkpoint(epoch).partitions.get(part)
+        if not info:
+            return empty_lake_table(self.cfg)
+        folded = fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
+        return folded.filter(
+            pc.and_(pc.equal(folded["repo"], repo), pc.equal(folded["path"], path))
+        )
+
     def changefeed(self, from_epoch: int, to_epoch: int | None = None) -> ray.data.Dataset:
         """Delta stream (changefeed) between two committed epochs: one row
         per key whose live state changed, op ∈ {'I','U','D'}, with before-

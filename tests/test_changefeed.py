@@ -113,6 +113,68 @@ def test_feed_ops_are_consistent(engine):
     assert not df.duplicated(["repo", "path"]).any()
 
 
+def test_lookup_point_read(engine):
+    """lookup() folds exactly one partition and must agree with the full
+    snapshot row-for-row, including absence after deletes."""
+    snap = engine.snapshot_table().to_pandas()
+    some = snap.sample(5, random_state=7)
+    for _, row in some.iterrows():
+        got = engine.lookup(row["repo"], row["path"])
+        assert got.num_rows == 1
+        assert got["commit"][0].as_py() == row["commit"]
+        assert got["content"][0].as_py() == row["content"]
+    assert engine.lookup("no-such-repo", "nope").num_rows == 0
+    # AS-OF: a key's epoch-1 state can differ from its latest
+    old = engine.snapshot_table(epoch=1).to_pandas().set_index(["repo", "path"])
+    k = some.iloc[0]
+    got_old = engine.lookup(k["repo"], k["path"], epoch=1)
+    if (k["repo"], k["path"]) in old.index:
+        assert got_old.num_rows == 1
+        assert got_old["commit"][0].as_py() == old.loc[(k["repo"], k["path"]), "commit"]
+    else:
+        assert got_old.num_rows == 0
+
+
+def test_changefeed_across_compaction_is_empty(changelog, tmp_path):
+    """Compaction rewrites files but not state: the feed across a
+    compaction epoch must be EMPTY (no key's lsn changed)."""
+    eng = CDCEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake_lsm"),
+            num_partitions=8,
+            merge_mode="lsm",
+            lsm_compact_threshold=100,  # keep runs pending until explicit compact
+        )
+    )
+    eng.replay(changelog, events_per_epoch=1000)
+    pre = eng.checkpoint().epoch
+    assert eng.compact() > 0
+    post = eng.checkpoint().epoch
+    assert post == pre + 1
+    assert eng.changefeed(pre, post).count() == 0
+
+
+def test_changefeed_emits_evolved_columns(changelog, tmp_path):
+    """With an evolution spec active, the feed's old_/new_ images use the
+    EVOLVED column names, same projection rule as every other read."""
+    from arches_rascoll_etl_ray.config import AddColumn, EvolutionSpec
+
+    spec = EvolutionSpec(
+        version=2,
+        renames={"lang": "language"},
+        adds=(AddColumn(name="size_bytes", type="int64", default=None),),
+        computed=(),
+    )
+    eng = CDCEngine(
+        EngineConfig(lake_dir=str(tmp_path / "lake_evo"), num_partitions=4, evolution=spec)
+    )
+    eng.replay(changelog, events_per_epoch=1500)
+    batches = list(eng.changefeed(0).iter_batches(batch_format="pyarrow"))
+    cols = set(batches[0].column_names)
+    assert {"old_language", "new_language", "old_size_bytes", "new_size_bytes"} <= cols
+    assert "old_lang" not in cols
+
+
 def test_replication_reconverges_sha_exact(changelog, tmp_path):
     """Primary → changefeed → WAL render → replica upsert replay: the two
     lakes' content digests must be identical after every replicated epoch
