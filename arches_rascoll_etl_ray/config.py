@@ -197,5 +197,11 @@ class EngineConfig:
     # compute the per-partition content sha256 in each manifest (lineage);
     # costs one hash pass per rewritten partition.
     manifest_content_sha: bool = True
+    # route malformed events (unknown op, null key column, null lsn) to
+    # <lake>/_quarantine/ instead of folding them as data (an unknown op is
+    # otherwise "not a delete", i.e. silently an upsert). Read back via
+    # CDCEngine.quarantine_dataset(). Off by default: a trusted producer
+    # shouldn't pay the per-batch validity mask.
+    quarantine_invalid: bool = False
     # test-only: enable the one-shot merge fault hook (see stages/merge.py)
     fault_injection: bool = False

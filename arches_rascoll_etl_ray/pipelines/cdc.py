@@ -709,6 +709,21 @@ class CDCEngine:
                 h.update(f"{part}:{info['content_sha']}\n".encode())
         return h.hexdigest()
 
+    def quarantine_dataset(self) -> ray.data.Dataset:
+        """The dead-letter table: malformed events routed aside by
+        `EngineConfig.quarantine_invalid` (raw event schema, never folded).
+        Empty (schema-correct) when nothing was quarantined."""
+        import glob as _glob
+
+        from arches_rascoll_etl_ray.config import EVENT_SCHEMA
+
+        files = sorted(_glob.glob(os.path.join(self.cfg.lake_dir, "_quarantine", "*.parquet")))
+        if not files:
+            return ray.data.from_arrow(
+                pa.table({f.name: pa.array([], f.type) for f in EVENT_SCHEMA})
+            )
+        return ray.data.read_parquet(files)
+
     def lookup(self, repo: str, path: str, epoch: int | None = None) -> pa.Table:
         """Point read of one key's live row (optionally AS OF an epoch):
         the key hashes to exactly one partition — the same `key_hash64 % P`

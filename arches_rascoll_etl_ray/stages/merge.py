@@ -571,6 +571,13 @@ def make_multi_epoch_spill_fn(
         if batch.num_rows == 0:
             return pa.Table.from_pylist([], schema=_MULTI_SPILL_STATS_SCHEMA)
 
+        if cfg.quarantine_invalid:
+            from arches_rascoll_etl_ray.stages.normalize import quarantine_invalid_rows
+
+            batch = quarantine_invalid_rows(batch, cfg.lake_dir)
+            if batch.num_rows == 0:
+                return pa.Table.from_pylist([], schema=_MULTI_SPILL_STATS_SCHEMA)
+
         if cfg.row_filter is not None:
             from arches_rascoll_etl_ray.stages.normalize import apply_row_filter
 

@@ -33,6 +33,51 @@ from arches_rascoll_etl_ray.functions.hashing import key_hash64
 KEY_COLUMNS = ("repo", "path")
 META_COLUMNS = ("_key", "_kh", "_part", "_salt")
 
+VALID_OPS = ("I", "U", "D")
+
+
+def quarantine_invalid_rows(batch: pa.Table, lake_dir: str) -> pa.Table:
+    """Dead-letter routing: split off events that can never merge correctly
+    — unknown `op`, null key column, or null `lsn` — write them to
+    ``<lake>/_quarantine/`` and return only the valid rows. Without this a
+    malformed producer row would silently fold as data (an unknown op is
+    'not a delete', i.e. an upsert).
+
+    All-valid batches (the overwhelming path) pay one vectorized mask and
+    zero I/O. Quarantine files are content-hash-named, so a retried task
+    rewrites identical bytes (atomic replace) — same idempotency contract
+    as the spill pieces. Read back via CDCEngine.quarantine_dataset()."""
+    if batch.num_rows == 0:
+        return batch
+    ok = pc.and_kleene(
+        pc.is_in(batch["op"], value_set=pa.array(list(VALID_OPS))),
+        pc.and_kleene(
+            pc.and_kleene(pc.is_valid(batch["repo"]), pc.is_valid(batch["path"])),
+            pc.is_valid(batch["lsn"]),
+        ),
+    )
+    ok = pc.fill_null(ok, False)
+    if pc.all(ok).as_py():
+        return batch
+    import hashlib
+    import io
+    import os
+
+    import pyarrow.parquet as _pq
+
+    bad = batch.filter(pc.invert(ok))
+    buf = io.BytesIO()
+    _pq.write_table(bad, buf)
+    payload = buf.getvalue()
+    name = f"quarantine-{hashlib.sha256(payload).hexdigest()[:16]}.parquet"
+    qdir = os.path.join(lake_dir, "_quarantine")
+    os.makedirs(qdir, exist_ok=True)
+    tmp = os.path.join(qdir, f".tmp-{name}-{os.getpid()}")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, os.path.join(qdir, name))
+    return batch.filter(ok)
+
 
 def evolved_base_columns(spec: EvolutionSpec | None) -> list[str]:
     """Names of the lake's payload columns under the current spec."""
@@ -166,6 +211,8 @@ def make_normalize_fn(cfg: EngineConfig) -> Callable[[pa.Table], pa.Table]:
     row_filter = cfg.row_filter
 
     def normalize(batch: pa.Table) -> pa.Table:
+        if cfg.quarantine_invalid:
+            batch = quarantine_invalid_rows(batch, cfg.lake_dir)
         batch = apply_row_filter(batch, row_filter)
         batch = apply_evolution(batch, spec)
         # NOTE: the content_sha lineage column is computed at MERGE time on
