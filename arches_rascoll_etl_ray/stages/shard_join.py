@@ -50,6 +50,7 @@ def shard_join(
     num_shards: int = _DEFAULT_SHARDS,
     right_suffix: str = "_r",
     key_type: str = "int",
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """Equi-join on int64 keys (``key_type="int"``) or string keys
     (``key_type="str"``). ``how`` ∈ {"inner", "left", "semi", "anti"}.
@@ -64,20 +65,36 @@ def shard_join(
       from whichever side had the row. Int keys ride as nullable Int64 in
       the outer output (a right-only row has no left key, and a float64
       promotion would corrupt ids above 2^53).
+
+    ``salt`` > 1 is the hot-key (skew) mode: each LEFT row lands in one of
+    `salt` sub-shards of its key (spread by a second hash so one hot key's
+    rows split ~evenly) while each RIGHT row is REPLICATED to all `salt`
+    sub-shards — so a key whose left side is 10^8 rows no longer serializes
+    one task. Replication factor on the right is exactly `salt`; size it to
+    the observed skew (2–16), not the shard count. Correct for
+    inner/left/semi/anti (every left row meets its key's full right set
+    exactly once); rejected for outer, where a right row's "unmatched"
+    status cannot be decided inside one sub-shard.
     """
     if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(f"unsupported how={how!r}")
     if key_type not in ("int", "str"):
         raise ValueError(f"unsupported key_type={key_type!r}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if salt > 1 and how == "outer":
+        raise ValueError("salt > 1 is not supported for how='outer'")
     int_keys = key_type == "int"
 
-    def _shard_of(s: pd.Series) -> np.ndarray:
+    def _key_hash(s: pd.Series) -> np.ndarray:
         if int_keys:
-            k = s.to_numpy(dtype=np.int64)
-            return (k.astype(np.uint64) % np.uint64(num_shards)).astype(np.int32)
+            return s.to_numpy(dtype=np.int64).astype(np.uint64)
         from arches_rascoll_etl_ray.functions.hashing import stable_hash64
 
-        return (stable_hash64(s.to_numpy(dtype=object)) % np.uint64(num_shards)).astype(np.int32)
+        return stable_hash64(s.to_numpy(dtype=object))
+
+    def _shard_of(s: pd.Series) -> np.ndarray:
+        return (_key_hash(s) % np.uint64(num_shards)).astype(np.int32)
 
     def _null_safe_ints(out: pd.DataFrame) -> pd.DataFrame:
         # EVERY int column (keys included — when on != right_on each side's
@@ -94,18 +111,33 @@ def shard_join(
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df[left_cols].copy()
-        shard = _shard_of(out[on])
+        shard = _shard_of(out[on]).astype(np.int64)
         out = _null_safe_ints(out)
         out["_side"] = np.int8(0)
-        out["_shard"] = shard
+        if salt > 1:
+            # spread rows (not keys) round-robin across the key's sub-shards
+            # — a hot key's rows split ~evenly; any sub assignment yields
+            # the same join output, so batching-dependent cycling is fine
+            sub = np.arange(len(out), dtype=np.int64) % salt
+            out["_shard"] = (shard * salt + sub).astype(np.int32)
+        else:
+            out["_shard"] = shard.astype(np.int32)
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = df[right_cols].copy()
-        shard = _shard_of(out[right_on])
+        shard = _shard_of(out[right_on]).astype(np.int64)
         out = _null_safe_ints(out)
         out["_side"] = np.int8(1)
-        out["_shard"] = shard
+        if salt > 1:
+            # replicate every right row to all `salt` sub-shards of its key
+            reps = []
+            for sub in range(salt):
+                r = out.copy()
+                r["_shard"] = (shard * salt + sub).astype(np.int32)
+                reps.append(r)
+            return pd.concat(reps, ignore_index=True)
+        out["_shard"] = shard.astype(np.int32)
         return out
 
     lcols = list(left_cols)

@@ -20,9 +20,15 @@ def _frames(lk, rk):
 
 
 @pytest.mark.slow
-@given(lk=keys, rk=keys, how=st.sampled_from(["inner", "left", "semi", "anti", "outer"]), shards=st.sampled_from([1, 3, 16]))
+@given(
+    lk=keys,
+    rk=keys,
+    how=st.sampled_from(["inner", "left", "semi", "anti", "outer"]),
+    shards=st.sampled_from([1, 3, 16]),
+    salt=st.sampled_from([1, 2, 4]),
+)
 @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
-def test_shard_join_matches_pandas(lk, rk, how, shards):
+def test_shard_join_matches_pandas(lk, rk, how, shards, salt):
     left, right = _frames(lk, rk)
     got = shard_join(
         ray.data.from_pandas(left),
@@ -33,6 +39,7 @@ def test_shard_join_matches_pandas(lk, rk, how, shards):
         right_cols=["rk", "t"],
         how=how,
         num_shards=shards,
+        salt=1 if how == "outer" else salt,  # salted outer is rejected
     ).to_pandas()
 
     if how in ("semi", "anti"):
