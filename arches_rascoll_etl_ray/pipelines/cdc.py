@@ -739,7 +739,6 @@ class CDCEngine:
         from arches_rascoll_etl_ray.stages.merge import (
             empty_lake_table,
             fold_partition_tables,
-            read_partition_state,
         )
 
         kh = key_hash64(pa.table({"repo": pa.array([repo]), "path": pa.array([path])}))
@@ -747,7 +746,22 @@ class CDCEngine:
         info = self.checkpoint(epoch).partitions.get(part)
         if not info:
             return empty_lake_table(self.cfg)
-        folded = fold_partition_tables(self.cfg, read_partition_state(self.cfg, info))
+        # predicate pushdown: partition files are key-sorted, so the key's
+        # rows sit in one row group — the filtered read prunes the rest via
+        # parquet statistics. LWW-folding only this key's rows is exact
+        # (the fold is per-key).
+        import pyarrow.parquet as _pq
+
+        filters = [("repo", "=", repo), ("path", "=", path)]
+        tables = []
+        names = ([info["data_file"]] if info.get("data_file") else []) + list(
+            info.get("runs") or []
+        )
+        for name in names:
+            tables.append(
+                _pq.read_table(os.path.join(self.cfg.lake_dir, name), filters=filters)
+            )
+        folded = fold_partition_tables(self.cfg, tables)
         return folded.filter(
             pc.and_(pc.equal(folded["repo"], repo), pc.equal(folded["path"], path))
         )

@@ -1617,6 +1617,46 @@ def q_lag_diff(sf_dir: str):
 
 
 @register(
+    "q_rank_in_group",
+    """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rank
+    FROM events
+    """,
+)
+def q_rank_in_group(sf_dir: str):
+    """Per-key ROW_NUMBER ranking (every row, not just top-k): hash-shard
+    by key, ONE vectorized sort + cumcount per shard — the same
+    constant-shard recast as q_lag_diff; a key's rows co-locate so the
+    rank is globally correct."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "event_id", "value"]].copy()
+        df["_cs"] = (df["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return df
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        rank = g.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "rank": rank.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_cs")
+        .map_groups(rank_shard, batch_format="pandas")
+    )
+
+
+@register(
     "q_decile_bucket",
     """
     WITH th AS (
