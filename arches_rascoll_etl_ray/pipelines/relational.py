@@ -1035,33 +1035,28 @@ def q_join_large(sf_dir: str):
         how="inner",
     )
 
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            revenue_e4=df["revenue_e4"].astype(np.int64), date_us=df["date_us"].astype(np.int64)
+    def reduce_block(g: pd.DataFrame) -> pa.Table:
+        # l_orderkey is the join key, so it co-locates in exactly ONE
+        # shard_join shard; batch_size=None keeps each shard's output block
+        # whole, making this block-local reduce globally correct — the
+        # former second (gshard) shuffle was redundant (halved wall time).
+        g = g.assign(
+            revenue_e4=g["revenue_e4"].astype(np.int64), date_us=g["date_us"].astype(np.int64)
         )
-        df["gshard"] = (df["l_orderkey"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
-        return df
-
-    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["l_orderkey", "date_us"], as_index=False).agg(
+        out = g.groupby(["l_orderkey", "date_us"], as_index=False).agg(
             revenue_e4=("revenue_e4", "sum")
         )
-
-    return (
-        joined.map_batches(add_shard, batch_format="pandas")
-        .groupby("gshard")
-        .map_groups(reduce_shard, batch_format="pandas")
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "l_orderkey": t["l_orderkey"],
-                    "o_orderdate": pc.cast(t["date_us"], pa.timestamp("us")),
-                    "revenue_e4": t["revenue_e4"],
-                }
-            ),
-            batch_format="pyarrow",
+        return pa.table(
+            {
+                "l_orderkey": pa.array(out["l_orderkey"].to_numpy(dtype=np.int64)),
+                "o_orderdate": pa.array(out["date_us"].to_numpy(dtype=np.int64)).cast(
+                    pa.timestamp("us")
+                ),
+                "revenue_e4": pa.array(out["revenue_e4"].to_numpy(dtype=np.int64)),
+            }
         )
-    )
+
+    return joined.map_batches(reduce_block, batch_format="pandas", batch_size=None)
 
 
 @register(
@@ -1120,17 +1115,13 @@ def q_full_outer_join(sf_dir: str):
         how="outer",
     )
 
-    def add_gshard(df: pd.DataFrame) -> pd.DataFrame:
-        # custkey is never null post-coalesce (every row carries a key from
-        # one side), so the shard hash is total
-        df["gshard"] = (df["c_custkey"].astype("int64").to_numpy() % 64).astype(np.int32)
-        return df
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        # combine the per-batch right-side partials that met at the join; a
-        # key lives in exactly one gshard group so this reduce is global.
+    def combine(g: pd.DataFrame) -> pa.Table:
+        # combine the per-batch right-side partials that met at the join.
+        # The join key co-locates in exactly ONE shard_join shard, and
+        # batch_size=None keeps each shard's output block whole, so this
+        # block-local reduce is globally correct — no second shuffle.
         # count() tracks non-null partials: keys with none (left-only) keep
-        # NULL aggregates, matching FULL OUTER JOIN semantics
+        # NULL aggregates, matching FULL OUTER JOIN semantics.
         out = g.groupby("c_custkey", as_index=False).agg(
             c_name=("c_name", "first"),
             n_orders=("n_orders", "sum"),
@@ -1140,24 +1131,16 @@ def q_full_outer_join(sf_dir: str):
         none = out["n_present"].to_numpy() == 0
         out["n_orders"] = out["n_orders"].astype("Int64").mask(none)
         out["total_cents"] = out["total_cents"].astype("Int64").mask(none)
-        return out.drop(columns=["n_present"])
-
-    def finalize(df: pd.DataFrame) -> pa.Table:
         return pa.table(
             {
-                "custkey": pa.array(df["c_custkey"].astype("Int64"), pa.int64()),
-                "c_name": pa.array(df["c_name"], pa.string()),
-                "n_orders": pa.array(df["n_orders"], pa.int64()),
-                "total_cents": pa.array(df["total_cents"], pa.int64()),
+                "custkey": pa.array(out["c_custkey"].astype("Int64"), pa.int64()),
+                "c_name": pa.array(out["c_name"], pa.string()),
+                "n_orders": pa.array(out["n_orders"], pa.int64()),
+                "total_cents": pa.array(out["total_cents"], pa.int64()),
             }
         )
 
-    return (
-        joined.map_batches(add_gshard, batch_format="pandas")
-        .groupby("gshard")
-        .map_groups(combine, batch_format="pandas")
-        .map_batches(finalize, batch_format="pandas")
-    )
+    return joined.map_batches(combine, batch_format="pandas", batch_size=None)
 
 
 @register(
