@@ -533,6 +533,64 @@ def q_anti_join_shuffle(sf_dir: str):
 
 
 @register(
+    "q_semi_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def q_semi_join(sf_dir: str):
+    """Distributed semi join (EXISTS — the complement of q_anti_join),
+    routed through shard_join(how='semi') unconditionally: left rows whose
+    key appears in the right key set survive exactly once (duplicate right
+    keys collapse inside the shard mask), then a per-batch count partial
+    feeds a tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def big_keys(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["o_totalprice"], pa.scalar(450000.0)))
+        return pa.table({"o_custkey": f["o_custkey"]})
+
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        big_keys, batch_format="pyarrow"
+    )
+    kept = shard_join(
+        cust,
+        big,
+        on="c_custkey",
+        right_on="o_custkey",
+        left_cols=["c_custkey", "c_nationkey"],
+        right_cols=["o_custkey"],
+        how="semi",
+    )
+
+    def pre_count(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("c_custkey", "size")
+        )
+        return pd.DataFrame(
+            {
+                "c_nationkey": out["c_nationkey"].to_numpy(dtype=np.int64),
+                "n_customers": out["n_customers"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        kept.map_batches(pre_count, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+@register(
     "q_asof_join",
     """
     SELECT p.event_id AS purchase_id, p.user_id,

@@ -7,6 +7,7 @@ EQUIVALENCE AT EVERY HORIZON: the delta-folded aggregate equals a
 from-scratch aggregate of the snapshot after each epoch, not just the last.
 """
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -173,6 +174,37 @@ def test_changefeed_emits_evolved_columns(changelog, tmp_path):
     cols = set(batches[0].column_names)
     assert {"old_language", "new_language", "old_size_bytes", "new_size_bytes"} <= cols
     assert "old_lang" not in cols
+
+
+def test_changefeed_across_evolution_boundary(changelog, tmp_path):
+    """Feed between an epoch committed under spec v1 and one committed
+    under spec v2: both horizons project through the CURRENT spec, so the
+    diff is well-formed and matches a snapshot-level diff exactly."""
+    from arches_rascoll_etl_ray.config import EvolutionSpec
+
+    lake = str(tmp_path / "lake_evo_feed")
+    e1 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4, evolution=None))
+    e1.apply_epoch(changelog, max_events=1500)  # epoch 1, spec v1
+    spec = EvolutionSpec(version=2, renames={"lang": "language"}, adds=(), computed=())
+    e2 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4, evolution=spec))
+    e2.apply_epoch(changelog)  # epoch 2, spec v2
+
+    batches = list(e2.changefeed(1, 2).iter_batches(batch_format="pyarrow"))
+    feed = pa.concat_tables(batches, promote_options="permissive").to_pandas()
+    assert "new_language" in feed.columns and "old_language" in feed.columns
+
+    # snapshot-level diff (both horizons read through v2) must agree on the
+    # changed-key set and ops
+    s1 = e2.snapshot_table(epoch=1).to_pandas().set_index(["repo", "path"])["lsn"]
+    s2 = e2.snapshot_table(epoch=2).to_pandas().set_index(["repo", "path"])["lsn"]
+    joined = pd.concat([s1.rename("a"), s2.rename("b")], axis=1)
+    changed = joined[joined["a"].isna() | joined["b"].isna() | (joined["a"] != joined["b"])]
+    expect_ops = np.where(
+        changed["a"].isna(), "I", np.where(changed["b"].isna(), "D", "U")
+    )
+    got = feed.set_index(["repo", "path"])["op"].sort_index()
+    want = pd.Series(expect_ops, index=changed.index, name="op").sort_index()
+    pd.testing.assert_series_equal(got, want)
 
 
 def test_replication_reconverges_sha_exact(changelog, tmp_path):
