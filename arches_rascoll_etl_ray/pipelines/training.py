@@ -1993,6 +1993,72 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+_HLL_GROUP_SQL_TEMPLATE = """
+    WITH h AS (
+      SELECT event_type, {SPLITMIX} AS hv FROM events
+    ),
+    parts AS (
+      SELECT event_type, hv >> 52 AS reg,
+             65 - length(ltrim(bin(
+               CAST(CAST(hv % 4503599627370496 AS HUGEINT) * 4096 + 4095 AS UBIGINT)
+             ), '0')) AS rho
+      FROM h
+    )
+    SELECT event_type, CAST(reg AS BIGINT) AS register, CAST(MAX(rho) AS BIGINT) AS value
+    FROM parts GROUP BY event_type, reg
+"""
+
+
+def _hll_group_sql() -> str:
+    return _HLL_GROUP_SQL_TEMPLATE.replace("{SPLITMIX}", _splitmix64_sql("user_id"))
+
+
+@register("q_hll_by_group", _hll_group_sql())
+def q_hll_by_group(sf_dir: str):
+    """GROUPED approximate-distinct sketch (distinct users per event type),
+    register-state oracled: per-(batch, group) HLL sketches over the
+    vectorized splitmix64 user hash collapse map-side to one 4 KiB register
+    row per group per batch, then merge per group (elementwise max). The
+    group column's cardinality IS the sketch-table size — driver-small by
+    definition — so grouping by it directly is bounded; the heavy side
+    (events) never shuffles, only sketch rows do. The DuckDB twin
+    recomputes the identical registers via the generated HUGEINT
+    splitmix64, so this is integer-exact like q_hll_registers."""
+    from arches_rascoll_etl_ray.functions.hashing import splitmix64
+    from arches_rascoll_etl_ray.functions.sketches import hll_merge, hll_sketch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        etypes, blobs = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            h = splitmix64(g["user_id"].to_numpy(dtype=np.int64))
+            etypes.append(et)
+            blobs.append(hll_sketch(h).tobytes())
+        return pd.DataFrame({"event_type": etypes, "regs": blobs})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros(1 << 12, dtype=np.uint8)
+        for b in g["regs"]:
+            m = hll_merge(m, np.frombuffer(b, dtype=np.uint8))
+        nz = np.flatnonzero(m)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(nz),
+                "register": nz.astype(np.int64),
+                "value": m[nz].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(sketch, batch_format="pandas", batch_size=64 * 1024)
+        .groupby("event_type")
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark-contamination detection (decontamination)
 # ---------------------------------------------------------------------------
