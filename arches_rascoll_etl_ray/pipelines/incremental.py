@@ -159,3 +159,54 @@ class IncrementalGroupAgg:
                 "sum_measure": pa.array([self.state[k][1] for k in keys], pa.int64()),
             }
         )
+
+    # ------------------------------------------------- cross-run persistence
+
+    applied_epoch: int = 0
+
+    def save(self, path: str) -> None:
+        """Persist the view state + applied-epoch watermark (atomic JSON),
+        so the NEXT run folds only the epochs committed since."""
+        import json
+        import os
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "group_col": self.group_col,
+                    "measure_col": self.measure_col,
+                    "applied_epoch": self.applied_epoch,
+                    "state": self.state,
+                },
+                f,
+            )
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "IncrementalGroupAgg":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        view = cls(d["group_col"], d["measure_col"])
+        view.state = {k: [int(a), int(b)] for k, (a, b) in d["state"].items()}
+        view.applied_epoch = int(d["applied_epoch"])
+        return view
+
+
+def sync_view(engine, view: IncrementalGroupAgg, store_path: str | None = None) -> IncrementalGroupAgg:
+    """Catch a view up to the engine's latest committed epoch by folding
+    ONLY the changefeed since the view's applied-epoch watermark — the
+    cross-run continuation of incremental maintenance. With `store_path`,
+    the updated state is persisted atomically after the fold, so a crashed
+    sync re-folds the same feed from the old watermark (the fold of a
+    diff between the same two horizons is deterministic, and the save is
+    all-or-nothing)."""
+    latest = engine.checkpoint().epoch
+    if latest > view.applied_epoch:
+        view.apply(engine.changefeed(view.applied_epoch, latest))
+        view.applied_epoch = latest
+        if store_path is not None:
+            view.save(store_path)
+    return view

@@ -230,6 +230,49 @@ def test_replication_reconverges_sha_exact(changelog, tmp_path):
     assert prev >= 3  # the loop really replicated multiple epochs
 
 
+def test_view_sync_across_runs(changelog, tmp_path):
+    """A persisted view resumes from its applied-epoch watermark: the
+    second sync folds only the NEW epochs' deltas, and a reloaded view is
+    byte-equal to the live one."""
+    from arches_rascoll_etl_ray.pipelines.incremental import (
+        IncrementalGroupAgg,
+        sync_view,
+    )
+
+    lake = str(tmp_path / "lake_sync")
+    store = str(tmp_path / "view.json")
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8))
+    eng.apply_epoch(changelog, max_events=1200)  # epoch 1
+
+    view = IncrementalGroupAgg("lang", "lsn")
+    sync_view(eng, view, store)
+    assert view.applied_epoch == 1
+
+    eng.apply_epoch(changelog, max_events=1200)  # epoch 2
+    eng.apply_epoch(changelog)  # epoch 3 (rest)
+
+    # "next run": reload from disk, catch up only epochs 2..3
+    view2 = IncrementalGroupAgg.load(store)
+    assert view2.applied_epoch == 1 and view2.state == view.state
+    sync_view(eng, view2, store)
+    assert view2.applied_epoch == 3
+
+    snap = eng.snapshot_table().to_pandas()
+    expect = (
+        snap.groupby("lang")
+        .agg(n_keys=("lang", "size"), sum_measure=("lsn", "sum"))
+        .reset_index()
+        .rename(columns={"lang": "group_key"})
+        .sort_values("group_key")
+        .reset_index(drop=True)
+    )
+    got = view2.to_table().to_pandas()
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # and the persisted copy equals the live one
+    view3 = IncrementalGroupAgg.load(store)
+    assert view3.state == view2.state and view3.applied_epoch == 3
+
+
 def test_incremental_view_matches_recompute_at_every_epoch(changelog, tmp_path):
     eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake_mv"), num_partitions=8))
     view = IncrementalGroupAgg(group_col="lang", measure_col="lsn")
