@@ -490,3 +490,55 @@ def cdc_evolution_replay(sf_dir: str):
 
 
 QUERIES["cdc_evolution_replay"] = cdc_evolution_replay
+
+
+def cdc_secondary_index(sf_dir: str):
+    """Secondary-index lookup through the real engine: replay the events
+    change stream into the lake in 3 epochs, keep a changefeed-maintained
+    inverted index on the `lang` column (event_type) in sync after EVERY
+    epoch — so the query exercises incremental maintenance, not a one-shot
+    build — then answer "all live users whose last event was a click" by
+    reading ONE index partition for the key list and folding only the base
+    partitions those keys live in (pipelines/index.SecondaryIndex).
+
+    Oracle: the LWW window SQL restricted to event_type='click' — the
+    index must return exactly the rows a full-scan filter would."""
+    from arches_rascoll_etl_ray.pipelines.index import SecondaryIndex
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    lake = _fresh_lake(f"events_sidx_{tag}")
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8))
+    idx = SecondaryIndex(os.path.join(lake, "_sidx_lang"), column="lang", num_partitions=4)
+    per = max(1, max_available_lsn(clog_dir) // 3)
+    while True:
+        before = eng.checkpoint().epoch
+        if eng.apply_epoch(clog_dir, max_events=per).epoch == before:
+            break
+        idx.sync(eng)
+    rows = idx.lookup_rows(eng, "click")
+    return pa.table(
+        {
+            "user_key": rows["repo"],
+            "last_event_id": pc.cast(rows["commit"], pa.int64()),
+            "last_event_type": rows["lang"],
+            "last_value_str": pc.cast(rows["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_secondary_index"] = cdc_secondary_index
+ORACLE_SQL["cdc_secondary_index"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    )
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str
+    FROM last WHERE rn = 1 AND event_type = 'click'
+"""

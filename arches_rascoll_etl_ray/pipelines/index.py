@@ -1,0 +1,284 @@
+"""Secondary (inverted) index over one lake value column, maintained
+incrementally from the changefeed.
+
+The base lake is hash-partitioned by the PRIMARY key (repo, path), so a
+query on any other column — "every live row whose `lang` is X" — must scan
+all P partitions. A SecondaryIndex keeps a postings table value → keys,
+partitioned by hash(value), so that query reads ONE index partition for the
+exact key list and then folds only the base partitions those keys live in.
+
+On-disk layout (its own directory, never inside the base lake):
+
+    <index_dir>/_index_meta.json        {column, num_partitions, applied_epoch}
+    <index_dir>/part=<i>/postings.parquet   (value, repo, path), sorted
+
+Maintenance is delta-driven and NEVER rescans the table: per changefeed row
+    I             → add   (new_value, key)
+    D             → remove (old_value, key)
+    U, value moved → remove old, add new
+    U, value same  → nothing (lsn-only churn costs the index zero writes)
+Each sync is one Ray `groupby(ipart).map_groups` over the delta stream —
+only touched index partitions do any I/O, each rewritten atomically
+(tmp→rename). Set semantics make a replayed sync idempotent: re-adding a
+present posting dedups, re-removing an absent one is a no-op, so a crash
+between partition writes and the watermark commit heals on the next sync
+(same recovery contract as the lake's own manifests).
+
+Consistency: the index carries an applied-epoch watermark and
+`lookup_rows` reads the BASE LAKE AS OF that watermark (time-travel
+checkpoint), so a lookup is always a consistent snapshot even while the
+base lake advances ahead of the index.
+
+Reference analogue: the reference builds one-shot in-memory dicts keyed by
+secondary attributes for its joins (arches_rascoll/ref_collection.py:142,
+prov_acts.py:56-68); this is the continuously-maintained, partitioned
+recast the CDC north star implies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from arches_rascoll_etl_ray.functions.hashing import (
+    combine_key,
+    key_hash64,
+    stable_hash64,
+)
+from arches_rascoll_etl_ray.state.manifest import atomic_write_json
+
+
+class SecondaryIndex:
+    """Inverted index `column value → live (repo, path) keys` for one lake."""
+
+    def __init__(self, index_dir: str, column: str, num_partitions: int = 16):
+        self.index_dir = index_dir
+        self.column = column
+        self.num_partitions = num_partitions
+        os.makedirs(index_dir, exist_ok=True)
+        meta = self._load_meta()
+        if meta is not None:
+            if meta["column"] != column or meta["num_partitions"] != num_partitions:
+                raise ValueError(
+                    f"index at {index_dir} was built on column={meta['column']!r} "
+                    f"P={meta['num_partitions']} — cannot reopen as column={column!r} "
+                    f"P={num_partitions} (physical layout pin, like the lake's own)"
+                )
+            self.applied_epoch = meta["applied_epoch"]
+        else:
+            self.applied_epoch = 0
+
+    # ------------------------------------------------------------- state
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.index_dir, "_index_meta.json")
+
+    def _load_meta(self) -> dict | None:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _save_meta(self) -> None:
+        atomic_write_json(
+            self._meta_path(),
+            {
+                "column": self.column,
+                "num_partitions": self.num_partitions,
+                "applied_epoch": self.applied_epoch,
+            },
+        )
+
+    def _part_file(self, ipart: int) -> str:
+        return os.path.join(self.index_dir, f"part={ipart}", "postings.parquet")
+
+    def _postings_schema(self) -> pa.Schema:
+        return pa.schema(
+            [(self.column, pa.string()), ("repo", pa.string()), ("path", pa.string())]
+        )
+
+    # -------------------------------------------------------------- sync
+
+    def sync(self, engine) -> int:
+        """Fold the base lake's changefeed since this index's watermark.
+        Returns the number of index partitions rewritten (0 = already
+        current). Distributed: deltas shuffle by index partition, one task
+        rewrites each touched partition."""
+        cur = engine.checkpoint().epoch
+        if cur == self.applied_epoch:
+            return 0
+        feed = engine.changefeed(self.applied_epoch, cur)
+        col, P = self.column, self.num_partitions
+        new_c, old_c = "new_" + col, "old_" + col
+        index_dir = self.index_dir
+        schema = self._postings_schema()
+
+        def deltas(t: pa.Table) -> pa.Table:
+            op = t["op"]
+            # adds: I always; U only when the indexed value moved
+            moved = pc.fill_null(pc.not_equal(t[old_c], t[new_c]), True)
+            add_mask = pc.or_(
+                pc.equal(op, "I"), pc.and_(pc.equal(op, "U"), moved)
+            )
+            rem_mask = pc.or_(
+                pc.equal(op, "D"), pc.and_(pc.equal(op, "U"), moved)
+            )
+            adds = t.filter(pc.and_(pc.fill_null(add_mask, False), pc.is_valid(t[new_c])))
+            rems = t.filter(pc.and_(pc.fill_null(rem_mask, False), pc.is_valid(t[old_c])))
+            val = pa.concat_arrays(
+                [
+                    pc.cast(adds[new_c], pa.string()).combine_chunks(),
+                    pc.cast(rems[old_c], pa.string()).combine_chunks(),
+                ]
+            )
+            out = pa.table(
+                {
+                    "value": val,
+                    "repo": pa.concat_arrays(
+                        [adds["repo"].combine_chunks(), rems["repo"].combine_chunks()]
+                    ),
+                    "path": pa.concat_arrays(
+                        [adds["path"].combine_chunks(), rems["path"].combine_chunks()]
+                    ),
+                    "add": pa.array(
+                        [True] * adds.num_rows + [False] * rems.num_rows, pa.bool_()
+                    ),
+                }
+            )
+            ipart = (stable_hash64(out["value"]) % np.uint64(P)).astype(np.int32)
+            return out.append_column("ipart", pa.array(ipart))
+
+        def merge_one(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"ipart": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+            ipart = int(group["ipart"][0].as_py())
+            pfile = os.path.join(index_dir, f"part={ipart}", "postings.parquet")
+            existing = (
+                pq.read_table(pfile) if os.path.exists(pfile) else None
+            )
+            gkey = pc.binary_join_element_wise(
+                pc.binary_join_element_wise(
+                    pc.cast(group["value"], pa.string()),
+                    group["repo"],
+                    "\x00",
+                ),
+                group["path"],
+                "\x00",
+            )
+            add_rows = group.filter(group["add"])
+            rem_key = gkey.filter(pc.invert(group["add"].combine_chunks()))
+            parts = []
+            if existing is not None and existing.num_rows:
+                ekey = pc.binary_join_element_wise(
+                    pc.binary_join_element_wise(existing[col], existing["repo"], "\x00"),
+                    existing["path"],
+                    "\x00",
+                )
+                keep = pc.invert(pc.is_in(ekey, value_set=rem_key))
+                parts.append(existing.filter(keep))
+            if add_rows.num_rows:
+                parts.append(
+                    pa.table(
+                        {
+                            col: pc.cast(add_rows["value"], pa.string()),
+                            "repo": add_rows["repo"],
+                            "path": add_rows["path"],
+                        }
+                    )
+                )
+            merged = pa.concat_tables(parts) if parts else pa.table(
+                {f.name: pa.array([], f.type) for f in schema}
+            )
+            if merged.num_rows:
+                # dedup (idempotent re-adds) + deterministic order
+                mkey = pc.binary_join_element_wise(
+                    pc.binary_join_element_wise(merged[col], merged["repo"], "\x00"),
+                    merged["path"],
+                    "\x00",
+                )
+                import pandas as _pd
+
+                first = ~_pd.Series(mkey.to_pandas()).duplicated().to_numpy()
+                merged = merged.filter(pa.array(first))
+                merged = merged.take(
+                    pc.sort_indices(
+                        merged,
+                        sort_keys=[(col, "ascending"), ("repo", "ascending"), ("path", "ascending")],
+                    )
+                )
+            os.makedirs(os.path.dirname(pfile), exist_ok=True)
+            tmp = pfile + f".tmp-{os.getpid()}"
+            pq.write_table(merged, tmp, compression="lz4")
+            os.replace(tmp, pfile)
+            return pa.table(
+                {"ipart": pa.array([ipart], pa.int32()), "rows": pa.array([merged.num_rows], pa.int64())}
+            )
+
+        stats = (
+            feed.map_batches(deltas, batch_format="pyarrow")
+            .groupby("ipart")
+            .map_groups(merge_one, batch_format="pyarrow")
+        )
+        touched = stats.count()
+        self.applied_epoch = cur
+        self._save_meta()
+        return touched
+
+    # ------------------------------------------------------------ lookups
+
+    def lookup_keys(self, value: str) -> pa.Table:
+        """Exact key list for one indexed value: reads ONE index partition
+        with a parquet predicate — O(postings/P), never the base table."""
+        ipart = int(
+            stable_hash64(pa.array([value], pa.string()))[0] % np.uint64(self.num_partitions)
+        )
+        pfile = self._part_file(ipart)
+        if not os.path.exists(pfile):
+            return pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
+        t = pq.read_table(pfile, filters=[(self.column, "=", value)])
+        return t.select(["repo", "path"])
+
+    def lookup_rows(self, engine, value: str) -> pa.Table:
+        """Live base rows whose indexed column equals `value`, read AS OF
+        this index's applied epoch (consistent even while the base lake
+        advances). Folds ONLY the base partitions the postings name — one
+        Ray task each — instead of scanning all of them."""
+        from arches_rascoll_etl_ray.stages.merge import (
+            empty_lake_table,
+            fold_partition_tables,
+            read_partition_state,
+        )
+
+        keys = self.lookup_keys(value)
+        cfg = engine.cfg
+        if keys.num_rows == 0:
+            return empty_lake_table(cfg)
+        ckpt = engine.checkpoint(self.applied_epoch)
+        kh = key_hash64(keys)
+        parts = np.unique(kh % np.uint64(cfg.num_partitions)).tolist()
+        key_set = combine_key(keys)
+
+        @ray.remote(num_cpus=1)
+        def fold_filter(part: int, key_set: pa.Array) -> pa.Table:
+            info = ckpt.partitions.get(int(part))
+            if not info:
+                return empty_lake_table(cfg)
+            folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
+            return folded.filter(pc.is_in(combine_key(folded), value_set=key_set))
+
+        key_ref = ray.put(key_set)
+        tables = ray.get([fold_filter.remote(int(p), key_ref) for p in parts])
+        out = pa.concat_tables([t for t in tables if t.num_rows] or [empty_lake_table(cfg)])
+        # horizon-matched lookups make this a no-op; kept as a cheap guard
+        out = out.filter(pc.equal(out[self.column], value))
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+        )

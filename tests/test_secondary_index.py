@@ -1,0 +1,148 @@
+"""Secondary-index conformance.
+
+Contracts:
+- EQUIVALENCE AT EVERY HORIZON: after each sync, lookup_keys(v) equals
+  the key set of the full snapshot filtered to column==v, for every live
+  value (and the empty set for a value never written).
+- CONSISTENT LOOKUPS: lookup_rows reads the base lake AS OF the index's
+  watermark, so an index that lags the lake still answers consistently.
+- IDEMPOTENT REPLAY: re-syncing the same epoch window (crash between
+  partition writes and the watermark commit) converges to identical
+  postings bytes.
+- INCREMENTAL == REBUILD: the delta-maintained index equals a fresh
+  index synced once over the whole history.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.datagen.changelog_gen import ensure_changelog
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+from arches_rascoll_etl_ray.pipelines.index import SecondaryIndex
+
+
+@pytest.fixture(scope="module")
+def changelog(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clog_idx"))
+    return ensure_changelog(root, num_files=300, num_events=3000, seed=23, num_shards=8)
+
+
+def _snap_keys(eng, value, epoch=None):
+    t = eng.snapshot_table(epoch=epoch)
+    df = t.to_pandas()
+    df = df[df["lang"] == value][["repo", "path"]]
+    return sorted(map(tuple, df.to_numpy()))
+
+
+def _index_keys(idx, value):
+    t = idx.lookup_keys(value)
+    return sorted(map(tuple, t.to_pandas().to_numpy()))
+
+
+def _postings_digest(idx):
+    out = {}
+    for i in range(idx.num_partitions):
+        f = idx._part_file(i)
+        if os.path.exists(f):
+            out[i] = pq.read_table(f).to_pandas().to_csv(index=False)
+    return out
+
+
+def test_index_matches_snapshot_at_every_horizon(changelog, tmp_path):
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8))
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=4)
+    langs = set()
+    while True:
+        before = eng.checkpoint().epoch
+        ckpt = eng.apply_epoch(changelog, max_events=1000)
+        if ckpt.epoch == before:
+            break
+        idx.sync(eng)
+        assert idx.applied_epoch == ckpt.epoch
+        snap = eng.snapshot_table().to_pandas()
+        langs.update(snap["lang"].dropna().unique())
+        for v in sorted(langs):
+            assert _index_keys(idx, v) == _snap_keys(eng, v), f"epoch {ckpt.epoch} lang {v}"
+        assert _index_keys(idx, "no-such-lang") == []
+    assert eng.checkpoint().epoch >= 3  # the loop actually exercised epochs
+
+
+def test_lookup_rows_consistent_while_lake_advances(changelog, tmp_path):
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8))
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=4)
+    eng.apply_epoch(changelog, max_events=1500)
+    idx.sync(eng)
+    frozen_epoch = idx.applied_epoch
+    # advance the lake PAST the index watermark
+    eng.apply_epoch(changelog, max_events=1500)
+    assert eng.checkpoint().epoch > frozen_epoch
+    snap_then = eng.snapshot_table(epoch=frozen_epoch).to_pandas()
+    for v in sorted(snap_then["lang"].dropna().unique()):
+        rows = idx.lookup_rows(eng, v).to_pandas()
+        want = (
+            snap_then[snap_then["lang"] == v]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        got = rows[want.columns.tolist()].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+    # and a fresh sync catches the index up to the lake head
+    idx.sync(eng)
+    assert idx.applied_epoch == eng.checkpoint().epoch
+
+
+def test_sync_replay_is_idempotent(changelog, tmp_path):
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8))
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=4)
+    eng.apply_epoch(changelog, max_events=1500)
+    idx.sync(eng)
+    mid_epoch = idx.applied_epoch
+    eng.apply_epoch(changelog, max_events=1500)
+    idx.sync(eng)
+    digest = _postings_digest(idx)
+    # crash simulation: watermark rolled back, same window re-applied
+    idx.applied_epoch = mid_epoch
+    idx._save_meta()
+    idx.sync(eng)
+    assert _postings_digest(idx) == digest
+
+
+def test_incremental_equals_rebuild(changelog, tmp_path):
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8))
+    inc = SecondaryIndex(str(tmp_path / "inc"), column="lang", num_partitions=4)
+    while True:
+        before = eng.checkpoint().epoch
+        if eng.apply_epoch(changelog, max_events=1000).epoch == before:
+            break
+        inc.sync(eng)
+    fresh = SecondaryIndex(str(tmp_path / "fresh"), column="lang", num_partitions=4)
+    fresh.sync(eng)
+    assert _postings_digest(inc) == _postings_digest(fresh)
+
+
+def test_reopen_with_different_layout_rejected(changelog, tmp_path):
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8))
+    eng.apply_epoch(changelog, max_events=1000)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=4)
+    idx.sync(eng)
+    with pytest.raises(ValueError, match="physical layout pin"):
+        SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=8)
+    with pytest.raises(ValueError, match="physical layout pin"):
+        SecondaryIndex(str(tmp_path / "idx"), column="commit", num_partitions=4)
+    # same layout reopens and remembers its watermark
+    again = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=4)
+    assert again.applied_epoch == idx.applied_epoch
+
+
+def test_lookup_absent_value_empty_schema(changelog, tmp_path):
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8))
+    eng.apply_epoch(changelog, max_events=1000)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=4)
+    idx.sync(eng)
+    rows = idx.lookup_rows(eng, "never-written")
+    assert rows.num_rows == 0
+    assert set(eng.snapshot_table().schema.names) == set(rows.schema.names)
