@@ -45,7 +45,11 @@ import pyarrow.parquet as pq
 
 from arches_rascoll_etl_ray.config import EngineConfig
 from arches_rascoll_etl_ray.functions.hashing import combine_key, sha256_hex_column, table_content_sha256
-from arches_rascoll_etl_ray.stages.normalize import apply_evolution, evolved_base_columns, lww_reduce
+from arches_rascoll_etl_ray.stages.normalize import (
+    apply_evolution,
+    evolved_base_columns,
+    patch_aware_reduce,
+)
 from arches_rascoll_etl_ray.state.manifest import (
     PartitionManifest,
     data_file_name,
@@ -172,10 +176,120 @@ def fold_partition_tables(cfg: EngineConfig, tables: list[pa.Table]) -> pa.Table
     if not prepped:
         return empty_lake_table(cfg)
     allt = pa.concat_tables(prepped, promote_options="permissive")
-    winners = lww_reduce(allt)
+    winners = resolve_patches(cfg, patch_aware_reduce(allt))
     live = winners.filter(pc.not_equal(winners["op"], pa.scalar("D"))).select(out_cols)
     return live.take(
         pc.sort_indices(live, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+
+
+def resolve_patches(
+    cfg: EngineConfig, reduced: pa.Table, prev_tbl: pa.Table | None = None
+) -> pa.Table:
+    """Final per-column LWW resolution of partial-update ('P') events —
+    Debezium-style partial images where a patch row sets only its non-null
+    value columns.
+
+    Input is `patch_aware_reduce` output: full-image winners (tombstones
+    included) plus every surviving patch (each already newer than its key's
+    full winner). `prev_tbl` (rewrite mode) supplies base images for keys
+    whose only events this epoch were patches. Per patched key the output
+    row takes, for each value column, the value of the max-LSN patch that
+    SET it, else the base image's value (all-null base when the key was
+    tombstoned or never existed — a patch resurrects/creates the row with
+    its fragments). Row lsn = max contributing lsn; content_sha is
+    recomputed from the final content so lineage stays a function of state,
+    not of event shape. No-op (zero copies) when no 'P' rows are present.
+
+    Runs inside one per-partition merge task on the patched subset only —
+    never on the full partition."""
+    if reduced.num_rows == 0 or "op" not in reduced.column_names:
+        return reduced
+    is_p = pc.fill_null(pc.equal(reduced["op"], pa.scalar("P")), False)
+    if not pc.any(is_p).as_py():
+        return reduced
+    import pandas as _pd
+
+    keys = list(CHANGEFEED_KEYS)
+    out_cols = lake_columns(cfg)
+    content_col = evolved_content_col(cfg)
+    val_cols = [c for c in out_cols if c not in keys and c not in ("lsn", "content_sha")]
+
+    wf = reduced.filter(pc.invert(is_p))
+    patches = reduced.filter(is_p)
+    pkey = combine_key(patches)
+    if isinstance(pkey, pa.ChunkedArray):
+        pkey = pkey.combine_chunks()
+
+    # base images for patched keys: this round's full winners first (they
+    # supersede prev), else the previous snapshot's row
+    base_parts = []
+    wf_patched = wf.filter(pc.is_in(combine_key(wf), value_set=pkey))
+    if wf_patched.num_rows:
+        base_parts.append(wf_patched.select(keys + ["lsn", "op"] + val_cols))
+    if prev_tbl is not None and prev_tbl.num_rows:
+        covered = combine_key(wf_patched)
+        if isinstance(covered, pa.ChunkedArray):
+            covered = covered.combine_chunks()
+        pvk = combine_key(prev_tbl)
+        need = pc.and_(
+            pc.is_in(pvk, value_set=pkey), pc.invert(pc.is_in(pvk, value_set=covered))
+        )
+        prev_sel = prev_tbl.filter(need)
+        if prev_sel.num_rows:
+            prev_sel = prev_sel.append_column(
+                "op", pa.array(["U"] * prev_sel.num_rows, pa.string())
+            )
+            base_parts.append(prev_sel.select(keys + ["lsn", "op"] + val_cols))
+
+    pdf = patches.select(keys + ["lsn"] + val_cols).to_pandas()
+    pdf["_k"] = pkey.to_pandas().to_numpy()
+    pdf = pdf.sort_values(["_k", "lsn"], kind="mergesort")
+
+    out = pdf.drop_duplicates("_k", keep="last").set_index("_k")[keys].copy()
+    out["lsn"] = pdf.groupby("_k", sort=False)["lsn"].max()
+
+    if base_parts:
+        bt = pa.concat_tables(base_parts, promote_options="permissive")
+        bdf = bt.to_pandas()
+        # key built on the Arrow side: pandas' arrow-backed string concat
+        # silently drops NUL bytes, so `repo + "\x00" + path` in pandas
+        # would NOT equal combine_key's separator-folded key
+        bdf["_k"] = combine_key(bt).to_pandas().to_numpy()
+        # a tombstoned base contributes no values — the patch creates anew
+        bdf.loc[bdf["op"] == "D", val_cols] = None
+        bdf = bdf.drop_duplicates("_k", keep="last").set_index("_k")
+    else:
+        bdf = None
+
+    for c in val_cols:
+        setters = pdf.dropna(subset=[c]).drop_duplicates("_k", keep="last").set_index("_k")[c]
+        col = setters.reindex(out.index)
+        if bdf is not None and c in bdf.columns:
+            inherit = col.isna()
+            col[inherit] = bdf[c].reindex(out.index[inherit])
+        out[c] = col
+
+    # rebuild with the lake's exact column types (pandas NaN-promotes ints)
+    template = empty_lake_table(cfg).schema
+    arrays = {}
+    for c in keys + ["lsn"] + val_cols:
+        typ = template.field(c).type
+        coerce = int if pa.types.is_integer(typ) else (lambda v: v)
+        # pandas float-promotes nullable int columns; undo before Arrow
+        vals = [None if _pd.isna(v) else coerce(v) for v in out[c].tolist()]
+        arrays[c] = pa.array(vals, typ)
+    arrays["content_sha"] = sha256_hex_column(arrays[content_col])
+    patched = pa.table({c: arrays[c] for c in out_cols})
+    patched = patched.append_column("op", pa.array(["U"] * patched.num_rows, pa.string()))
+
+    # untouched full winners ride through unchanged (content_sha ensured so
+    # both sides share one schema)
+    if "content_sha" not in wf.column_names:
+        wf = wf.append_column("content_sha", sha256_hex_column(wf[content_col]))
+    rest = wf.filter(pc.invert(pc.is_in(combine_key(wf), value_set=pkey)))
+    return pa.concat_tables(
+        [rest.select(out_cols + ["op"]), patched], promote_options="permissive"
     )
 
 
@@ -409,19 +523,26 @@ def apply_partition_merge(
     # dedups the rows so state stays exact, but a raw num_rows here would
     # double-count them in the manifest/checkpoint metrics
     events_applied = pc.count_distinct(events["lsn"]).as_py()
-    winners = lww_reduce(events)
+    winners = patch_aware_reduce(events)
     applied_lsn = max(watermark, pc.max(events["lsn"]).as_py())
 
     if cfg.merge_mode == "lsm":
+        # patches ride into the run file raw (op 'P'); the read-side fold
+        # resolves them against base+runs (resolve_patches in
+        # fold_partition_tables), the same merge-on-read contract tombstones
+        # already use
         return _apply_lsm_merge(
             cfg, epoch, start_lsn, end_lsn, prev, part,
             winners, events_applied, watermark, applied_lsn,
         )
 
     prev_kept: pa.Table | None = None
+    prev_tbl: pa.Table | None = None
     if prev and prev["data_file"]:
         prev_tbl = pq.read_table(os.path.join(lake_dir, prev["data_file"]))
         prev_tbl = apply_evolution(prev_tbl, cfg.evolution)
+    winners = resolve_patches(cfg, winners, prev_tbl=prev_tbl)
+    if prev_tbl is not None:
         prev_key = combine_key(prev_tbl)
         winner_keys = combine_key(winners)  # recombined here, not shuffled
         if isinstance(winner_keys, pa.ChunkedArray):
@@ -614,6 +735,12 @@ def make_multi_epoch_spill_fn(
             if multi:
                 ep_sorted = batch["_ep"].to_numpy(zero_copy_only=False)
                 neq = neq | (ep_sorted[1:] != ep_sorted[:-1])
+            # a partial-update row never supersedes what's beneath it: a
+            # row whose same-key successor is a 'P' patch must survive to
+            # the merge-side resolve (patch_aware_reduce has the same rule)
+            p_flags = pc.fill_null(pc.equal(batch["op"], pa.scalar("P")), False)
+            if pc.any(p_flags).as_py():
+                neq = neq | p_flags.to_numpy(zero_copy_only=False)[1:]
             mask = np.append(neq, True)
             if not mask.all():
                 batch = batch.filter(pa.array(mask))

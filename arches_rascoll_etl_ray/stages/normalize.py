@@ -33,7 +33,7 @@ from arches_rascoll_etl_ray.functions.hashing import key_hash64
 KEY_COLUMNS = ("repo", "path")
 META_COLUMNS = ("_key", "_kh", "_part", "_salt")
 
-VALID_OPS = ("I", "U", "D")
+VALID_OPS = ("I", "U", "D", "P")
 
 
 def quarantine_invalid_rows(batch: pa.Table, lake_dir: str) -> pa.Table:
@@ -189,6 +189,45 @@ def lww_reduce(table: pa.Table, lsn_col: str = "lsn") -> pa.Table:
     return pa.concat_tables([clean, suspect], promote_options="permissive")
 
 
+def patch_aware_reduce(table: pa.Table, lsn_col: str = "lsn") -> pa.Table:
+    """LWW combiner that understands partial-update events (op 'P': a row
+    that sets ONLY its non-null value columns — Debezium-style partial
+    images). Full-image rows (I/U/D and base rows) reduce by plain LWW; a
+    patch row survives iff it is NEWER than its key's full-image winner (an
+    older patch is wholly overwritten by the newer full image). Patches are
+    NOT collapsed here: per-column winners can only be resolved exactly at
+    the final fold (stages.merge.resolve_patches) — collapsing two partial
+    states would lose per-column LSNs, breaking associativity. With no 'P'
+    rows this is exactly lww_reduce (one vectorized op-scan overhead), so
+    every pre-reduce call site routes through it unconditionally."""
+    if table.num_rows == 0 or "op" not in table.column_names:
+        return lww_reduce(table, lsn_col)
+    is_p = pc.fill_null(pc.equal(table["op"], pa.scalar("P")), False)
+    if not pc.any(is_p).as_py():
+        return lww_reduce(table, lsn_col)
+    full = table.filter(pc.invert(is_p))
+    patches = table.filter(is_p)
+    wf = lww_reduce(full, lsn_col) if full.num_rows else full
+    if wf.num_rows == 0:
+        return patches
+    import pandas as _pd
+
+    from arches_rascoll_etl_ray.functions.hashing import combine_key as _ck
+
+    wk = _ck(wf).to_pandas()
+    floor = _pd.Series(
+        wf[lsn_col].to_numpy(zero_copy_only=False), index=wk.to_numpy()
+    )
+    # duplicate winner keys are impossible post-reduce; map is total where defined
+    pk = _ck(patches).to_pandas()
+    base_lsn = pk.map(floor).fillna(0).to_numpy(dtype=np.int64)
+    keep = patches[lsn_col].to_numpy(zero_copy_only=False) > base_lsn
+    surviving = patches.filter(pa.array(keep))
+    if surviving.num_rows == 0:
+        return wf
+    return pa.concat_tables([wf, surviving], promote_options="permissive")
+
+
 def apply_row_filter(batch: pa.Table, row_filter: tuple | None) -> pa.Table:
     """Per-table (column, value) equality predicate over RAW (pre-evolution)
     column names — the staging-table projection of a multi-table job.
@@ -236,8 +275,8 @@ def make_normalize_fn(cfg: EngineConfig) -> Callable[[pa.Table], pa.Table]:
         batch = batch.append_column("_part", pa.array(part))
         if num_salts > 1:
             batch = batch.append_column("_salt", pa.array(salt))
-        # map-side combiner
-        return lww_reduce(batch)
+        # map-side combiner (patch-aware: 'P' rows must not collapse here)
+        return patch_aware_reduce(batch)
 
     return normalize
 
@@ -247,6 +286,6 @@ def make_salted_reduce_fn() -> Callable[[pa.Table], pa.Table]:
     of the two-stage skew-safe reduce (north-rule salted sub-partitioning)."""
 
     def reduce_group(group: pa.Table) -> pa.Table:
-        return lww_reduce(group)
+        return patch_aware_reduce(group)
 
     return reduce_group
