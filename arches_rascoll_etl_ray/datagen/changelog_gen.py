@@ -206,3 +206,18 @@ def changelog_from_events_table(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out
+
+
+def patch_changelog_from_events_table(sf_dir: str) -> pd.DataFrame:
+    """The events-table change stream with PARTIAL images: every third
+    non-delete event (event_id % 3 == 0) becomes a 'P' patch that sets ONLY
+    the content column (the value), leaving commit/lang to the last full
+    image — the deterministic rule the cdc_events_patch DuckDB oracle
+    mirrors."""
+    out = changelog_from_events_table(sf_dir)
+    eid = out["commit"].astype(np.int64).to_numpy()
+    is_patch = (eid % 3 == 0) & (out["op"].to_numpy() != "D")
+    out.loc[is_patch, "op"] = "P"
+    out.loc[is_patch, "commit"] = None
+    out.loc[is_patch, "lang"] = None
+    return out

@@ -542,3 +542,76 @@ ORACLE_SQL["cdc_secondary_index"] = """
            printf('%.6f', value) AS last_value_str
     FROM last WHERE rn = 1 AND event_type = 'click'
 """
+
+
+def cdc_events_patch(sf_dir: str):
+    """Partial-image upserts through the real engine: every third
+    non-delete event is a 'P' patch setting ONLY the value column
+    (datagen.patch_changelog_from_events_table), so the final per-user
+    state mixes columns from different events — commit/event_type from the
+    last FULL image, value from the last patch above it, patch-created
+    users with null commit/type. Replayed in 3 epochs so patches cross
+    snapshot boundaries (the prev-snapshot base-image path), oracle-checked
+    by the per-column arg_max SQL below."""
+    from arches_rascoll_etl_ray.datagen.changelog_gen import (
+        patch_changelog_from_events_table,
+        write_changelog_shards,
+    )
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = os.path.join(_CACHE_ROOT, f"events_patch_clog_{tag}")
+    marker = os.path.join(clog_dir, "_GENERATED")
+    if not os.path.exists(marker):
+        shutil.rmtree(clog_dir, ignore_errors=True)
+        write_changelog_shards(patch_changelog_from_events_table(sf_dir), clog_dir, num_shards=8)
+        with open(marker, "w") as f:
+            f.write(sf_dir + "\n")
+    eng = CDCEngine(
+        EngineConfig(lake_dir=_fresh_lake(f"events_patch_{tag}"), num_partitions=8)
+    )
+    per = max(1, max_available_lsn(clog_dir) // 3)
+    eng.replay(clog_dir, events_per_epoch=per)
+    snap = eng.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_events_patch"] = cdc_events_patch
+ORACLE_SQL["cdc_events_patch"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), k AS (
+      SELECT *, CASE WHEN event_type = 'delete' THEN 'D'
+                     WHEN event_id % 3 = 0 THEN 'P' ELSE 'F' END AS kind
+      FROM ordered
+    ), f AS (
+      SELECT user_id,
+             max(lsn) FILTER (WHERE kind <> 'P') AS full_lsn,
+             arg_max(kind, lsn) FILTER (WHERE kind <> 'P') AS full_kind,
+             arg_max(event_id, lsn) FILTER (WHERE kind <> 'P') AS full_eid,
+             arg_max(event_type, lsn) FILTER (WHERE kind <> 'P') AS full_et,
+             arg_max(value, lsn) FILTER (WHERE kind <> 'P') AS full_val
+      FROM k GROUP BY user_id
+    ), p AS (
+      SELECT k.user_id, arg_max(k.value, k.lsn) AS p_val
+      FROM k LEFT JOIN f ON k.user_id = f.user_id
+      WHERE k.kind = 'P' AND k.lsn > coalesce(f.full_lsn, 0)
+      GROUP BY k.user_id
+    )
+    SELECT 'user' || CAST(u.user_id AS VARCHAR) AS user_key,
+           CASE WHEN f.full_kind = 'F' THEN CAST(f.full_eid AS BIGINT) END AS last_event_id,
+           CASE WHEN f.full_kind = 'F' THEN f.full_et END AS last_event_type,
+           CASE WHEN p.user_id IS NOT NULL THEN printf('%.6f', p.p_val)
+                WHEN f.full_kind = 'F' THEN printf('%.6f', f.full_val) END AS last_value_str
+    FROM (SELECT DISTINCT user_id FROM k) u
+    LEFT JOIN f ON u.user_id = f.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    WHERE f.full_kind = 'F' OR p.user_id IS NOT NULL
+"""
