@@ -181,3 +181,67 @@ def test_salted_path_keeps_patches(tmp_path):
     eng.replay(d, events_per_epoch=len(df))
     row = eng.snapshot_table().to_pylist()[0]
     assert (row["commit"], row["lang"], row["content"]) == ("c1", "go", "v11")
+
+
+def test_patches_across_schema_evolution(tmp_path):
+    """Patches compose with evolution casts: renamed columns patch under
+    their new name, computed columns recompute only when their source was
+    set, constant adds stay at their default."""
+    from arches_rascoll_etl_ray.config import AddColumn, ComputedColumn, EvolutionSpec
+
+    spec = EvolutionSpec(
+        version=2,
+        renames={"lang": "language"},
+        adds=(AddColumn(name="mirrored", type="bool", default=False),),
+        computed=(ComputedColumn(name="content_len", source="content", fn="len"),),
+    )
+    events = [
+        (1, "I", "r", "f", "c1", "python", "abcd"),
+        (2, "P", "r", "f", None, "go", None),       # sets language only
+        (3, "P", "r", "f", None, None, "xyzXYZ"),   # sets content (+ len)
+    ]
+    df = pd.DataFrame(
+        events, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=1)
+    eng = CDCEngine(
+        EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2, evolution=spec)
+    )
+    eng.replay(d, events_per_epoch=1)  # every event its own epoch
+    row = eng.snapshot_table().to_pylist()[0]
+    assert row["language"] == "go"
+    assert row["content"] == "xyzXYZ"
+    assert row["content_len"] == 6  # recomputed with the patched content
+    assert row["commit"] == "c1"
+    assert row["mirrored"] is False
+    assert row["lsn"] == 3
+
+
+def test_secondary_index_and_changefeed_over_patches(tmp_path):
+    """The changefeed diffs RESOLVED states, so downstream consumers (the
+    secondary index here) see patched columns as ordinary updates."""
+    from arches_rascoll_etl_ray.pipelines.index import SecondaryIndex
+
+    events = [
+        (1, "I", "r", "a", "c1", "python", "v1"),
+        (2, "I", "r", "b", "c2", "go", "v2"),
+        (3, "P", "r", "a", None, "rust", None),  # lang move via patch
+        (4, "P", "r", "b", None, None, "v2b"),   # lsn-only-ish churn for the index
+    ]
+    df = pd.DataFrame(
+        events, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=1)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2))
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=2)
+    eng.apply_epoch(d, max_events=2)
+    idx.sync(eng)
+    eng.apply_epoch(d)
+    idx.sync(eng)
+    assert [tuple(r.values()) for r in idx.lookup_keys("rust").to_pylist()] == [("r", "a")]
+    assert [tuple(r.values()) for r in idx.lookup_keys("python").to_pylist()] == []
+    assert [tuple(r.values()) for r in idx.lookup_keys("go").to_pylist()] == [("r", "b")]
+    rows = idx.lookup_rows(eng, "go").to_pylist()
+    assert rows[0]["content"] == "v2b"
