@@ -227,6 +227,116 @@ class CDCEngine:
 
     # ---------------------------------------------------------------- epoch
 
+    def bootstrap(self, snapshot, as_of_lsn: int) -> Checkpoint:
+        """Initial load (the classic snapshot + CDC handoff): seed an EMPTY
+        lake from an existing snapshot table captured at binlog position
+        `as_of_lsn`, then tail the changelog normally — the bootstrap
+        checkpoint commits `end_lsn = as_of_lsn`, so apply_epoch/replay/tail
+        resume at (as_of_lsn, …] without re-reading history that predates
+        the snapshot.
+
+        `snapshot` is a parquet path (file/dir/list), a pyarrow Table, or a
+        ray.data.Dataset with the lake's RAW base columns (repo, path,
+        commit, lang, content) — one row per live key. A `lsn` column, if
+        present (another lake's export), is PRESERVED — per-row commit
+        positions make the handoff sha-equal to a full replay — and must
+        not exceed as_of_lsn; absent, rows load at lsn=as_of_lsn.
+        `content_sha`/`op` are always re-derived. Distributed one pass:
+        read → the normal spill shuffle (every row becomes an op-'U' event)
+        → one merge task per partition, committing through the same
+        manifest/checkpoint protocol as any epoch — a crashed bootstrap
+        re-runs idempotently WITH THE SAME as_of_lsn (content-addressed
+        pieces overwrite, committed manifests no-op); re-bootstrapping with
+        a different position needs a fresh lake dir. events_applied metrics
+        count 1 (one distinct lsn by construction); `rows` carries the
+        loaded cardinality.
+
+        Reference analogue: the reference's one-shot full-table migration
+        (arches_rascoll/ref_collection.py:201-248) IS this bootstrap; the
+        continuous recast adds the handoff position."""
+        import time as _time
+
+        import numpy as np
+
+        from arches_rascoll_etl_ray.stages.merge import delta_dir, make_normalize_spill_fn
+
+        if as_of_lsn < 1:
+            raise ValueError(f"as_of_lsn must be >= 1, got {as_of_lsn}")
+        with _WriterLock(self.cfg.lake_dir):
+            ckpt = self.checkpoint()
+            if ckpt.epoch != 0:
+                raise ValueError(
+                    f"bootstrap requires an empty lake (epoch 0); this lake is at "
+                    f"epoch {ckpt.epoch} — replay into it or use a fresh lake_dir"
+                )
+            t0 = _time.perf_counter()
+            epoch = 1
+            if isinstance(snapshot, (str, list)):
+                ds = ray.data.read_parquet(snapshot)
+            elif isinstance(snapshot, pa.Table):
+                ds = ray.data.from_arrow(snapshot)
+            else:
+                ds = snapshot
+            lsn_val = int(as_of_lsn)
+
+            def to_events(t: pa.Table) -> pa.Table:
+                drop = [c for c in ("content_sha", "op") if c in t.column_names]
+                if drop:
+                    t = t.drop_columns(drop)
+                if "lsn" in t.column_names:
+                    # another lake's export: per-row commit positions are
+                    # real — preserving them makes the handoff land on the
+                    # EXACT state (sha-equal) a full replay produces
+                    if t.num_rows and pc.max(t["lsn"]).as_py() > lsn_val:
+                        raise ValueError(
+                            "snapshot contains lsn > as_of_lsn "
+                            f"({pc.max(t['lsn']).as_py()} > {lsn_val}): the snapshot "
+                            "was captured AFTER the claimed binlog position"
+                        )
+                else:
+                    t = t.append_column(
+                        "lsn", pa.array(np.full(t.num_rows, lsn_val, dtype=np.int64))
+                    )
+                return t.append_column("op", pa.array(["U"] * t.num_rows, pa.string()))
+
+            spill = make_normalize_spill_fn(self.cfg, epoch, 0, as_of_lsn)
+            stats = (
+                ds.map_batches(to_events, batch_format="pyarrow")
+                .map_batches(spill, batch_format="pyarrow", batch_size=None)
+                .take_all()
+            )
+            touched = sorted({r["partition"] for r in stats})
+            if not touched:
+                droot = delta_dir(self.cfg, epoch)
+                if os.path.isdir(droot):
+                    touched = sorted(
+                        int(n.split("=")[1]) for n in os.listdir(droot) if n.startswith("part=")
+                    )
+            manifests = self._merge_epoch(epoch, 0, as_of_lsn, touched, ckpt)
+            rows = sum(m.rows for m in manifests)
+            duration = _time.perf_counter() - t0
+            new_ckpt = ckpt.advanced(
+                epoch,
+                as_of_lsn,
+                manifests,
+                evolution_version=(self.cfg.evolution.version if self.cfg.evolution else 1),
+                metrics={
+                    "epoch": epoch,
+                    "bootstrap": True,
+                    "as_of_lsn": as_of_lsn,
+                    "rows_loaded": rows,
+                    "duration_sec": round(duration, 3),
+                    "partitions_touched": len(manifests),
+                },
+            )
+            save_checkpoint(self.cfg.lake_dir, new_ckpt)
+            self._cleanup_delta(epoch)
+            logger.info(
+                "bootstrap committed: %d rows as of lsn %d, %d partitions",
+                rows, as_of_lsn, len(manifests),
+            )
+            return new_ckpt
+
     def apply_epoch(
         self,
         changelog_dir: str,

@@ -615,3 +615,41 @@ ORACLE_SQL["cdc_events_patch"] = """
     LEFT JOIN p ON u.user_id = p.user_id
     WHERE f.full_kind = 'F' OR p.user_id IS NOT NULL
 """
+
+
+def cdc_bootstrap_handoff(sf_dir: str):
+    """Initial load + CDC handoff through the real engine: an independent
+    lake replays the events stream to the half-way LSN and exports its
+    snapshot; a FRESH lake bootstraps from that snapshot (CDCEngine.bootstrap,
+    per-row lsns preserved) and tails the remaining events; the result must
+    equal a full-history replay — oracle-checked by the same LWW window SQL
+    as cdc_events_upsert (and sha-pinned against a from-scratch replay in
+    tests/test_bootstrap.py)."""
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    avail = max_available_lsn(clog_dir)
+    half = max(1, avail // 2)
+    src = CDCEngine(
+        EngineConfig(lake_dir=_fresh_lake(f"events_bootsrc_{tag}"), num_partitions=8)
+    )
+    src.apply_epoch(clog_dir, end_lsn=half)
+    boot = CDCEngine(
+        EngineConfig(lake_dir=_fresh_lake(f"events_boot_{tag}"), num_partitions=8)
+    )
+    boot.bootstrap(src.snapshot_table(), as_of_lsn=half)
+    boot.replay(clog_dir, events_per_epoch=max(1, (avail - half) // 2))
+    snap = boot.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_bootstrap_handoff"] = cdc_bootstrap_handoff
+ORACLE_SQL["cdc_bootstrap_handoff"] = ORACLE_SQL["cdc_events_upsert"]
