@@ -5,6 +5,7 @@
     python -m arches_rascoll_etl_ray status   --lake DIR --changelog DIR
     python -m arches_rascoll_etl_ray export   --lake DIR --out DIR
     python -m arches_rascoll_etl_ray vacuum   --lake DIR
+    python -m arches_rascoll_etl_ray bootstrap --lake DIR --snapshot T.parquet --as-of-lsn N
 
 On a real cluster: `ray job submit -- python -m arches_rascoll_etl_ray
 replay --lake /mnt/lake --changelog /mnt/wal` (the driver owns the Ray
@@ -43,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--shards", type=int, default=64)
 
-    for name in ("replay", "status", "export", "vacuum"):
+    for name in ("replay", "status", "export", "vacuum", "bootstrap"):
         s = sub.add_parser(name)
         s.add_argument("--lake", required=True)
         s.add_argument("--partitions", type=int, default=64)
@@ -55,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "export":
             s.add_argument("--out", required=True)
             s.add_argument("--format", default="parquet", choices=["parquet", "csv", "jsonl"])
+        if name == "bootstrap":
+            s.add_argument("--snapshot", required=True, help="parquet path of the initial-load table")
+            s.add_argument("--as-of-lsn", type=int, required=True, help="binlog position the snapshot was captured at")
 
     args = p.parse_args(argv)
 
@@ -87,6 +91,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": n, "out": args.out}))
     elif args.cmd == "vacuum":
         print(json.dumps({"removed": eng.vacuum()}))
+    elif args.cmd == "bootstrap":
+        ckpt = eng.bootstrap(args.snapshot, as_of_lsn=args.as_of_lsn)
+        print(json.dumps({"epoch": ckpt.epoch, "end_lsn": ckpt.end_lsn,
+                          "rows": sum(i["rows"] for i in ckpt.partitions.values())}))
     return 0
 
 

@@ -272,7 +272,16 @@ class CDCEngine:
             t0 = _time.perf_counter()
             epoch = 1
             if isinstance(snapshot, (str, list)):
-                ds = ray.data.read_parquet(snapshot)
+                src = snapshot
+                if isinstance(src, str) and os.path.isdir(src):
+                    # an export_snapshot dir carries .done markers next to
+                    # the data files — read only the parquet
+                    src = sorted(
+                        os.path.join(src, f)
+                        for f in os.listdir(src)
+                        if f.endswith(".parquet")
+                    )
+                ds = ray.data.read_parquet(src)
             elif isinstance(snapshot, pa.Table):
                 ds = ray.data.from_arrow(snapshot)
             else:
