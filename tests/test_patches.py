@@ -245,3 +245,31 @@ def test_secondary_index_and_changefeed_over_patches(tmp_path):
     assert [tuple(r.values()) for r in idx.lookup_keys("go").to_pylist()] == [("r", "b")]
     rows = idx.lookup_rows(eng, "go").to_pylist()
     assert rows[0]["content"] == "v2b"
+
+
+def test_patches_through_sort_shuffle_plan(tmp_path):
+    """The groupby('_part') sort-shuffle plan shares apply_partition_merge,
+    so patches must fold identically to the spill plan (sha-equal)."""
+    events = [
+        (1, "I", "r", "f", "c1", "python", "v1"),
+        (2, "P", "r", "f", None, None, "v2-patch"),
+        (3, "I", "q", "g", "c3", "go", "v3"),
+        (4, "P", "q", "g", None, "rust", None),
+        (5, "P", "r", "f", None, "zig", None),
+    ]
+    df = pd.DataFrame(
+        events, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=2)
+    shas = {}
+    for plan in ("spill", "sort"):
+        eng = CDCEngine(
+            EngineConfig(lake_dir=str(tmp_path / f"lake_{plan}"), num_partitions=2, shuffle=plan)
+        )
+        eng.replay(d, events_per_epoch=3)
+        shas[plan] = eng.snapshot_sha256()
+        row = {(r["repo"], r["path"]): r for r in eng.snapshot_table().to_pylist()}
+        assert (row[("r", "f")]["commit"], row[("r", "f")]["lang"], row[("r", "f")]["content"]) == ("c1", "zig", "v2-patch"), plan
+        assert (row[("q", "g")]["commit"], row[("q", "g")]["lang"], row[("q", "g")]["content"]) == ("c3", "rust", "v3"), plan
+    assert shas["spill"] == shas["sort"]
