@@ -972,6 +972,51 @@ class CDCEngine:
             save_checkpoint(self.cfg.lake_dir, new_ckpt)
         return len(manifests)
 
+    def expire(self, min_lsn: int) -> int:
+        """Retention (TTL by commit position): drop every live row whose
+        lsn < min_lsn — rows not written since the horizon — and commit the
+        rewrite as a new epoch (zero events; end_lsn unchanged). One Ray
+        task per partition; partitions whose parquet footer statistics
+        prove min(lsn) >= min_lsn are skipped without reading data.
+        Returns the number of rows dropped. Expired rows also disappear
+        from the changefeed as op-'D' deltas across the expire epoch, so
+        downstream views/replicas/indexes converge through their normal
+        sync. Reference analogue: the reference's whole-staging-table
+        truncate-and-reload (arches_rascoll/ref_collection.py:201-248) —
+        recast as an incremental horizon."""
+        import ray as _ray
+
+        from arches_rascoll_etl_ray.stages.merge import expire_partition
+
+        with _WriterLock(self.cfg.lake_dir):
+            ckpt = self.checkpoint()
+            todo = [
+                (part, info)
+                for part, info in sorted(ckpt.partitions.items())
+                if info.get("data_file") or info.get("runs")
+            ]
+            if not todo:
+                return 0
+            epoch = ckpt.epoch + 1
+            task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(expire_partition)
+            refs = [
+                task.remote(self.cfg, epoch, ckpt.end_lsn, info, part, min_lsn)
+                for part, info in todo
+            ]
+            results = [r for r in _ray.get(refs) if r is not None]
+            if not results:
+                return 0
+            manifests = [m for m, _ in results]
+            dropped = sum(d for _, d in results)
+            new_ckpt = ckpt.advanced(
+                epoch, ckpt.end_lsn, manifests,
+                metrics={"epoch": epoch, "expire_min_lsn": min_lsn,
+                         "rows_dropped": dropped,
+                         "partitions_rewritten": len(manifests)},
+            )
+            save_checkpoint(self.cfg.lake_dir, new_ckpt)
+        return dropped
+
     # --------------------------------------------------------------- admin
 
     def lag(self, changelog_dir: str) -> dict:

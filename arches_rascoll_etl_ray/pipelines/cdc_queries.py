@@ -653,3 +653,48 @@ def cdc_bootstrap_handoff(sf_dir: str):
 
 QUERIES["cdc_bootstrap_handoff"] = cdc_bootstrap_handoff
 ORACLE_SQL["cdc_bootstrap_handoff"] = ORACLE_SQL["cdc_events_upsert"]
+
+
+def cdc_retention(sf_dir: str):
+    """Retention through the real engine: full replay of the events stream,
+    then expire(min_lsn = avail//2) — live rows whose last write predates
+    the half-way commit position are dropped via the per-partition footer-
+    pruned rewrite. Oracle: the LWW window SQL with the same lsn-horizon
+    predicate."""
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    avail = max_available_lsn(clog_dir)
+    eng = CDCEngine(
+        EngineConfig(lake_dir=_fresh_lake(f"events_ttl_{tag}"), num_partitions=8)
+    )
+    eng.replay(clog_dir, events_per_epoch=max(1, avail // 2))
+    eng.expire(avail // 2)
+    snap = eng.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_retention"] = cdc_retention
+ORACLE_SQL["cdc_retention"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    )
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str
+    FROM last
+    WHERE rn = 1 AND event_type <> 'delete'
+      AND lsn >= (SELECT count(*) // 2 FROM events)
+"""

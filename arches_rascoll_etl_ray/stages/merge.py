@@ -458,6 +458,58 @@ def compact_partition(
     return m
 
 
+def expire_partition(
+    cfg: EngineConfig, epoch: int, end_lsn: int, info: dict, part: int, min_lsn: int
+) -> tuple[PartitionManifest, int] | None:
+    """Retention rewrite of ONE partition: fold base+runs and drop live rows
+    whose lsn < min_lsn (rows not touched since the retention horizon).
+    Returns (manifest, rows_dropped) — the drop counted on the FOLDED state,
+    since LSM manifests only estimate row counts while runs are pending —
+    or None when the partition provably has nothing to drop, decided from
+    the parquet FOOTER's lsn column statistics alone (no data read), so an
+    expire over a mostly-fresh lake costs one footer read per partition.
+    Idempotent per (partition, epoch) via the manifest, same crash-resume
+    rule as compaction."""
+    existing = read_manifest(cfg.lake_dir, part, epoch)
+    if existing is not None and existing.start_lsn == end_lsn and existing.end_lsn == end_lsn:
+        return existing, 0
+    if (
+        not info.get("runs")
+        and info.get("data_file")
+        and info.get("evolution_version", 1) == spec_version(cfg)
+    ):
+        pf = pq.ParquetFile(os.path.join(cfg.lake_dir, info["data_file"]))
+        idx = pf.schema_arrow.names.index("lsn")
+        mins = [
+            pf.metadata.row_group(g).column(idx).statistics.min
+            for g in range(pf.metadata.num_row_groups)
+        ]
+        if mins and all(m is not None and m >= min_lsn for m in mins):
+            return None  # nothing older than the horizon lives here
+    pdir = partition_dir(cfg.lake_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
+    live_before = folded.num_rows
+    folded = folded.filter(pc.greater_equal(folded["lsn"], pa.scalar(min_lsn, pa.int64())))
+    fname = data_file_name(epoch)
+    tmp = os.path.join(pdir, "." + fname + ".tmp")
+    write_lake_file(folded, tmp)
+    os.replace(tmp, os.path.join(pdir, fname))
+    sha = None
+    if cfg.manifest_content_sha:
+        sha_cols = [c for c in folded.column_names if c != evolved_content_col(cfg)]
+        sha = table_content_sha256(folded, sha_cols)
+    m = PartitionManifest(
+        partition=part, epoch=epoch, applied_lsn=info.get("applied_lsn", 0),
+        start_lsn=end_lsn, end_lsn=end_lsn, rows=folded.num_rows,
+        events_applied=0, data_file=os.path.join(f"part={part:05d}", fname),
+        content_sha=sha, runs=[], rows_exact=True,
+        evolution_version=spec_version(cfg),
+    )
+    write_manifest(cfg.lake_dir, m)
+    return m, live_before - folded.num_rows
+
+
 # ---------------------------------------------------------------- core merge
 
 
