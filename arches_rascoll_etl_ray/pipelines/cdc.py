@@ -281,6 +281,12 @@ class CDCEngine:
                         for f in os.listdir(src)
                         if f.endswith(".parquet")
                     )
+                    if not src:
+                        raise ValueError(
+                            f"no *.parquet files in snapshot dir {snapshot!r} — "
+                            "bootstrap loads parquet only (a csv/jsonl export "
+                            "must be converted first)"
+                        )
                 ds = ray.data.read_parquet(src)
             elif isinstance(snapshot, pa.Table):
                 ds = ray.data.from_arrow(snapshot)

@@ -510,7 +510,11 @@ def cdc_secondary_index(sf_dir: str):
     clog_dir = _events_changelog(sf_dir, tag)
     lake = _fresh_lake(f"events_sidx_{tag}")
     eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8))
-    idx = SecondaryIndex(os.path.join(lake, "_sidx_lang"), column="lang", num_partitions=4)
+    # a SIBLING of the lake dir — index.py's layout contract forbids
+    # nesting the index inside the base lake
+    idx = SecondaryIndex(
+        _fresh_lake(f"events_sidx_idx_{tag}"), column="lang", num_partitions=4
+    )
     per = max(1, max_available_lsn(clog_dir) // 3)
     while True:
         before = eng.checkpoint().epoch

@@ -19,10 +19,15 @@ Maintenance is delta-driven and NEVER rescans the table: per changefeed row
     U, value same  → nothing (lsn-only churn costs the index zero writes)
 Each sync is one Ray `groupby(ipart).map_groups` over the delta stream —
 only touched index partitions do any I/O, each rewritten atomically
-(tmp→rename). Set semantics make a replayed sync idempotent: re-adding a
-present posting dedups, re-removing an absent one is a no-op, so a crash
-between partition writes and the watermark commit heals on the next sync
-(same recovery contract as the lake's own manifests).
+(tmp→rename). Crash recovery pins the WINDOW, not just the watermark: an
+intent (`pending_to`) is persisted before any partition write, so a sync
+that died mid-apply is always re-applied over its ORIGINAL epoch window
+first — set semantics make that replay idempotent (re-adding dedups,
+re-removing is a no-op) — and only then does a fresh window advance to
+the lake head. Without the intent, a retry would net-diff ACROSS the
+crashed horizon and a posting the crashed attempt wrote for an
+intermediate value would never be removed (the changefeed is an
+endpoint diff; the intermediate value appears in neither image).
 
 Consistency: the index carries an applied-epoch watermark and
 `lookup_rows` reads the BASE LAKE AS OF that watermark (time-travel
@@ -72,8 +77,10 @@ class SecondaryIndex:
                     f"P={num_partitions} (physical layout pin, like the lake's own)"
                 )
             self.applied_epoch = meta["applied_epoch"]
+            self.pending_to = meta.get("pending_to")
         else:
             self.applied_epoch = 0
+            self.pending_to = None
 
     # ------------------------------------------------------------- state
 
@@ -94,6 +101,7 @@ class SecondaryIndex:
                 "column": self.column,
                 "num_partitions": self.num_partitions,
                 "applied_epoch": self.applied_epoch,
+                "pending_to": self.pending_to,
             },
         )
 
@@ -109,13 +117,29 @@ class SecondaryIndex:
 
     def sync(self, engine) -> int:
         """Fold the base lake's changefeed since this index's watermark.
-        Returns the number of index partitions rewritten (0 = already
-        current). Distributed: deltas shuffle by index partition, one task
-        rewrites each touched partition."""
+        Returns the number of index partition rewrites (0 = already
+        current). A sync that previously died mid-apply left a persisted
+        `pending_to` intent — that exact window is idempotently re-applied
+        FIRST, then a fresh window advances to the lake head (see the
+        module docstring: net-diffing across the crashed horizon would
+        strand postings the crashed attempt wrote for intermediate
+        values)."""
+        total = 0
+        if self.pending_to is not None and self.pending_to > self.applied_epoch:
+            total += self._apply_window(engine, self.pending_to)
         cur = engine.checkpoint().epoch
-        if cur == self.applied_epoch:
-            return 0
-        feed = engine.changefeed(self.applied_epoch, cur)
+        if cur != self.applied_epoch:
+            total += self._apply_window(engine, cur)
+        return total
+
+    def _apply_window(self, engine, to_epoch: int) -> int:
+        """Apply ONE changefeed window (applied_epoch, to_epoch], persisting
+        the intent before the first partition write. Distributed: deltas
+        shuffle by index partition, one task rewrites each touched
+        partition."""
+        self.pending_to = to_epoch
+        self._save_meta()
+        feed = engine.changefeed(self.applied_epoch, to_epoch)
         col, P = self.column, self.num_partitions
         new_c, old_c = "new_" + col, "old_" + col
         index_dir = self.index_dir
@@ -228,7 +252,8 @@ class SecondaryIndex:
             .map_groups(merge_one, batch_format="pyarrow")
         )
         touched = stats.count()
-        self.applied_epoch = cur
+        self.applied_epoch = to_epoch
+        self.pending_to = None
         self._save_meta()
         return touched
 

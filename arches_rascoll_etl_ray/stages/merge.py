@@ -430,12 +430,12 @@ def compact_partition(
     cfg: EngineConfig, epoch: int, end_lsn: int, info: dict, part: int
 ) -> PartitionManifest:
     """Fold one partition's base+runs into a fresh base (explicit
-    compaction; idempotent per (partition, epoch) via the manifest — honored
-    only when the manifest's LSN range matches, same crash-resume rule as
-    apply_partition_merge)."""
-    existing = read_manifest(cfg.lake_dir, part, epoch)
-    if existing is not None and existing.start_lsn == end_lsn and existing.end_lsn == end_lsn:
-        return existing
+    compaction). Task retries and crash re-runs are safe by DETERMINISM
+    (same fold → same bytes → atomic replace) — deliberately NO manifest
+    fast-path: expire_partition shares the epoch counter and the
+    zero-event manifest shape, so honoring an existing same-epoch manifest
+    could silently adopt a crashed expire's FILTERED rewrite and drop rows
+    the caller never asked to expire."""
     pdir = partition_dir(cfg.lake_dir, part)
     os.makedirs(pdir, exist_ok=True)
     folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
@@ -468,11 +468,12 @@ def expire_partition(
     or None when the partition provably has nothing to drop, decided from
     the parquet FOOTER's lsn column statistics alone (no data read), so an
     expire over a mostly-fresh lake costs one footer read per partition.
-    Idempotent per (partition, epoch) via the manifest, same crash-resume
-    rule as compaction."""
-    existing = read_manifest(cfg.lake_dir, part, epoch)
-    if existing is not None and existing.start_lsn == end_lsn and existing.end_lsn == end_lsn:
-        return existing, 0
+    Task retries and crash re-runs are safe by DETERMINISM (same fold →
+    same bytes → atomic replace), NOT by a manifest fast-path: compact and
+    expire share the epoch counter and the zero-event manifest shape, so
+    honoring an existing same-epoch manifest here could silently adopt a
+    crashed compact's UNFILTERED rewrite (or a crashed expire at a
+    different horizon) and skip the retention."""
     if (
         not info.get("runs")
         and info.get("data_file")
@@ -817,11 +818,19 @@ def make_multi_epoch_spill_fn(
             # content-hash suffix: (lo,hi) alone is NOT unique under
             # duplicate-LSN delivery split across blocks — two slices with
             # the same range but different membership must not share a name.
-            # Identical lsn multisets imply identical (deterministically
-            # sorted) bytes, so equal names still overwrite safely.
+            # The hash mixes the KEY hash per row, not just the lsn:
+            # bootstrap loads every row at ONE constant lsn, where an
+            # lsn-only xor would collapse to two possible names per
+            # partition (row-count parity) and os.replace would silently
+            # destroy earlier blocks' pieces. Same slice → same name
+            # (retry-idempotent overwrite); different row sets collide with
+            # ~2^-64 probability, and a duplicate piece would merely be
+            # duplicate delivery, which the LWW fold already absorbs.
+            khs = sub["_kh"].to_numpy(zero_copy_only=False).astype(np.uint64)
             lh = int(np.bitwise_xor.reduce(
                 (lsns.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
                 * np.uint64(0xBF58476D1CE4E5B9)
+                ^ (khs + np.uint64(0x94D049BB133111EB)) * np.uint64(0xFF51AFD7ED558CCD)
             )) if len(lsns) else 0
             pdir = delta_dir(cfg, epoch, part_id)
             os.makedirs(pdir, exist_ok=True)

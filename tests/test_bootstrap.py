@@ -84,3 +84,31 @@ def test_bootstrap_rerun_same_args_is_idempotent(changelog, tmp_path):
     eng2 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
     eng2.bootstrap(snap, as_of_lsn=H)
     assert eng2.snapshot_sha256() == sha1
+
+
+def test_bootstrap_multiblock_snapshot_loses_no_rows(changelog, tmp_path):
+    """Regression: every bootstrap row shares one lsn, so the spill piece
+    name must incorporate the KEY hash — an lsn-only content hash collapses
+    to two names per partition (row-count parity) and later blocks' atomic
+    replace silently destroyed earlier blocks' pieces."""
+    src = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "src"), num_partitions=8))
+    src.apply_epoch(changelog, end_lsn=2000)
+    snap = src.snapshot_table().drop_columns(["lsn"])  # generic snapshot: constant-lsn load
+
+    # four parquet files → four read blocks → four spill calls per partition
+    paths = []
+    step = -(-snap.num_rows // 4)
+    for i in range(4):
+        part = snap.slice(i * step, step)
+        p = str(tmp_path / f"snap_{i}.parquet")
+        pq.write_table(part, p)
+        paths.append(p)
+
+    boot = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "boot"), num_partitions=2))
+    ckpt = boot.bootstrap(paths, as_of_lsn=2000)
+    assert sum(i["rows"] for i in ckpt.partitions.values()) == snap.num_rows
+    got = boot.snapshot_table()
+    assert got.num_rows == snap.num_rows
+    assert sorted(zip(*[got[c].to_pylist() for c in ("repo", "path", "content")])) == sorted(
+        zip(*[snap[c].to_pylist() for c in ("repo", "path", "content")])
+    )

@@ -146,3 +146,54 @@ def test_lookup_absent_value_empty_schema(changelog, tmp_path):
     rows = idx.lookup_rows(eng, "never-written")
     assert rows.num_rows == 0
     assert set(eng.snapshot_table().schema.names) == set(rows.schema.names)
+
+
+def test_crash_mid_sync_then_lake_advances_no_stale_postings(tmp_path):
+    """Regression (review finding): a sync to e1 that crashed AFTER its
+    partition writes but BEFORE the watermark commit, followed by the lake
+    advancing to e2, must not strand the intermediate value's posting —
+    the persisted pending-window intent forces the retry to re-apply
+    (w, e1] exactly before advancing, instead of net-diffing (w, e2]
+    (whose endpoint images never mention the intermediate value)."""
+    import json
+
+    import pandas as pd
+
+    from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
+
+    events = [
+        (1, "I", "r", "x", "c1", "v1", "body1"),  # lang v1 at epoch 1
+        (2, "U", "r", "x", "c2", "v2", "body2"),  # lang v2 at epoch 2
+        (3, "U", "r", "x", "c3", "v3", "body3"),  # lang v3 at epoch 3
+    ]
+    df = pd.DataFrame(
+        events, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=1)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2))
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=2)
+
+    eng.apply_epoch(d, max_events=1)  # epoch 1: lang v1
+    idx.sync(eng)
+    eng.apply_epoch(d, max_events=1)  # epoch 2: lang v2
+    idx.sync(eng)  # partitions now hold (v2, key)
+    # simulate the crash: partition writes landed, watermark commit didn't —
+    # meta rolls back to applied=1 with the pending intent for epoch 2
+    meta_path = idx._meta_path()
+    meta = json.load(open(meta_path))
+    meta["applied_epoch"], meta["pending_to"] = 1, 2
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    eng.apply_epoch(d)  # epoch 3: lang v3 — the lake advances past the crash
+    idx2 = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=2)
+    assert idx2.pending_to == 2
+    idx2.sync(eng)
+    assert idx2.applied_epoch == eng.checkpoint().epoch and idx2.pending_to is None
+    assert _index_keys(idx2, "v2") == []  # the stale intermediate posting is gone
+    assert _index_keys(idx2, "v3") == [("r", "x")]
+    # and the healed index equals a from-scratch rebuild
+    fresh = SecondaryIndex(str(tmp_path / "fresh"), column="lang", num_partitions=2)
+    fresh.sync(eng)
+    assert _postings_digest(idx2) == _postings_digest(fresh)
