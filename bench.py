@@ -127,6 +127,10 @@ def run_queries() -> dict:
         # round-4 CDC-surface additions: delta-stream + incremental view
         "cdc_incremental_mv",
         "q_regex_redact",
+        # late round-4: partial-image upserts + changefeed-maintained
+        # secondary index, both through the full engine
+        "cdc_events_patch",
+        "cdc_secondary_index",
     ]
     qs = em.queries()
     out = {}
