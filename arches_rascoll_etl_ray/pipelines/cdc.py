@@ -683,10 +683,18 @@ class CDCEngine:
         poll_interval_s: float = 1.0,
         idle_polls: int = 3,
         events_per_epoch: int | None = None,
+        on_commit=None,
     ) -> Checkpoint:
         """Continuous binlog tail: apply new epochs as shards appear; stop
         after `idle_polls` consecutive polls with no new LSNs (the
-        micro-batch CDC loop — each poll that finds data commits ≥1 epoch)."""
+        micro-batch CDC loop — each poll that finds data commits ≥1 epoch).
+
+        `on_commit(engine, checkpoint)`, if given, runs after every poll
+        that advanced the lake — the hook where downstream consumers stay
+        live during the tail (SecondaryIndex.sync, incremental.sync_view,
+        replication). A hook exception stops the tail (the lake itself is
+        already committed; the consumer re-syncs from its own watermark on
+        the next run — every consumer in this repo is idempotent that way)."""
         import time as _time
 
         idle = 0
@@ -696,6 +704,8 @@ class CDCEngine:
             if avail > ckpt.end_lsn:
                 idle = 0
                 ckpt = self.replay(changelog_dir, events_per_epoch=events_per_epoch)
+                if on_commit is not None:
+                    on_commit(self, ckpt)
             else:
                 idle += 1
                 _time.sleep(poll_interval_s)

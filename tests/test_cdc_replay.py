@@ -499,3 +499,40 @@ def _pid_alive(pid):
         return False
     except PermissionError:
         return True
+
+
+def test_tail_on_commit_keeps_consumer_in_sync(tmp_path):
+    """The tail's on_commit hook runs after every advancing poll — here a
+    SecondaryIndex stays live through a mid-tail shard append and ends
+    equal to the final snapshot."""
+    import threading
+    import time as _t
+
+    from arches_rascoll_etl_ray.pipelines.index import SecondaryIndex
+
+    df = generate_changelog(80, 900, seed=29)
+    d = str(tmp_path / "log")
+    write_changelog_shards(df.iloc[:500], d, num_shards=2)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=2)
+    syncs = []
+
+    def on_commit(engine, ckpt):
+        idx.sync(engine)
+        syncs.append(ckpt.epoch)
+
+    def append_later():
+        _t.sleep(0.8)
+        write_changelog_shards(df.iloc[500:], d, num_shards=2)
+
+    t = threading.Thread(target=append_later)
+    t.start()
+    eng.tail(d, poll_interval_s=0.3, idle_polls=4, on_commit=on_commit)
+    t.join()
+    assert len(syncs) >= 2  # both the initial batch and the appended one
+    assert idx.applied_epoch == eng.checkpoint().epoch
+    snap = eng.snapshot_table().to_pandas()
+    for v in sorted(snap["lang"].dropna().unique()):
+        got = sorted(map(tuple, idx.lookup_keys(v).to_pandas().to_numpy()))
+        want = sorted(map(tuple, snap[snap["lang"] == v][["repo", "path"]].to_numpy()))
+        assert got == want, v
