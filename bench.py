@@ -143,6 +143,25 @@ def run_queries() -> dict:
     return out
 
 
+def box_witness() -> dict:
+    """Hardware-speed witness recorded WITH every bench line: this sandbox's
+    host throttling has been observed to swing ~3× between runs (BASELINE.md
+    §box-speed witness), so absolute times are only comparable when
+    normalized by the same-run witness. Two ~1 s probes: multithreaded-BLAS
+    sgemm GFLOP/s and a single-core int64 sort."""
+    import numpy as np
+
+    x = np.random.default_rng(0).random((3072, 3072), dtype=np.float32)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        x @ x
+    gflops = 2 * 2 * 3072**3 / (time.perf_counter() - t0) / 1e9
+    a = np.random.default_rng(1).integers(0, 1 << 40, 20_000_000)
+    t0 = time.perf_counter()
+    np.sort(a)
+    return {"sgemm_gflops": round(gflops, 1), "sort20m_sec": round(time.perf_counter() - t0, 3)}
+
+
 def main() -> None:
     import ray
 
@@ -174,6 +193,7 @@ def main() -> None:
                 "total_query_sec": total_query_sec,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
+                "box_witness": box_witness(),
             }
         )
     )
