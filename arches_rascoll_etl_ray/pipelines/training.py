@@ -2762,3 +2762,132 @@ def q_curation(sf_dir: str):
         )
 
     return res.map_batches(finalize, batch_format="pandas")
+
+
+_HH_K = 256  # Misra-Gries summary size: candidates ⊇ {tok : count > n/256}
+
+
+@register(
+    "q_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM toks, tot GROUP BY tok, tot.n_total
+    HAVING count(*) * 256 > tot.n_total
+    ORDER BY n DESC, tok
+    """,
+)
+def q_heavy_hitters(sf_dir: str):
+    """Frequent tokens above the n/256 frequency threshold via mergeable
+    Misra-Gries sketches + an exact verification pass — the bounded-memory
+    heavy-hitters shape for vocabularies too large to count exactly.
+
+    Stage 1 (candidates): each batch's exact value_counts is MG-truncated
+    to ≤K rows (subtract the (K+1)-th largest count, keep positive — error
+    ≤ n_batch/K); summaries shuffle into 64 constant shards and MG-merge
+    per shard. The UNION of shard survivors is a provable superset of the
+    true heavy hitters: Σ_s count_s(t) > Σ_s err_s ⇒ some shard has
+    count_s(t) > err_s (pigeonhole), so t survives there. ≤64·K candidate
+    rows ever reach the driver, independent of corpus size.
+
+    Stage 2 (exact): the candidate set broadcasts (≤16k strings) and a
+    second pass counts ONLY candidates per batch, reduced exactly — the
+    final filter (count·K > n_total, strict) makes the output independent
+    of batch boundaries and merge order, so the query is deterministic
+    across cluster shapes even though the intermediate candidate set is
+    not. Misra & Gries 1982; mergeability per Agarwal et al., PODS'12."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    ds = _docs(sf_dir, ["text"])
+
+    def tokenize(t: pa.Table):
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        return flat.filter(pc.not_equal(flat, pa.scalar(""))).combine_chunks()
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        flat = tokenize(t)
+        total = len(flat)
+        vc = pc.value_counts(flat)
+        tok = vc.field("values").to_numpy(zero_copy_only=False)
+        n = pc.cast(vc.field("counts"), pa.int64()).to_numpy()
+        if len(n) > _HH_K:
+            d = np.partition(n, len(n) - _HH_K - 1)[len(n) - _HH_K - 1]
+            keep = n > d
+            tok, n = tok[keep], (n - d)[keep]
+        shard = int(stable_hash64(pa.array(tok[:1] if len(tok) else ["x"]))[0] % np.uint64(64))
+        out = pa.table(
+            {
+                "tok": pa.array(tok, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "shard": pa.array(np.full(len(tok), shard, dtype=np.int32)),
+                "total": pa.array(np.zeros(len(tok), dtype=np.int64)),
+            }
+        )
+        # one marker row per batch carries the exact token total for n_total
+        marker = pa.table(
+            {
+                "tok": pa.array([""], pa.string()),
+                "n": pa.array([0], pa.int64()),
+                "shard": pa.array([shard], pa.int32()),
+                "total": pa.array([total], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, marker])
+
+    def mg_merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["total"].sum())
+        df = df[df["tok"] != ""]
+        g = df.groupby("tok", as_index=False).agg(n=("n", "sum"))
+        tok = g["tok"].to_numpy()
+        n = g["n"].to_numpy()
+        if len(n) > _HH_K:
+            d = np.partition(n, len(n) - _HH_K - 1)[len(n) - _HH_K - 1]
+            keep = n > d
+            tok, n = tok[keep], (n - d)[keep]
+        out = pd.DataFrame({"tok": tok, "n": n})
+        out["total"] = 0
+        return pd.concat(
+            [out, pd.DataFrame({"tok": [""], "n": [0], "total": [total]})],
+            ignore_index=True,
+        )
+
+    summary = (
+        ds.map_batches(batch_summary, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mg_merge_shard, batch_format="pandas")
+        .take_all()
+    )  # ≤ 64·(K+1) rows by construction
+    n_total = sum(r["total"] for r in summary)
+    candidates = {r["tok"] for r in summary if r["tok"]}
+    if not candidates or n_total == 0:
+        return pa.table({"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    cand_arr = pa.array(sorted(candidates), pa.string())
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        flat = tokenize(t)
+        flat = flat.filter(pc.is_in(flat, value_set=cand_arr))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"tok": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    def exact_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False).agg(n=("n", "sum"))
+        g = g[g["n"] * _HH_K > n_total]
+        return g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+
+    exact = (
+        ds.map_batches(count_candidates, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int32))),
+            batch_format="pyarrow",
+        )
+        .groupby("_g")
+        .map_groups(exact_reduce, batch_format="pandas")
+    )
+    return exact.select_columns(["tok", "n"])
