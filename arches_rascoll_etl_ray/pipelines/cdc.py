@@ -539,6 +539,7 @@ class CDCEngine:
         changelog_dir: str,
         events_per_epoch: int | None = None,
         pipelined: bool | str = "auto",
+        on_commit=None,
     ) -> Checkpoint:
         """Tail the log to exhaustion in deterministic epochs.
 
@@ -574,10 +575,14 @@ class CDCEngine:
             if not pipelined or self.cfg.shuffle != "spill":
                 while ckpt.end_lsn < avail:
                     ckpt = self._apply_next_epoch(changelog_dir, max_events=events_per_epoch)
+                    if on_commit is not None:
+                        on_commit(self, ckpt)
                     avail = max_available_lsn(changelog_dir)
                     wlock.renew()
                 return ckpt
-            return self._replay_batched_spill(changelog_dir, ckpt, bounds, wlock=wlock)
+            return self._replay_batched_spill(
+                changelog_dir, ckpt, bounds, wlock=wlock, on_commit=on_commit
+            )
 
     # how many epochs one spill execution covers: bounds delta-storage
     # footprint to `lookahead` epochs of pieces while amortizing executor
@@ -585,7 +590,12 @@ class CDCEngine:
     _SPILL_LOOKAHEAD = 8
 
     def _replay_batched_spill(
-        self, changelog_dir: str, ckpt: Checkpoint, bounds: list[tuple[int, int]], wlock=None
+        self,
+        changelog_dir: str,
+        ckpt: Checkpoint,
+        bounds: list[tuple[int, int]],
+        wlock=None,
+        on_commit=None,
     ) -> Checkpoint:
         """Group-spill + in-order merges; the writer lock is already held."""
         import time as _time
@@ -649,6 +659,8 @@ class CDCEngine:
                 )
                 save_checkpoint(self.cfg.lake_dir, ckpt)
                 self._cleanup_delta(epoch)
+                if on_commit is not None:
+                    on_commit(self, ckpt)
         return ckpt
 
     def _merge_epoch_chains(
@@ -689,12 +701,18 @@ class CDCEngine:
         after `idle_polls` consecutive polls with no new LSNs (the
         micro-batch CDC loop — each poll that finds data commits ≥1 epoch).
 
-        `on_commit(engine, checkpoint)`, if given, runs after every poll
-        that advanced the lake — the hook where downstream consumers stay
-        live during the tail (SecondaryIndex.sync, incremental.sync_view,
-        replication). A hook exception stops the tail (the lake itself is
-        already committed; the consumer re-syncs from its own watermark on
-        the next run — every consumer in this repo is idempotent that way)."""
+        `on_commit(engine, checkpoint)`, if given, runs after EVERY
+        committed epoch (inside replay's catch-up loop, not once per poll)
+        — the hook where downstream consumers stay live during the tail
+        (SecondaryIndex.sync, incremental.sync_view, replication). Per
+        epoch matters: a producer writing faster than one poll drains
+        keeps replay catching up internally, and a per-poll hook would be
+        starved exactly when the tail is busiest. The hook runs with the
+        writer lock held, so it must not write to THIS lake (reads,
+        changefeeds, and writes to its own state are fine). A hook
+        exception stops the tail (the epoch is already committed; every
+        consumer in this repo re-syncs idempotently from its own
+        watermark)."""
         import time as _time
 
         idle = 0
@@ -703,9 +721,9 @@ class CDCEngine:
             avail = max_available_lsn(changelog_dir)
             if avail > ckpt.end_lsn:
                 idle = 0
-                ckpt = self.replay(changelog_dir, events_per_epoch=events_per_epoch)
-                if on_commit is not None:
-                    on_commit(self, ckpt)
+                ckpt = self.replay(
+                    changelog_dir, events_per_epoch=events_per_epoch, on_commit=on_commit
+                )
             else:
                 idle += 1
                 _time.sleep(poll_interval_s)

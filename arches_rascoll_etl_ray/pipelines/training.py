@@ -2872,22 +2872,27 @@ def q_heavy_hitters(sf_dir: str):
         flat = tokenize(t)
         flat = flat.filter(pc.is_in(flat, value_set=cand_arr))
         vc = pc.value_counts(flat)
+        tok = vc.field("values")
+        shard = (stable_hash64(tok) % np.uint64(64)).astype(np.int32)
         return pa.table(
-            {"tok": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+            {
+                "tok": tok,
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+                "shard": pa.array(shard),
+            }
         )
 
-    def exact_reduce(df: pd.DataFrame) -> pd.DataFrame:
+    def exact_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # each token lives in exactly ONE shard, so the per-shard threshold
+        # filter is globally exact; no single-task reduce of B·|candidates|
+        # rows (the q_vocab_topk shape)
         g = df.groupby("tok", as_index=False).agg(n=("n", "sum"))
-        g = g[g["n"] * _HH_K > n_total]
-        return g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+        return g[g["n"] * _HH_K > n_total][["tok", "n"]]
 
     exact = (
         ds.map_batches(count_candidates, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int32))),
-            batch_format="pyarrow",
-        )
-        .groupby("_g")
-        .map_groups(exact_reduce, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(exact_shard, batch_format="pandas")
+        .sort(["n", "tok"], descending=[True, False])
     )
-    return exact.select_columns(["tok", "n"])
+    return exact

@@ -193,7 +193,11 @@ def main() -> None:
                 "total_query_sec": total_query_sec,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
-                "box_witness": box_witness(),
+                # skipped in scaling children: _scaling_pair discards it,
+                # and 2-3 s × (levels × repeats × configs) is real wall time
+                "box_witness": (
+                    None if os.environ.get("ARER_SCALING_CHILD") else box_witness()
+                ),
             }
         )
     )

@@ -502,9 +502,12 @@ def _pid_alive(pid):
 
 
 def test_tail_on_commit_keeps_consumer_in_sync(tmp_path):
-    """The tail's on_commit hook runs after every advancing poll — here a
+    """The tail's on_commit hook runs after EVERY committed epoch (even
+    when replay catches up internally within one poll) — here a
     SecondaryIndex stays live through a mid-tail shard append and ends
-    equal to the final snapshot."""
+    equal to the final snapshot. events_per_epoch=300 over 900 events
+    guarantees >=3 epochs regardless of how the append races the polls,
+    so the assertion is timing-independent."""
     import threading
     import time as _t
 
@@ -527,9 +530,9 @@ def test_tail_on_commit_keeps_consumer_in_sync(tmp_path):
 
     t = threading.Thread(target=append_later)
     t.start()
-    eng.tail(d, poll_interval_s=0.3, idle_polls=4, on_commit=on_commit)
+    eng.tail(d, poll_interval_s=0.3, idle_polls=4, events_per_epoch=300, on_commit=on_commit)
     t.join()
-    assert len(syncs) >= 2  # both the initial batch and the appended one
+    assert len(syncs) >= 3  # one hook call per committed epoch, 900/300
     assert idx.applied_epoch == eng.checkpoint().epoch
     snap = eng.snapshot_table().to_pandas()
     for v in sorted(snap["lang"].dropna().unique()):
