@@ -197,3 +197,54 @@ def test_crash_mid_sync_then_lake_advances_no_stale_postings(tmp_path):
     fresh = SecondaryIndex(str(tmp_path / "fresh"), column="lang", num_partitions=2)
     fresh.sync(eng)
     assert _postings_digest(idx2) == _postings_digest(fresh)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _streams(draw):
+    n = draw(st.integers(min_value=2, max_value=30))
+    keys = [("r/a", "x"), ("r/b", "y"), ("r/c", "z")]
+    langs = ["v1", "v2", "v3"]
+    ev = []
+    for lsn in range(1, n + 1):
+        repo, path = keys[draw(st.integers(min_value=0, max_value=2))]
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        if op == "D":
+            ev.append((lsn, "D", repo, path, None, None, None))
+        else:
+            lang = langs[draw(st.integers(min_value=0, max_value=2))]
+            ev.append((lsn, op, repo, path, f"c{lsn}", lang, f"b{lsn}"))
+    split = draw(st.integers(min_value=1, max_value=n))
+    return ev, split
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_streams())
+def test_index_property_incremental_equals_rebuild_and_snapshot(tmp_path_factory, case):
+    """For ANY stream and epoch split: per-epoch-synced postings equal a
+    one-shot rebuild AND the snapshot filter, for every value ever written."""
+    events, split = case
+    tmp = tmp_path_factory.mktemp("idx_prop")
+    from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
+
+    df = pd.DataFrame(
+        events, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp / "log")
+    write_changelog_shards(df, d, num_shards=2)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp / "lake"), num_partitions=3))
+    inc = SecondaryIndex(str(tmp / "inc"), column="lang", num_partitions=2)
+    while True:
+        before = eng.checkpoint().epoch
+        if eng.apply_epoch(d, max_events=split).epoch == before:
+            break
+        inc.sync(eng)
+    fresh = SecondaryIndex(str(tmp / "fresh"), column="lang", num_partitions=2)
+    fresh.sync(eng)
+    assert _postings_digest(inc) == _postings_digest(fresh)
+    for v in ("v1", "v2", "v3"):
+        assert _index_keys(inc, v) == _snap_keys(eng, v), v
