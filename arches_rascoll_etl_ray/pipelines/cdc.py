@@ -1053,6 +1053,30 @@ class CDCEngine:
 
     # --------------------------------------------------------------- admin
 
+    def metrics_history(self) -> list[dict]:
+        """Per-epoch metrics from every retained checkpoint, ascending by
+        epoch (the throughput/lineage time series; horizon = since the last
+        vacuum, which trims non-latest checkpoints). Each entry is that
+        epoch's commit-time metrics dict (events_applied, duration_sec,
+        events_per_sec, partitions_touched, …) plus the epoch number."""
+        import json as _json
+        import re as _re
+
+        d = checkpoint_dir(self.cfg.lake_dir)
+        out = []
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                m = _re.match(r"^epoch_(\d{9})\.json$", name)
+                if not m:
+                    continue
+                try:
+                    with open(os.path.join(d, name)) as f:
+                        ck = _json.load(f)
+                except (OSError, _json.JSONDecodeError):
+                    continue  # torn write: same tolerance as load_latest_checkpoint
+                out.append({"epoch": int(m.group(1)), **(ck.get("metrics") or {})})
+        return out
+
     def lag(self, changelog_dir: str) -> dict:
         """Throughput/lag metrics surface (north-star lineage requirement)."""
         ckpt = self.checkpoint()

@@ -539,3 +539,18 @@ def test_tail_on_commit_keeps_consumer_in_sync(tmp_path):
         got = sorted(map(tuple, idx.lookup_keys(v).to_pandas().to_numpy()))
         want = sorted(map(tuple, snap[snap["lang"] == v][["repo", "path"]].to_numpy()))
         assert got == want, v
+
+
+def test_metrics_history_per_epoch(tmp_path):
+    df = generate_changelog(60, 600, seed=33)
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=2)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2))
+    eng.replay(d, events_per_epoch=200)
+    hist = eng.metrics_history()
+    assert [h["epoch"] for h in hist] == [1, 2, 3]
+    # events_applied counts post-combine winner rows (distinct LSNs that
+    # reached a merge), so it is ≤ raw events but positive for every epoch
+    assert all(h["events_applied"] >= 1 for h in hist)
+    assert all(h["partitions_touched"] >= 1 for h in hist)
+    assert all(h["end_lsn"] == (i + 1) * 200 for i, h in enumerate(hist))
