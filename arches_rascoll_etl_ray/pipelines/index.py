@@ -238,10 +238,19 @@ class SecondaryIndex:
                         sort_keys=[(col, "ascending"), ("repo", "ascending"), ("path", "ascending")],
                     )
                 )
-            os.makedirs(os.path.dirname(pfile), exist_ok=True)
-            tmp = pfile + f".tmp-{os.getpid()}"
-            pq.write_table(merged, tmp, compression="lz4")
-            os.replace(tmp, pfile)
+            if merged.num_rows == 0:
+                # a partition whose postings all died: remove the file so
+                # on-disk state equals a from-scratch rebuild's (and empty
+                # parquets don't accumulate across value churn)
+                try:
+                    os.remove(pfile)
+                except FileNotFoundError:
+                    pass
+            else:
+                os.makedirs(os.path.dirname(pfile), exist_ok=True)
+                tmp = pfile + f".tmp-{os.getpid()}"
+                pq.write_table(merged, tmp, compression="lz4")
+                os.replace(tmp, pfile)
             return pa.table(
                 {"ipart": pa.array([ipart], pa.int32()), "rows": pa.array([merged.num_rows], pa.int64())}
             )
