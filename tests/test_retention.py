@@ -51,3 +51,37 @@ def test_expire_fresh_lake_is_footer_stat_noop(changelog, tmp_path):
     epoch0 = eng.checkpoint().epoch
     assert eng.expire(1) == 0  # nothing can be older than lsn 1
     assert eng.checkpoint().epoch == epoch0
+
+
+def test_expire_resolves_pending_patches_first(tmp_path):
+    """Expire folds base+runs (resolving 'P' partial images) BEFORE the
+    horizon filter, so a key patched after the horizon survives with its
+    patched columns even when the patch still sits in an unmerged LSM run."""
+    import pandas as pd
+
+    from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
+
+    events = [
+        (1, "I", "r", "old", "c1", "python", "stale"),   # last write < H → drop
+        (2, "I", "r", "hot", "c2", "go", "base"),
+        (3, "P", "r", "hot", None, None, "patched"),     # lsn 3 >= H → row survives
+    ]
+    df = pd.DataFrame(
+        events, columns=["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "log")
+    write_changelog_shards(df, d, num_shards=1)
+    eng = CDCEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"),
+            num_partitions=2,
+            merge_mode="lsm",
+            lsm_compact_threshold=99,  # runs stay pending — expire does the fold
+        )
+    )
+    eng.replay(d, events_per_epoch=1)
+    dropped = eng.expire(3)
+    assert dropped == 1
+    rows = eng.snapshot_table().to_pylist()
+    assert len(rows) == 1
+    assert (rows[0]["path"], rows[0]["commit"], rows[0]["content"]) == ("hot", "c2", "patched")
