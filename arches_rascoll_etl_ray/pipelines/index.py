@@ -284,7 +284,12 @@ class SecondaryIndex:
         """Live base rows whose indexed column equals `value`, read AS OF
         this index's applied epoch (consistent even while the base lake
         advances). Folds ONLY the base partitions the postings name — one
-        Ray task each — instead of scanning all of them."""
+        Ray task each — instead of scanning all of them.
+
+        Returns a driver-side Table: sized for SELECTIVE values (the
+        point-lookup shape). For a value matching a large fraction of the
+        table, filter `engine.snapshot_dataset()` instead — that stays a
+        streaming Dataset and never lands on the driver."""
         from arches_rascoll_etl_ray.stages.merge import (
             empty_lake_table,
             fold_partition_tables,
