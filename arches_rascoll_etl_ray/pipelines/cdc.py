@@ -38,7 +38,6 @@ from arches_rascoll_etl_ray.stages.merge import lake_columns
 from arches_rascoll_etl_ray.stages.normalize import make_normalize_fn, make_salted_reduce_fn
 from arches_rascoll_etl_ray.state.checkpoint import (
     Checkpoint,
-    checkpoint_dir,
     load_latest_checkpoint,
     save_checkpoint,
 )
@@ -1056,25 +1055,24 @@ class CDCEngine:
     def metrics_history(self) -> list[dict]:
         """Per-epoch metrics from every retained checkpoint, ascending by
         epoch (the throughput/lineage time series; horizon = since the last
-        vacuum, which trims non-latest checkpoints). Each entry is that
-        epoch's commit-time metrics dict (events_applied, duration_sec,
-        events_per_sec, partitions_touched, …) plus the epoch number."""
+        vacuum, which trims non-latest checkpoints). Each entry is
+        {"epoch": N, **that epoch's commit-time metrics} — the metric KEYS
+        depend on what committed the epoch: replay/apply_epoch epochs carry
+        events_applied/duration_sec/events_per_sec/partitions_touched,
+        expire epochs carry expire_min_lsn/rows_dropped, compact epochs
+        carry no metrics — so consumers should .get() keys, not index."""
         import json as _json
-        import re as _re
 
-        d = checkpoint_dir(self.cfg.lake_dir)
+        from arches_rascoll_etl_ray.state.checkpoint import list_checkpoints
+
         out = []
-        if os.path.isdir(d):
-            for name in sorted(os.listdir(d)):
-                m = _re.match(r"^epoch_(\d{9})\.json$", name)
-                if not m:
-                    continue
-                try:
-                    with open(os.path.join(d, name)) as f:
-                        ck = _json.load(f)
-                except (OSError, _json.JSONDecodeError):
-                    continue  # torn write: same tolerance as load_latest_checkpoint
-                out.append({"epoch": int(m.group(1)), **(ck.get("metrics") or {})})
+        for epoch, path in list_checkpoints(self.cfg.lake_dir):
+            try:
+                with open(path) as f:
+                    ck = _json.load(f)
+            except (OSError, _json.JSONDecodeError):
+                continue  # torn write: same tolerance as load_latest_checkpoint
+            out.append({"epoch": epoch, **(ck.get("metrics") or {})})
         return out
 
     def lag(self, changelog_dir: str) -> dict:
@@ -1175,19 +1173,17 @@ class CDCEngine:
         # digest vanished data). Removing them makes the documented
         # time-travel horizon — 'since the last vacuum' — real:
         # load_checkpoint_at(old) now raises FileNotFoundError immediately.
-        ckpt_d = checkpoint_dir(self.cfg.lake_dir)
+        from arches_rascoll_etl_ray.state.checkpoint import list_checkpoints
+
         removed = 0
-        if os.path.isdir(ckpt_d):
-            for name in os.listdir(ckpt_d):
-                m = re.match(r"^epoch_(\d{9})\.json$", name)
-                if m and int(m.group(1)) != ckpt.epoch:
-                    os.remove(os.path.join(ckpt_d, name))
-                    removed += 1
+        for epoch, path in list_checkpoints(self.cfg.lake_dir):
+            if epoch != ckpt.epoch:
+                os.remove(path)
+                removed += 1
         live = {info["data_file"] for info in ckpt.partitions.values() if info["data_file"]}
         committed_epoch = {p: info["epoch"] for p, info in ckpt.partitions.items()}
         for info in ckpt.partitions.values():
             live.update(info.get("runs") or [])
-        removed = 0
         data_re = re.compile(r"^(data|run)_epoch(\d{9})\.parquet$")
         mani_re = re.compile(r"^manifest_epoch(\d{9})\.json$")
         for name in os.listdir(self.cfg.lake_dir):

@@ -239,13 +239,17 @@ class SecondaryIndex:
                     )
                 )
             if merged.num_rows == 0:
-                # a partition whose postings all died: remove the file so
-                # on-disk state equals a from-scratch rebuild's (and empty
-                # parquets don't accumulate across value churn)
+                # a partition whose postings all died: remove the file AND
+                # its directory so on-disk state equals a from-scratch
+                # rebuild's (and empty parquets don't accumulate)
                 try:
                     os.remove(pfile)
                 except FileNotFoundError:
                     pass
+                try:
+                    os.rmdir(os.path.dirname(pfile))
+                except OSError:
+                    pass  # not empty (tmp of a concurrent attempt) or gone
             else:
                 os.makedirs(os.path.dirname(pfile), exist_ok=True)
                 tmp = pfile + f".tmp-{os.getpid()}"
@@ -275,9 +279,15 @@ class SecondaryIndex:
             stable_hash64(pa.array([value], pa.string()))[0] % np.uint64(self.num_partitions)
         )
         pfile = self._part_file(ipart)
+        empty = pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
         if not os.path.exists(pfile):
-            return pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
-        t = pq.read_table(pfile, filters=[(self.column, "=", value)])
+            return empty
+        try:
+            t = pq.read_table(pfile, filters=[(self.column, "=", value)])
+        except FileNotFoundError:
+            # raced a concurrent sync emptying this partition (its remove is
+            # not atomic with the exists() probe above) — gone means empty
+            return empty
         return t.select(["repo", "path"])
 
     def lookup_rows(self, engine, value: str) -> pa.Table:

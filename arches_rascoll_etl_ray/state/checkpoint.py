@@ -121,6 +121,20 @@ def load_checkpoint_at(lake_dir: str, epoch: int) -> Checkpoint:
         ) from e
 
 
+def list_checkpoints(lake_dir: str) -> list[tuple[int, str]]:
+    """(epoch, path) of every retained checkpoint JSON, ascending — the ONE
+    place that knows the filename convention (load_latest_checkpoint,
+    vacuum and metrics_history all route through it)."""
+    d = checkpoint_dir(lake_dir)
+    out: list[tuple[int, str]] = []
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            m = _CKPT_RE.match(name)
+            if m:
+                out.append((int(m.group(1)), os.path.join(d, name)))
+    return sorted(out)
+
+
 def load_latest_checkpoint(lake_dir: str) -> Checkpoint:
     """Max committed *parseable* epoch, or the empty epoch-0 checkpoint.
 
@@ -128,13 +142,7 @@ def load_latest_checkpoint(lake_dir: str) -> Checkpoint:
     torn write can still leave an unparseable file; recovery falls back to
     the newest epoch that parses (replaying the skipped epoch is safe —
     manifests make it a no-op)."""
-    d = checkpoint_dir(lake_dir)
-    candidates: list[tuple[int, str]] = []
-    if os.path.isdir(d):
-        for name in os.listdir(d):
-            m = _CKPT_RE.match(name)
-            if m:
-                candidates.append((int(m.group(1)), os.path.join(d, name)))
+    candidates = list_checkpoints(lake_dir)
     for _, path in sorted(candidates, reverse=True):
         try:
             with open(path) as f:
