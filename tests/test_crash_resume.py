@@ -130,3 +130,54 @@ def test_export_reexport_refreshes_stale_partitions(tmp_path):
     finally:
         con.close()
     assert exported == n2, "stale per-partition export files survived re-export"
+
+
+def test_concurrent_reader_sees_committed_snapshots_only(tmp_path):
+    """Snapshot isolation: while a writer replays epochs, a reader using its
+    own engine handle must always see a CONSISTENT committed snapshot —
+    every read resolves through a committed checkpoint, and pre-vacuum data
+    files for that epoch stay on disk, so a pinned re-read of the same
+    epoch returns the identical digest."""
+    import threading
+
+    clog = _changelog(tmp_path)
+    lake = str(tmp_path / "lake")
+    writer = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
+    writer.apply_epoch(clog, max_events=500)  # lake exists before reads start
+
+    done = threading.Event()
+    errors: list[str] = []
+
+    def write_rest():
+        try:
+            writer.replay(clog, events_per_epoch=500)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=write_rest)
+    t.start()
+    reader = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
+    observed: list[tuple[int, str]] = []
+    try:
+        while not done.is_set() or len(observed) < 3:
+            ck = reader.checkpoint()
+            sha = reader.snapshot_sha256(epoch=ck.epoch)
+            again = reader.snapshot_sha256(epoch=ck.epoch)
+            if sha != again:
+                errors.append(f"epoch {ck.epoch}: non-deterministic pinned read")
+            observed.append((ck.epoch, sha))
+            if done.is_set() and len(observed) >= 3:
+                break
+    finally:
+        t.join()
+    assert not errors, errors
+    # epochs observed ascend (no torn/rolled-back state ever visible)
+    epochs = [e for e, _ in observed]
+    assert epochs == sorted(epochs)
+    # one sha per epoch — a committed epoch's digest never changes
+    by_epoch = {}
+    for e, s in observed:
+        assert by_epoch.setdefault(e, s) == s, f"epoch {e} digest changed mid-run"
+    final = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
+    assert final.checkpoint().end_lsn == 4000
+    assert_matches_fold(final, clog)
