@@ -207,6 +207,18 @@ def patch_aware_reduce(table: pa.Table, lsn_col: str = "lsn") -> pa.Table:
         return lww_reduce(table, lsn_col)
     full = table.filter(pc.invert(is_p))
     patches = table.filter(is_p)
+    # a patch that sets NOTHING (every value column null) is a defined
+    # no-op — without this filter it would still bump the row's lsn and,
+    # worse, resurrect a tombstoned key as an all-null row
+    skip = set(KEY_COLUMNS) | set(META_COLUMNS) | {lsn_col, "op", "content_sha"}
+    val_cols = [c for c in patches.column_names if c not in skip]
+    if val_cols:
+        sets_any = pc.is_valid(patches[val_cols[0]])
+        for c in val_cols[1:]:
+            sets_any = pc.or_(sets_any, pc.is_valid(patches[c]))
+        patches = patches.filter(sets_any)
+        if patches.num_rows == 0:
+            return lww_reduce(full, lsn_col) if full.num_rows else full
     wf = lww_reduce(full, lsn_col) if full.num_rows else full
     if wf.num_rows == 0:
         return patches

@@ -273,3 +273,21 @@ def test_patches_through_sort_shuffle_plan(tmp_path):
         assert (row[("r", "f")]["commit"], row[("r", "f")]["lang"], row[("r", "f")]["content"]) == ("c1", "zig", "v2-patch"), plan
         assert (row[("q", "g")]["commit"], row[("q", "g")]["lang"], row[("q", "g")]["content"]) == ("c3", "rust", "v3"), plan
     assert shas["spill"] == shas["sort"]
+
+
+def test_all_null_patch_is_noop(tmp_path):
+    """A 'P' row that sets nothing (every value column null) is a defined
+    no-op: it neither bumps the row's lsn nor resurrects a tombstoned key."""
+    events = [
+        (1, "I", "r", "live", "c1", "python", "v1"),
+        (2, "P", "r", "live", None, None, None),   # sets nothing
+        (3, "I", "r", "dead", "c3", "go", "v3"),
+        (4, "D", "r", "dead", None, None, None),
+        (5, "P", "r", "dead", None, None, None),   # must NOT resurrect
+    ]
+    for mode in ("rewrite", "lsm"):
+        eng = _replay(events, tmp_path, mode, parts=2, epochs=2)
+        rows = {(r["repo"], r["path"]): r for r in eng.snapshot_table().to_pylist()}
+        assert set(rows) == {("r", "live")}, mode
+        assert rows[("r", "live")]["lsn"] == 1, mode  # lsn not bumped
+        assert rows[("r", "live")]["content"] == "v1"
