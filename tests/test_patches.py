@@ -38,8 +38,8 @@ def patch_streams(draw):
         if op == "D":
             events.append((lsn, "D", repo, path, None, None, None))
         elif op == "P":
-            # set a random non-empty subset of value columns
-            mask = draw(st.integers(min_value=1, max_value=7))
+            # a random subset of value columns; 0 = the all-null no-op patch
+            mask = draw(st.integers(min_value=0, max_value=7))
             vals = [
                 (f"{c}-p{lsn}" if (mask >> i) & 1 else None)
                 for i, c in enumerate(VAL_COLS)
@@ -66,6 +66,8 @@ def dict_fold(events) -> dict:
         if op == "D":
             state.pop(k, None)
         elif op == "P":
+            if all(v is None for v in e[4:]):
+                continue  # all-null patch: defined no-op
             cur = state.get(k, dict.fromkeys(VAL_COLS))
             for c, v in zip(VAL_COLS, e[4:]):
                 if v is not None:
