@@ -2819,7 +2819,17 @@ def q_heavy_hitters(sf_dir: str):
             d = np.partition(n, len(n) - _HH_K - 1)[len(n) - _HH_K - 1]
             keep = n > d
             tok, n = tok[keep], (n - d)[keep]
-        shard = int(stable_hash64(pa.array(tok[:1] if len(tok) else ["x"]))[0] % np.uint64(64))
+        # shard by a hash of the WHOLE summary content, not the first token:
+        # Zipf text makes most batches share their most-frequent token, and
+        # a first-token hash would collapse every summary onto one merge
+        # task. Deterministic per batch content; the exact verification
+        # pass makes the final output batch-boundary-independent anyway.
+        if len(tok):
+            hs = stable_hash64(pa.array(tok, pa.string()))
+            mix = np.bitwise_xor.reduce(hs * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(total)
+            shard = int(mix % np.uint64(64))
+        else:
+            shard = int(np.uint64(total) % np.uint64(64))
         out = pa.table(
             {
                 "tok": pa.array(tok, pa.string()),
