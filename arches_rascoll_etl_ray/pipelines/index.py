@@ -10,7 +10,9 @@ exact key list and then folds only the base partitions those keys live in.
 On-disk layout (its own directory, never inside the base lake):
 
     <index_dir>/_index_meta.json        {column, num_partitions, applied_epoch}
-    <index_dir>/part=<i>/postings.parquet   (value, repo, path), sorted
+    <index_dir>/part=<i>/postings_<s>.parquet  (value, repo, path), sorted;
+    s = key-hash sub-bucket (num_subshards of them) so one HOT value never
+    concentrates its whole postings rewrite on a single sync task
 
 Maintenance is delta-driven and NEVER rescans the table: per changefeed row
     I             → add   (new_value, key)
@@ -63,18 +65,29 @@ from arches_rascoll_etl_ray.state.manifest import atomic_write_json
 class SecondaryIndex:
     """Inverted index `column value → live (repo, path) keys` for one lake."""
 
-    def __init__(self, index_dir: str, column: str, num_partitions: int = 16):
+    def __init__(
+        self, index_dir: str, column: str, num_partitions: int = 16, num_subshards: int = 8
+    ):
         self.index_dir = index_dir
         self.column = column
         self.num_partitions = num_partitions
+        # postings within a value partition split into key-hash sub-files so
+        # ONE hot value (half the corpus sharing a lang) never concentrates
+        # its whole rewrite on a single sync task
+        self.num_subshards = num_subshards
         os.makedirs(index_dir, exist_ok=True)
         meta = self._load_meta()
         if meta is not None:
-            if meta["column"] != column or meta["num_partitions"] != num_partitions:
+            if (
+                meta["column"] != column
+                or meta["num_partitions"] != num_partitions
+                or meta.get("num_subshards", 8) != num_subshards
+            ):
                 raise ValueError(
                     f"index at {index_dir} was built on column={meta['column']!r} "
-                    f"P={meta['num_partitions']} — cannot reopen as column={column!r} "
-                    f"P={num_partitions} (physical layout pin, like the lake's own)"
+                    f"P={meta['num_partitions']} S={meta.get('num_subshards', 8)} — cannot "
+                    f"reopen as column={column!r} P={num_partitions} S={num_subshards} "
+                    "(physical layout pin, like the lake's own)"
                 )
             self.applied_epoch = meta["applied_epoch"]
             self.pending_to = meta.get("pending_to")
@@ -100,13 +113,14 @@ class SecondaryIndex:
             {
                 "column": self.column,
                 "num_partitions": self.num_partitions,
+                "num_subshards": self.num_subshards,
                 "applied_epoch": self.applied_epoch,
                 "pending_to": self.pending_to,
             },
         )
 
-    def _part_file(self, ipart: int) -> str:
-        return os.path.join(self.index_dir, f"part={ipart}", "postings.parquet")
+    def _part_file(self, ipart: int, sub: int) -> str:
+        return os.path.join(self.index_dir, f"part={ipart}", f"postings_{sub:02d}.parquet")
 
     def _postings_schema(self) -> pa.Schema:
         return pa.schema(
@@ -140,7 +154,7 @@ class SecondaryIndex:
         self.pending_to = to_epoch
         self._save_meta()
         feed = engine.changefeed(self.applied_epoch, to_epoch)
-        col, P = self.column, self.num_partitions
+        col, P, S = self.column, self.num_partitions, self.num_subshards
         new_c, old_c = "new_" + col, "old_" + col
         index_dir = self.index_dir
         schema = self._postings_schema()
@@ -178,13 +192,19 @@ class SecondaryIndex:
                 }
             )
             ipart = (stable_hash64(out["value"]) % np.uint64(P)).astype(np.int32)
-            return out.append_column("ipart", pa.array(ipart))
+            out = out.append_column("ipart", pa.array(ipart))
+            # sub-bucket by KEY hash within the value partition: a hot value
+            # (half the table sharing one lang) would otherwise concentrate
+            # its entire postings rewrite on one task every sync
+            sub = (key_hash64(out) % np.uint64(S)).astype(np.int32)
+            return out.append_column("sub", pa.array(sub))
 
         def merge_one(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
                 return pa.table({"ipart": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
             ipart = int(group["ipart"][0].as_py())
-            pfile = os.path.join(index_dir, f"part={ipart}", "postings.parquet")
+            sub = int(group["sub"][0].as_py())
+            pfile = os.path.join(index_dir, f"part={ipart}", f"postings_{sub:02d}.parquet")
             existing = (
                 pq.read_table(pfile) if os.path.exists(pfile) else None
             )
@@ -261,7 +281,7 @@ class SecondaryIndex:
 
         stats = (
             feed.map_batches(deltas, batch_format="pyarrow")
-            .groupby("ipart")
+            .groupby(["ipart", "sub"])
             .map_groups(merge_one, batch_format="pyarrow")
         )
         touched = stats.count()
@@ -274,21 +294,28 @@ class SecondaryIndex:
 
     def lookup_keys(self, value: str) -> pa.Table:
         """Exact key list for one indexed value: reads ONE index partition
-        with a parquet predicate — O(postings/P), never the base table."""
+        (its S key-hash sub-files) with a parquet predicate —
+        O(postings/P), never the base table."""
         ipart = int(
             stable_hash64(pa.array([value], pa.string()))[0] % np.uint64(self.num_partitions)
         )
-        pfile = self._part_file(ipart)
         empty = pa.table({"repo": pa.array([], pa.string()), "path": pa.array([], pa.string())})
-        if not os.path.exists(pfile):
-            return empty
-        try:
-            t = pq.read_table(pfile, filters=[(self.column, "=", value)])
-        except FileNotFoundError:
-            # raced a concurrent sync emptying this partition (its remove is
-            # not atomic with the exists() probe above) — gone means empty
-            return empty
-        return t.select(["repo", "path"])
+        parts = [empty]
+        for sub in range(self.num_subshards):
+            pfile = self._part_file(ipart, sub)
+            if not os.path.exists(pfile):
+                continue
+            try:
+                t = pq.read_table(pfile, filters=[(self.column, "=", value)])
+            except FileNotFoundError:
+                # raced a concurrent sync emptying this sub-file (its remove
+                # is not atomic with the exists() probe) — gone means empty
+                continue
+            parts.append(t.select(["repo", "path"]))
+        out = pa.concat_tables(parts)
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+        )
 
     def lookup_rows(self, engine, value: str) -> pa.Table:
         """Live base rows whose indexed column equals `value`, read AS OF

@@ -46,9 +46,10 @@ def _index_keys(idx, value):
 def _postings_digest(idx):
     out = {}
     for i in range(idx.num_partitions):
-        f = idx._part_file(i)
-        if os.path.exists(f):
-            out[i] = pq.read_table(f).to_pandas().to_csv(index=False)
+        for s in range(idx.num_subshards):
+            f = idx._part_file(i, s)
+            if os.path.exists(f):
+                out[(i, s)] = pq.read_table(f).to_pandas().to_csv(index=False)
     return out
 
 
