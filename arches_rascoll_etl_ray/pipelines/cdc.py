@@ -261,7 +261,7 @@ class CDCEngine:
 
         if as_of_lsn < 1:
             raise ValueError(f"as_of_lsn must be >= 1, got {as_of_lsn}")
-        with _WriterLock(self.cfg.lake_dir):
+        with _WriterLock(self.cfg.lake_dir) as wlock:
             ckpt = self.checkpoint()
             if ckpt.epoch != 0:
                 raise ValueError(
@@ -321,11 +321,12 @@ class CDCEngine:
             )
             touched = sorted({r["partition"] for r in stats})
             if not touched:
-                droot = delta_dir(self.cfg, epoch)
-                if os.path.isdir(droot):
-                    touched = sorted(
-                        int(n.split("=")[1]) for n in os.listdir(droot) if n.startswith("part=")
-                    )
+                from arches_rascoll_etl_ray.stages.merge import touched_parts_from_delta
+
+                touched = touched_parts_from_delta(self.cfg, epoch)
+            # a 100-TB initial load's spill alone can exceed the lease TTL —
+            # renew before the merge fan-out (same rule as replay's groups)
+            wlock.renew()
             manifests = self._merge_epoch(epoch, 0, as_of_lsn, touched, ckpt)
             rows = sum(m.rows for m in manifests)
             duration = _time.perf_counter() - t0
@@ -498,11 +499,9 @@ class CDCEngine:
         touched = sorted({r["partition"] for r in spill_stats})
         if not touched:
             # pieces may exist from a crashed prior attempt of this epoch
-            droot = delta_dir(self.cfg, epoch)
-            if os.path.isdir(droot):
-                touched = sorted(
-                    int(name.split("=")[1]) for name in os.listdir(droot) if name.startswith("part=")
-                )
+            from arches_rascoll_etl_ray.stages.merge import touched_parts_from_delta
+
+            touched = touched_parts_from_delta(self.cfg, epoch)
         return touched
 
     def _merge_epoch(
@@ -622,13 +621,9 @@ class CDCEngine:
             for epoch, _, _ in epoch_bounds:
                 if not touched_by_epoch[epoch]:
                     # pieces may exist from a crashed prior attempt
-                    droot = delta_dir(self.cfg, epoch)
-                    if os.path.isdir(droot):
-                        touched_by_epoch[epoch] = {
-                            int(name.split("=")[1])
-                            for name in os.listdir(droot)
-                            if name.startswith("part=")
-                        }
+                    touched_by_epoch[epoch] = set(
+                        touched_parts_from_delta(self.cfg, epoch)
+                    )
 
             # one chain task per partition applies that partition's touched
             # epochs in order — partitions never wait on each other at epoch
@@ -984,7 +979,7 @@ class CDCEngine:
 
         from arches_rascoll_etl_ray.stages.merge import compact_partition, spec_version
 
-        with _WriterLock(self.cfg.lake_dir):
+        with _WriterLock(self.cfg.lake_dir) as wlock:
             ckpt = self.checkpoint()
             current_v = spec_version(self.cfg)
             todo = [
@@ -1000,7 +995,13 @@ class CDCEngine:
             epoch = ckpt.epoch + 1
             task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(compact_partition)
             refs = [task.remote(self.cfg, epoch, ckpt.end_lsn, info, part) for part, info in todo]
-            manifests = _ray.get(refs)
+            # bounded waves + lease renewal, like expire — a whole-lake
+            # compaction can run past the lease TTL
+            manifests = []
+            while refs:
+                done, refs = _ray.wait(refs, num_returns=min(64, len(refs)))
+                manifests.extend(_ray.get(done))
+                wlock.renew()
             new_ckpt = ckpt.advanced(epoch, ckpt.end_lsn, manifests)
             save_checkpoint(self.cfg.lake_dir, new_ckpt)
         return len(manifests)
@@ -1021,7 +1022,7 @@ class CDCEngine:
 
         from arches_rascoll_etl_ray.stages.merge import expire_partition
 
-        with _WriterLock(self.cfg.lake_dir):
+        with _WriterLock(self.cfg.lake_dir) as wlock:
             ckpt = self.checkpoint()
             todo = [
                 (part, info)
@@ -1036,7 +1037,13 @@ class CDCEngine:
                 task.remote(self.cfg, epoch, ckpt.end_lsn, info, part, min_lsn)
                 for part, info in todo
             ]
-            results = [r for r in _ray.get(refs) if r is not None]
+            # harvest in bounded waves, renewing the lease between them — a
+            # whole-lake retention rewrite can run far past the lease TTL
+            results = []
+            while refs:
+                done, refs = _ray.wait(refs, num_returns=min(64, len(refs)))
+                results.extend(r for r in _ray.get(done) if r is not None)
+                wlock.renew()
             if not results:
                 return 0
             manifests = [m for m, _ in results]

@@ -138,13 +138,46 @@ class SecondaryIndex:
         module docstring: net-diffing across the crashed horizon would
         strand postings the crashed attempt wrote for intermediate
         values)."""
-        total = 0
-        if self.pending_to is not None and self.pending_to > self.applied_epoch:
-            total += self._apply_window(engine, self.pending_to)
-        cur = engine.checkpoint().epoch
-        if cur != self.applied_epoch:
-            total += self._apply_window(engine, cur)
-        return total
+        from arches_rascoll_etl_ray.pipelines.cdc import _WriterLock
+
+        # single-writer guard on the INDEX dir (same flock+lease layering as
+        # the lake's): two concurrent syncs would interleave their
+        # read-modify-write postings rewrites and the loser's meta save
+        # would silently drop the winner's removals
+        with _WriterLock(self.index_dir):
+            total = 0
+            try:
+                if self.pending_to is not None and self.pending_to > self.applied_epoch:
+                    total += self._apply_window(engine, self.pending_to)
+                cur = engine.checkpoint().epoch
+                if cur != self.applied_epoch:
+                    total += self._apply_window(engine, cur)
+            except FileNotFoundError:
+                # the base lake vacuumed the checkpoint this index's window
+                # starts from (time-travel horizon = since the last vacuum):
+                # the delta path is gone, so rebuild from scratch — epoch 0
+                # is synthesized, never vacuumed
+                return self._rebuild(engine)
+            return total
+
+    def _rebuild(self, engine) -> int:
+        """From-scratch rebuild (the vacuumed-watermark fallback): clear
+        every postings file, reset to epoch 0, apply one full window.
+        Crash-safe at every boundary: files clear BEFORE any meta write, so
+        a crash pre-meta leaves the old (vacuumed) watermark and the next
+        sync re-enters this rebuild; a crash post-meta leaves
+        (applied=0, pending=target) and the normal pending-window replay
+        re-applies idempotently over the cleared files."""
+        target = engine.checkpoint().epoch
+        for i in range(self.num_partitions):
+            for s in range(self.num_subshards):
+                try:
+                    os.remove(self._part_file(i, s))
+                except FileNotFoundError:
+                    pass
+        self.applied_epoch = 0
+        self.pending_to = None
+        return self._apply_window(engine, target)
 
     def _apply_window(self, engine, to_epoch: int) -> int:
         """Apply ONE changefeed window (applied_epoch, to_epoch], persisting
@@ -259,17 +292,16 @@ class SecondaryIndex:
                     )
                 )
             if merged.num_rows == 0:
-                # a partition whose postings all died: remove the file AND
-                # its directory so on-disk state equals a from-scratch
-                # rebuild's (and empty parquets don't accumulate)
+                # a sub-file whose postings all died: remove it so file-level
+                # state equals a from-scratch rebuild's (and empty parquets
+                # don't accumulate). The part= DIRECTORY is deliberately
+                # left: a sibling sub-shard task of the SAME sync may be
+                # between its makedirs and its tmp write, and an rmdir here
+                # would yank the directory out from under it
                 try:
                     os.remove(pfile)
                 except FileNotFoundError:
                     pass
-                try:
-                    os.rmdir(os.path.dirname(pfile))
-                except OSError:
-                    pass  # not empty (tmp of a concurrent attempt) or gone
             else:
                 os.makedirs(os.path.dirname(pfile), exist_ok=True)
                 tmp = pfile + f".tmp-{os.getpid()}"
@@ -353,8 +385,10 @@ class SecondaryIndex:
         key_ref = ray.put(key_set)
         tables = ray.get([fold_filter.remote(int(p), key_ref) for p in parts])
         out = pa.concat_tables([t for t in tables if t.num_rows] or [empty_lake_table(cfg)])
-        # horizon-matched lookups make this a no-op; kept as a cheap guard
-        out = out.filter(pc.equal(out[self.column], value))
+        # horizon-matched lookups make this a no-op; kept as a cheap guard.
+        # Cast: postings store values AS STRINGS, so an index on an int
+        # column must compare the base column stringified, not raw
+        out = out.filter(pc.equal(pc.cast(out[self.column], pa.string()), value))
         return out.take(
             pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("path", "ascending")])
         )

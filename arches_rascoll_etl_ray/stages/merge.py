@@ -224,7 +224,10 @@ def resolve_patches(
     # base images for patched keys: this round's full winners first (they
     # supersede prev), else the previous snapshot's row
     base_parts = []
-    wf_patched = wf.filter(pc.is_in(combine_key(wf), value_set=pkey))
+    # one key materialization + membership test over the winners; reused
+    # inverted below for the untouched rows (the dominant string cost here)
+    wf_in_pkey = pc.is_in(combine_key(wf), value_set=pkey)
+    wf_patched = wf.filter(wf_in_pkey)
     if wf_patched.num_rows:
         base_parts.append(wf_patched.select(keys + ["lsn", "op"] + val_cols))
     if prev_tbl is not None and prev_tbl.num_rows:
@@ -287,7 +290,7 @@ def resolve_patches(
     # both sides share one schema)
     if "content_sha" not in wf.column_names:
         wf = wf.append_column("content_sha", sha256_hex_column(wf[content_col]))
-    rest = wf.filter(pc.invert(pc.is_in(combine_key(wf), value_set=pkey)))
+    rest = wf.filter(pc.invert(wf_in_pkey))
     return pa.concat_tables(
         [rest.select(out_cols + ["op"]), patched], promote_options="permissive"
     )
@@ -668,6 +671,18 @@ def make_merge_fn(
 
 
 # ------------------------------------------------------- spill-shuffle plan
+
+
+def touched_parts_from_delta(cfg, epoch: int) -> list[int]:
+    """Partition ids with delta pieces on disk for `epoch` — the
+    crashed-attempt fallback shared by replay, apply_epoch and bootstrap
+    (pieces may exist from a prior attempt whose spill stats were lost)."""
+    droot = delta_dir(cfg, epoch)
+    if not os.path.isdir(droot):
+        return []
+    return sorted(
+        int(name.split("=")[1]) for name in os.listdir(droot) if name.startswith("part=")
+    )
 
 
 def delta_dir(cfg_or_lake, epoch: int, part: int | None = None) -> str:

@@ -249,3 +249,38 @@ def test_index_property_incremental_equals_rebuild_and_snapshot(tmp_path_factory
     assert _postings_digest(inc) == _postings_digest(fresh)
     for v in ("v1", "v2", "v3"):
         assert _index_keys(inc, v) == _snap_keys(eng, v), v
+
+
+def test_sync_rebuilds_after_base_vacuum(changelog, tmp_path):
+    """vacuum() trims non-latest checkpoints, so a lagging index's window
+    start is gone — sync must detect it and fall back to a from-scratch
+    rebuild instead of raising forever."""
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=8))
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=4)
+    eng.apply_epoch(changelog, max_events=1000)
+    idx.sync(eng)
+    lagged_at = idx.applied_epoch
+    eng.apply_epoch(changelog)  # lake advances…
+    eng.vacuum()                # …and the index's watermark checkpoint dies
+    idx.sync(eng)               # would raise FileNotFoundError without the fallback
+    assert idx.applied_epoch == eng.checkpoint().epoch > lagged_at
+    for v in sorted(eng.snapshot_table().to_pandas()["lang"].dropna().unique()):
+        assert _index_keys(idx, v) == _snap_keys(eng, v), v
+    fresh = SecondaryIndex(str(tmp_path / "fresh"), column="lang", num_partitions=4)
+    fresh.sync(eng)
+    assert _postings_digest(idx) == _postings_digest(fresh)
+
+
+def test_concurrent_sync_rejected(changelog, tmp_path):
+    """Two writers on one index dir: the second sync is rejected while the
+    first holds the flock (same single-writer contract as the lake)."""
+    from arches_rascoll_etl_ray.pipelines.cdc import _WriterLock
+
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.apply_epoch(changelog, max_events=500)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=2)
+    with _WriterLock(idx.index_dir):  # simulate a concurrent sync in flight
+        with pytest.raises(RuntimeError, match="one writer"):
+            idx.sync(eng)
+    idx.sync(eng)  # lock released: proceeds normally
+    assert idx.applied_epoch == eng.checkpoint().epoch
