@@ -347,7 +347,7 @@ ORACLE_SQL["cdc_incremental_mv"] = """
     )
     SELECT event_type AS group_key,
            count(*) AS n_users,
-           sum(CAST(event_id AS BIGINT)) AS sum_event_id
+           CAST(sum(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_event_id
     FROM last WHERE rn = 1 AND event_type <> 'delete'
     GROUP BY event_type
 """

@@ -1083,21 +1083,19 @@ def q_join_large(sf_dir: str):
     )
     from arches_rascoll_etl_ray.stages.shard_join import shard_join
 
-    joined = shard_join(
-        lineitem,
-        orders,
-        on="l_orderkey",
-        right_on="o_orderkey",
-        left_cols=["l_orderkey", "revenue_e4"],
-        right_cols=["o_orderkey", "date_us"],
-        how="inner",
-    )
-
     def reduce_block(g: pd.DataFrame) -> pa.Table:
-        # l_orderkey is the join key, so it co-locates in exactly ONE
-        # shard_join shard; batch_size=None keeps each shard's output block
-        # whole, making this block-local reduce globally correct — the
-        # former second (gshard) shuffle was redundant (halved wall time).
+        # runs as shard_join's post_merge INSIDE the per-shard group fn,
+        # where the shard is guaranteed whole — a downstream map_batches
+        # reduce would silently split a key once the shard's output block
+        # exceeds target_max_block_size (Ray dynamic block splitting).
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "revenue_e4": pa.array([], pa.int64()),
+                }
+            )
         g = g.assign(
             revenue_e4=g["revenue_e4"].astype(np.int64), date_us=g["date_us"].astype(np.int64)
         )
@@ -1114,7 +1112,16 @@ def q_join_large(sf_dir: str):
             }
         )
 
-    return joined.map_batches(reduce_block, batch_format="pandas", batch_size=None)
+    return shard_join(
+        lineitem,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_orderkey", "revenue_e4"],
+        right_cols=["o_orderkey", "date_us"],
+        how="inner",
+        post_merge=reduce_block,
+    )
 
 
 @register(
@@ -1163,23 +1170,22 @@ def q_full_outer_join(sf_dir: str):
     )
     from arches_rascoll_etl_ray.stages.shard_join import shard_join
 
-    joined = shard_join(
-        cust,
-        ords,
-        on="c_custkey",
-        right_on="o_custkey",
-        left_cols=["c_custkey", "c_name"],
-        right_cols=["o_custkey", "total_cents", "n_orders"],
-        how="outer",
-    )
-
     def combine(g: pd.DataFrame) -> pa.Table:
         # combine the per-batch right-side partials that met at the join.
-        # The join key co-locates in exactly ONE shard_join shard, and
-        # batch_size=None keeps each shard's output block whole, so this
-        # block-local reduce is globally correct — no second shuffle.
+        # Runs as shard_join's post_merge INSIDE the per-shard group fn
+        # (guaranteed whole) — a downstream map_batches reduce would split
+        # a key once the block exceeds target_max_block_size.
         # count() tracks non-null partials: keys with none (left-only) keep
         # NULL aggregates, matching FULL OUTER JOIN semantics.
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                }
+            )
         out = g.groupby("c_custkey", as_index=False).agg(
             c_name=("c_name", "first"),
             n_orders=("n_orders", "sum"),
@@ -1198,7 +1204,16 @@ def q_full_outer_join(sf_dir: str):
             }
         )
 
-    return joined.map_batches(combine, batch_format="pandas", batch_size=None)
+    return shard_join(
+        cust,
+        ords,
+        on="c_custkey",
+        right_on="o_custkey",
+        left_cols=["c_custkey", "c_name"],
+        right_cols=["o_custkey", "total_cents", "n_orders"],
+        how="outer",
+        post_merge=combine,
+    )
 
 
 @register(

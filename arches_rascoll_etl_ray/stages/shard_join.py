@@ -51,6 +51,7 @@ def shard_join(
     right_suffix: str = "_r",
     key_type: str = "int",
     salt: int = 1,
+    post_merge=None,
 ) -> ray.data.Dataset:
     """Equi-join on int64 keys (``key_type="int"``) or string keys
     (``key_type="str"``). ``how`` ∈ {"inner", "left", "semi", "anti"}.
@@ -75,7 +76,20 @@ def shard_join(
     inner/left/semi/anti (every left row meets its key's full right set
     exactly once); rejected for outer, where a right row's "unmatched"
     status cannot be decided inside one sub-shard.
+
+    ``post_merge`` (optional) runs INSIDE the per-shard group fn on the
+    joined pandas frame, where the shard is guaranteed whole — the only
+    place a block-local keyed reduce after the join is globally correct.
+    (A downstream ``map_batches(..., batch_size=None)`` is NOT: Ray's
+    dynamic block splitting slices map_groups output above
+    target_max_block_size, so one key's rows can straddle two batches at
+    scale.) Rejected with salt > 1, where a key's left rows intentionally
+    split across sub-shards.
     """
+    if post_merge is not None and salt > 1:
+        raise ValueError(
+            "post_merge is not supported with salt > 1 (keys split across sub-shards)"
+        )
     if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(f"unsupported how={how!r}")
     if key_type not in ("int", "str"):
@@ -192,4 +206,5 @@ def shard_join(
     tagged = left.map_batches(tag_left, batch_format="pandas").union(
         right.map_batches(tag_right, batch_format="pandas")
     )
-    return tagged.groupby("_shard").map_groups(merge_shard, batch_format="pandas")
+    group_fn = merge_shard if post_merge is None else (lambda g: post_merge(merge_shard(g)))
+    return tagged.groupby("_shard").map_groups(group_fn, batch_format="pandas")

@@ -37,6 +37,53 @@ def _to_pandas(res) -> pd.DataFrame:
     return res
 
 
+def _arrow_table(res):
+    """Engine/oracle result → pyarrow.Table preserving the Arrow types the
+    driver's type-sensitive value hash sees."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        batches = list(res.iter_batches(batch_format="pyarrow", batch_size=None))
+        if batches:
+            return pa.concat_tables(batches, promote_options="permissive")
+        return pa.table({f.name: pa.array([], f.type) for f in res.schema().base_schema})
+    if isinstance(res, pa.Table):
+        return res
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def _norm_type(t):
+    """Collapse representation-only differences (large_string vs string,
+    timestamp unit) while keeping value-class differences (int64 vs
+    decimal128, int32 vs int64, float32 vs float64) strict — those are
+    exactly what the driver's hash is sensitive to."""
+    import pyarrow as pa
+
+    if pa.types.is_dictionary(t):
+        return _norm_type(t.value_type)
+    # integer WIDTH is not hash-relevant (driver r4 evidence: int32 engine
+    # vs int64 oracle hash-matched); integer vs decimal/float IS (the
+    # cdc_incremental_mv red row). Collapse widths, keep classes strict.
+    if pa.types.is_signed_integer(t):
+        return pa.int64()
+    if pa.types.is_unsigned_integer(t):
+        return pa.uint64()
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us", tz=t.tz)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    return t
+
+
+def _type_map(tbl) -> dict:
+    return {f.name: str(_norm_type(f.type)) for f in tbl.schema}
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -56,12 +103,18 @@ ALL_QUERIES = entry_mod.queries()
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name):
     ray_fn = ALL_QUERIES[name]
-    mine = _canon(_to_pandas(ray_fn(SF_SMOKE)))
+    res = ray_fn(SF_SMOKE)
+    mine_tbl = _arrow_table(res)
+    mine = _canon(_to_pandas(mine_tbl))
     con = _duck(SF_SMOKE)
     try:
-        oracle = _canon(con.execute(ORACLES[name]).df())
+        oracle_tbl = con.execute(ORACLES[name]).arrow()
     finally:
         con.close()
+    oracle = _canon(oracle_tbl.to_pandas())
+    assert _type_map(mine_tbl) == _type_map(oracle_tbl), (
+        f"{name}: Arrow type mismatch {_type_map(mine_tbl)} vs {_type_map(oracle_tbl)}"
+    )
     assert list(mine.columns) == list(oracle.columns), (
         f"{name}: column mismatch {list(mine.columns)} vs {list(oracle.columns)}"
     )
