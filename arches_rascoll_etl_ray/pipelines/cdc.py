@@ -575,8 +575,10 @@ class CDCEngine:
                     ckpt = self._apply_next_epoch(changelog_dir, max_events=events_per_epoch)
                     if on_commit is not None:
                         on_commit(self, ckpt)
-                    avail = max_available_lsn(changelog_dir)
+                    # renew right after the hook: a slow consumer must not
+                    # let the lease TTL lapse mid-replay
                     wlock.renew()
+                    avail = max_available_lsn(changelog_dir)
                 return ckpt
             return self._replay_batched_spill(
                 changelog_dir, ckpt, bounds, wlock=wlock, on_commit=on_commit
@@ -655,6 +657,10 @@ class CDCEngine:
                 self._cleanup_delta(epoch)
                 if on_commit is not None:
                     on_commit(self, ckpt)
+                    if wlock is not None:
+                        # a slow consumer hook (e.g. a full index rebuild
+                        # after vacuum) must not outlive the lease TTL
+                        wlock.renew()
         return ckpt
 
     def _merge_epoch_chains(
@@ -706,7 +712,9 @@ class CDCEngine:
         changefeeds, and writes to its own state are fine). A hook
         exception stops the tail (the epoch is already committed; every
         consumer in this repo re-syncs idempotently from its own
-        watermark)."""
+        watermark). The lease is renewed immediately after each hook
+        return, so a single hook invocation must complete within the
+        lease TTL (default 900 s) to keep cross-host mutual exclusion."""
         import time as _time
 
         idle = 0

@@ -27,6 +27,7 @@ incremental recast the continuous-CDC north star implies.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -90,7 +91,15 @@ def write_feed_as_changelog(feed: ray.data.Dataset, out_dir: str, lsn: int) -> i
 
 class IncrementalGroupAgg:
     """count(*) + sum(int64 measure) per group, maintained from changefeed
-    deltas (CDCEngine.changefeed output schema: op, old_*/new_* images)."""
+    deltas (CDCEngine.changefeed output schema: op, old_*/new_* images).
+
+    Null group keys are kept as their own group (SQL GROUP BY semantics):
+    they are mapped to the reserved in-state sentinel `NULL_GROUP` (leads
+    with NUL, which cannot appear in real values) so dict/JSON state stays
+    string-keyed and `sorted()` never compares str with None; `to_table`
+    maps the sentinel back to a null group_key."""
+
+    NULL_GROUP = "\x00<null>"
 
     def __init__(self, group_col: str, measure_col: str):
         self.group_col = group_col
@@ -103,6 +112,13 @@ class IncrementalGroupAgg:
         g, m = self.group_col, self.measure_col
         new_g, old_g = "new_" + g, "old_" + g
         new_m, old_m = "new_" + m, "old_" + m
+        null_grp = self.NULL_GROUP
+
+        def _grp(series: pd.Series):
+            # sentinel BEFORE the groupby: pandas' default dropna would
+            # silently discard null-group deltas
+            arr = series.to_numpy(dtype=object)
+            return np.where(pd.isna(arr), null_grp, arr)
 
         def partials(df: pd.DataFrame) -> pd.DataFrame:
             parts = []
@@ -111,7 +127,7 @@ class IncrementalGroupAgg:
                 parts.append(
                     pd.DataFrame(
                         {
-                            "grp": add[new_g].to_numpy(),
+                            "grp": _grp(add[new_g]),
                             "d_n": 1,
                             "d_m": pd.to_numeric(add[new_m]).astype("int64").to_numpy(),
                         }
@@ -122,7 +138,7 @@ class IncrementalGroupAgg:
                 parts.append(
                     pd.DataFrame(
                         {
-                            "grp": sub[old_g].to_numpy(),
+                            "grp": _grp(sub[old_g]),
                             "d_n": -1,
                             "d_m": -pd.to_numeric(sub[old_m]).astype("int64").to_numpy(),
                         }
@@ -154,7 +170,9 @@ class IncrementalGroupAgg:
         keys = sorted(self.state)
         return pa.table(
             {
-                "group_key": pa.array(keys, pa.string()),
+                "group_key": pa.array(
+                    [None if k == self.NULL_GROUP else k for k in keys], pa.string()
+                ),
                 "n_keys": pa.array([self.state[k][0] for k in keys], pa.int64()),
                 "sum_measure": pa.array([self.state[k][1] for k in keys], pa.int64()),
             }

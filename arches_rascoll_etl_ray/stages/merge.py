@@ -208,7 +208,6 @@ def resolve_patches(
     is_p = pc.fill_null(pc.equal(reduced["op"], pa.scalar("P")), False)
     if not pc.any(is_p).as_py():
         return reduced
-    import pandas as _pd
 
     keys = list(CHANGEFEED_KEYS)
     out_cols = lake_columns(cfg)
@@ -245,43 +244,56 @@ def resolve_patches(
             )
             base_parts.append(prev_sel.select(keys + ["lsn", "op"] + val_cols))
 
-    pdf = patches.select(keys + ["lsn"] + val_cols).to_pandas()
-    pdf["_k"] = pkey.to_pandas().to_numpy()
-    pdf = pdf.sort_values(["_k", "lsn"], kind="mergesort")
+    # Per-column last-non-null setter per key, entirely in Arrow: a stable
+    # lsn sort (ties keep arrival order, matching the former pandas
+    # mergesort + keep="last") then a grouped `last` with skip_nulls=True
+    # (null = "column not set" in a partial image). Patched large_string
+    # content never round-trips through pandas object dtype.
+    template = empty_lake_table(cfg).schema
+    psel = patches.select(keys + ["lsn"] + val_cols)
+    # cast to the lake schema up front: an all-null value column arrives
+    # typed `null`, for which Acero's hash_last has no kernel
+    psel = pa.table(
+        {
+            c: pc.cast(psel[c], template.field(c).type if c in template.names else psel.schema.field(c).type)
+            for c in psel.column_names
+        }
+    )
+    psel = psel.take(pc.sort_indices(psel, sort_keys=[("lsn", "ascending")]))
+    skip = pc.ScalarAggregateOptions(skip_nulls=True)
+    agg = psel.group_by(keys, use_threads=False).aggregate(
+        [(c, "last", skip) for c in val_cols] + [("lsn", "max")]
+    )
 
-    out = pdf.drop_duplicates("_k", keep="last").set_index("_k")[keys].copy()
-    out["lsn"] = pdf.groupby("_k", sort=False)["lsn"].max()
-
+    bt = None
+    base_pos = None
     if base_parts:
         bt = pa.concat_tables(base_parts, promote_options="permissive")
-        bdf = bt.to_pandas()
-        # key built on the Arrow side: pandas' arrow-backed string concat
-        # silently drops NUL bytes, so `repo + "\x00" + path` in pandas
-        # would NOT equal combine_key's separator-folded key
-        bdf["_k"] = combine_key(bt).to_pandas().to_numpy()
         # a tombstoned base contributes no values — the patch creates anew
-        bdf.loc[bdf["op"] == "D", val_cols] = None
-        bdf = bdf.drop_duplicates("_k", keep="last").set_index("_k")
-    else:
-        bdf = None
+        # (keys are disjoint across base_parts, so dropping 'D' rows is
+        # equivalent to null-masking their value columns)
+        bt = bt.filter(pc.not_equal(pc.fill_null(bt["op"], "U"), pa.scalar("D")))
+        if bt.num_rows:
+            # per-group gather position into the base table; null where the
+            # key has no base row (take maps null indices to null values)
+            base_pos = pc.index_in(combine_key(agg), value_set=combine_key(bt))
+        else:
+            bt = None
 
+    # assemble with the lake's exact column types (Arrow `last`/`max`
+    # preserve input types, so these casts are no-ops except across
+    # evolution-widened columns)
+    arrays: dict[str, pa.Array | pa.ChunkedArray] = {}
+    for c in keys:
+        arrays[c] = pc.cast(agg[c], template.field(c).type)
+    arrays["lsn"] = pc.cast(agg["lsn_max"], pa.int64())
     for c in val_cols:
-        setters = pdf.dropna(subset=[c]).drop_duplicates("_k", keep="last").set_index("_k")[c]
-        col = setters.reindex(out.index)
-        if bdf is not None and c in bdf.columns:
-            inherit = col.isna()
-            col[inherit] = bdf[c].reindex(out.index[inherit])
-        out[c] = col
-
-    # rebuild with the lake's exact column types (pandas NaN-promotes ints)
-    template = empty_lake_table(cfg).schema
-    arrays = {}
-    for c in keys + ["lsn"] + val_cols:
-        typ = template.field(c).type
-        coerce = int if pa.types.is_integer(typ) else (lambda v: v)
-        # pandas float-promotes nullable int columns; undo before Arrow
-        vals = [None if _pd.isna(v) else coerce(v) for v in out[c].tolist()]
-        arrays[c] = pa.array(vals, typ)
+        col = agg[f"{c}_last"]
+        if bt is not None and c in bt.column_names:
+            # coalesce is exactly the inherit rule: a patch "sets" a column
+            # iff non-null, so null here means fall back to the base image
+            col = pc.coalesce(col, pc.take(bt[c], base_pos))
+        arrays[c] = pc.cast(col, template.field(c).type)
     arrays["content_sha"] = sha256_hex_column(arrays[content_col])
     patched = pa.table({c: arrays[c] for c in out_cols})
     patched = patched.append_column("op", pa.array(["U"] * patched.num_rows, pa.string()))
@@ -338,13 +350,25 @@ def diff_partition_states(cfg: EngineConfig, old: pa.Table, new: pa.Table) -> pa
     sides are that partition's own state, never another partition's."""
     val_cols = [c for c in lake_columns(cfg) if c not in CHANGEFEED_KEYS]
     schema = changefeed_schema(cfg)
+    lake = empty_lake_table(cfg).schema
+    int_cols = [c for c in val_cols if pa.types.is_integer(lake.field(c).type)]
     o = old.select(CHANGEFEED_KEYS + val_cols).to_pandas()
-    o = o.rename(columns={c: "old_" + c for c in val_cols})
     n = new.select(CHANGEFEED_KEYS + val_cols).to_pandas()
+    # nullable Int64 BEFORE the outer merge: plain int64 NaN-promotes to
+    # float64 on unmatched keys, so lsn values above 2^53 would compare
+    # equal when they differ and round-trip corrupted through the final
+    # cast back to int64
+    for c in int_cols:
+        o[c] = o[c].astype("Int64")
+        n[c] = n[c].astype("Int64")
+    o = o.rename(columns={c: "old_" + c for c in val_cols})
     n = n.rename(columns={c: "new_" + c for c in val_cols})
     m = o.merge(n, on=CHANGEFEED_KEYS, how="outer", indicator=True, sort=False)
     both = m["_merge"].to_numpy() == "both"
-    changed = ~both | (m["old_lsn"].to_numpy() != m["new_lsn"].to_numpy())
+    # Int64 `!=` yields NA where either side is missing — only on
+    # non-`both` rows, which `~both` already marks changed
+    lsn_diff = (m["old_lsn"] != m["new_lsn"]).fillna(False).to_numpy(dtype=bool)
+    changed = ~both | lsn_diff
     m = m[changed]
     merge_tag = m["_merge"].to_numpy()
     m = m.drop(columns=["_merge"])
