@@ -1364,6 +1364,83 @@ def q_multimodal_features(sf_dir: str):
 
 
 @register(
+    "q_multimodal_features_real",
+    """
+    WITH chars AS (
+      SELECT doc_id, unicode(substr(text, CAST(i AS BIGINT), 1)) // 16 AS bin
+      FROM documents, UNNEST(range(1, strlen(text) + 1)) AS r(i)
+    ), cnts AS (
+      SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY doc_id, bin
+    ), agg AS (
+      SELECT doc_id, SUM(c * c) AS hist_sumsq FROM cnts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS container,
+           CAST(strlen(d.text) AS BIGINT) AS n_samples,
+           CAST(COALESCE(a.hist_sumsq, 0) AS BIGINT) AS hist_sumsq
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_multimodal_features_real(sf_dir: str):
+    """The REAL-codec twin of q_multimodal_features: each document's text
+    bytes are packed into an actual container — WAV PCM16 for even doc_ids
+    (samples = char codes), 24-bit BMP for odd (1×len gray row, B=G=R =
+    char codes) — and decode_mode='real' must parse the BMP/WAV headers
+    (offsets, bpp, row padding, RIFF chunk walk) to recover them. The
+    decoded sample stream equals the text bytes in both containers (ASCII
+    corpus, codes < 256), so the DuckDB twin recomputes the identical
+    integer histogram summary from character codes while the engine path
+    exercises a genuine byte-level codec. The emitted `container` column
+    comes from magic-number detection, pinning that each payload really
+    went through its parser."""
+    from arches_rascoll_etl_ray.stages.multimodal import (
+        BinaryFeatureExtractor,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_container(t: pa.Table) -> pa.Table:
+        # container synthesis (test-fixture work, not the operator under
+        # test): per-row struct packing of real BMP/WAV payloads
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            b = np.frombuffer((txt or "").encode("ascii"), dtype=np.uint8)
+            if did % 2 == 0:
+                payloads.append(encode_wav_pcm16(b.astype(np.int16)))
+            else:
+                payloads.append(encode_bmp24(b.reshape(1, -1) if len(b) else b.reshape(1, 0)))
+        return pa.table({"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())})
+
+    feats = ds.map_batches(to_container, batch_format="pyarrow").map_batches(
+        BinaryFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=256,  # bytes-aware: payloads are ~0.5-1.5 KB here
+        concurrency=2,
+        fn_constructor_kwargs={"decode_mode": "real", "feature_dims": 16},
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        f = t["feature"].combine_chunks()
+        arr = f.flatten().to_numpy(zero_copy_only=False).reshape(-1, 16).astype(np.float64)
+        nsamp = t["n_samples"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.rint(arr * nsamp[:, None]).astype(np.int64)
+        sumsq = (counts * counts).sum(1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "container": t["container"],
+                "n_samples": t["n_samples"],
+                "hist_sumsq": pa.array(sumsq),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+@register(
     "q_frame_sample",
     """
     WITH f AS (

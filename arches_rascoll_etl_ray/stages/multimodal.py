@@ -1,16 +1,139 @@
-"""Multimodal (binary-payload) stages: real Ray plumbing, stubbed codecs.
+"""Multimodal (binary-payload) stages: real Ray plumbing + dependency-free
+container codecs.
 
-Image/audio/video decode libraries are not in this container, so the decode
-itself is STUBBED (`decode_mode="stub"` → deterministic byte-level pseudo
-decode; `"real"` → NotImplementedError). Everything around it — opaque
-`binary` column + typed metadata schema, actor-pool map_batches signature,
-bytes-aware batch sizing, Arrow-native output layout — is real and tested.
+The container has no image/audio libraries, so the "real" decode path is a
+from-scratch parser for two self-describing formats that need none: BMP
+(BITMAPINFOHEADER, uncompressed 8/24-bit) and WAV (RIFF, PCM 8/16-bit).
+`decode_mode="stub"` remains the opaque-bytes pseudo-decode (raw byte
+stream = samples) for payloads that are not containers. Unknown magic in
+"real" mode is a data error (ValueError), not a stub boundary.
+
+Everything around the codecs — opaque `binary` column + typed metadata
+schema, actor-pool map_batches signature, bytes-aware batch sizing,
+Arrow-native output layout — is unchanged and tested.
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Dependency-free container codecs (BMP / WAV)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp24(gray: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP from a 2-D uint8 grayscale array
+    (B = G = R = gray). Bottom-up row order and 4-byte row padding per the
+    BITMAPINFOHEADER spec."""
+    g = np.ascontiguousarray(np.atleast_2d(np.asarray(gray, dtype=np.uint8)))
+    h, w = g.shape
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    if w:
+        px = np.repeat(g[:, :, None], 3, axis=2).reshape(h, 3 * w)  # BGR, B=G=R
+        rows[:, : 3 * w] = px
+    pixel_data = rows[::-1].tobytes()  # bottom-up storage
+    data_offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_offset + len(pixel_data), 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + info + pixel_data
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE mono PCM16 (little-endian) encoder."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"  # RIFF chunks pad to even length
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if len(payload) < 54:
+        raise ValueError("BMP payload truncated before BITMAPINFOHEADER")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    bi_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if bi_size < 40:
+        raise ValueError(f"unsupported BMP header size {bi_size}")
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    ch = 3 if bpp == 24 else 1
+    stride = (ch * w + 3) & ~3
+    end = data_offset + stride * h
+    if end > len(payload):
+        raise ValueError("BMP pixel data truncated")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = raw.reshape(h, stride)[:, : ch * w]
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up → return top-down row-major
+    if bpp == 24:
+        return np.ascontiguousarray(rows.reshape(h, w, 3)[:, :, 0]).reshape(-1)  # blue ch
+    return np.ascontiguousarray(rows).reshape(-1)  # palette indices
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, _channels, _rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_format != 1:
+                raise ValueError(f"unsupported WAV audio format {audio_format} (PCM only)")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported WAV bit depth {bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks pad to even
+    if bits is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.uint8)
+    # PCM16 folds to the byte-histogram domain via the low byte — the
+    # featurizer's sample domain is uint8 by contract (documented, exact)
+    return (np.frombuffer(data[: len(data) & ~1], dtype="<i2") & 0xFF).astype(np.uint8)
+
+
+def decode_container(payload: bytes) -> tuple[str, np.ndarray]:
+    """Parse a real container payload → (kind, uint8 samples). BMP 24-bit
+    returns the blue channel top-down row-major (gray images are encoded
+    B=G=R); BMP 8-bit returns palette indices; WAV PCM8 returns raw bytes
+    and PCM16 the low byte of each sample. Unknown magic → ValueError."""
+    if payload[:2] == b"BM":
+        return "bmp", _decode_bmp(payload)
+    if payload[:4] == b"RIFF":
+        return "wav", _decode_wav(payload)
+    raise ValueError(f"unknown container magic {payload[:4]!r}")
+
+
+def _payload_slices(col: pa.Array):
+    """(offsets, data) views over an Arrow binary column's buffers —
+    per-payload slicing without tolist() copies."""
+    n = len(col)
+    bufs = col.buffers()
+    if bufs[2] is None or n == 0:
+        return np.zeros(n + 1, dtype=np.int64), np.empty(0, dtype=np.uint8)
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return offs, data
 
 
 class BinaryFeatureExtractor:
@@ -20,7 +143,16 @@ class BinaryFeatureExtractor:
     state), per-batch vectorized work in __call__.
 
     Input : table with `payload: binary` (+ passthrough id columns)
-    Output: id columns + `feature: list<float>` + `payload_bytes: int64`
+    Output: id column + `feature: fixed_size_list<float32>` +
+            `payload_bytes` (raw container size) + `n_samples` (decoded
+            sample count; == payload_bytes in stub mode) + `container`
+            ('raw' | 'bmp' | 'wav').
+
+    decode_mode:
+      * "stub" — raw bytes ARE the samples (opaque payloads).
+      * "real" — parse BMP/WAV containers (decode_container); the header
+        walk is per-payload Python (O(1) each), the sample gather and the
+        histogram stay vectorized over the batch.
 
     Large payloads: callers must size `batch_size` by BYTES (rows ≈
     target_bytes / avg_payload) and keep batch_format='pyarrow' so the binary
@@ -36,58 +168,64 @@ class BinaryFeatureExtractor:
         # once-per-actor setup: bin edges for the byte histogram featurizer
         self.edges = np.linspace(0, 256, feature_dims + 1)
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if self.decode_mode == "real":
-            raise NotImplementedError(
-                "real image/audio decode requires codec libraries not present "
-                "in this environment; use decode_mode='stub'"
-            )
-        # deterministic pseudo-decode: raw byte stream as uint8 samples
-        return np.frombuffer(payload, dtype=np.uint8)
+    def _decode_batch(self, col: pa.Array):
+        """→ (raw_sizes, kinds, sample_lens, flat_samples) for one batch."""
+        offs, data = _payload_slices(col)
+        n = len(col)
+        raw_sizes = offs[1:] - offs[:-1]
+        if self.decode_mode == "stub":
+            kinds = ["raw"] * n
+            return raw_sizes, kinds, raw_sizes, data[offs[0] : offs[-1]]
+        kinds, parts = [], []
+        lens = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            payload = data[offs[i] : offs[i + 1]].tobytes()
+            if not payload:
+                kinds.append("raw")
+                continue
+            kind, samples = decode_container(payload)
+            kinds.append(kind)
+            lens[i] = len(samples)
+            parts.append(samples)
+        flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+        return raw_sizes, kinds, lens, flat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode_mode == "real":
-            # surface the stub boundary up front (and per-payload in _decode)
-            self._decode(b"")
         col = batch["payload"].combine_chunks()
         n = len(col)
-        # vectorized byte histogram straight from the Arrow binary buffers:
-        # one bincount over (row*dims + bin) indices — no per-payload Python
-        bufs = col.buffers()
-        if bufs[2] is None or n == 0:
-            sizes = np.zeros(n, dtype=np.int64)
+        raw_sizes, kinds, lens, flat = self._decode_batch(col)
+        # vectorized byte histogram over the (decoded) sample stream: one
+        # bincount over (row*dims + bin) indices — no per-sample Python
+        if n == 0 or len(flat) == 0:
             feats = np.zeros((n, self.dims), dtype=np.float32)
         else:
-            offs = np.frombuffer(bufs[1], dtype=np.int32)[col.offset : col.offset + n + 1].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
-            sizes = offs[1:] - offs[:-1]
-            byte_vals = data[offs[0] : offs[-1]]
-            row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
             # bin = byte * dims // 256 — identical to np.histogram over
             # linspace(0, 256, dims+1) edges for byte-valued samples
-            bins = (byte_vals.astype(np.int64) * self.dims) >> 8
+            bins = (flat.astype(np.int64) * self.dims) >> 8
             counts = np.bincount(row_of * self.dims + bins, minlength=n * self.dims)
             feats = (
-                counts.reshape(n, self.dims) / np.maximum(1, sizes)[:, None]
+                counts.reshape(n, self.dims) / np.maximum(1, lens)[:, None]
             ).astype(np.float32)
-        out = pa.table(
+        return pa.table(
             {
                 self.id_column: batch[self.id_column],
                 "feature": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.reshape(-1), pa.float32()), self.dims
                 ),
-                "payload_bytes": pa.array(sizes),
+                "payload_bytes": pa.array(raw_sizes),
+                "n_samples": pa.array(lens),
+                "container": pa.array(kinds, pa.string()),
             }
         )
-        return out
 
 
 class FrameSampler:
     """Actor-pool stage for time-series binary payloads (audio/video):
-    sample fixed-rate frames from an opaque byte stream. The codec is
-    stubbed (raw bytes = samples; 'real' raises NotImplementedError) but the
-    plumbing is real: list<list<float>> frame output, bytes-aware batching.
-    """
+    sample fixed-rate frames from the payload's sample stream. decode_mode
+    "stub" treats raw bytes as samples; "real" parses BMP/WAV containers
+    first (decode_container) and frames over the decoded samples.
+    Output frames are float32 sample/255 in list<list<float32>> layout."""
 
     def __init__(self, decode_mode: str = "stub", frame_size: int = 64, hop: int = 128):
         if decode_mode not in ("stub", "real"):
@@ -97,18 +235,23 @@ class FrameSampler:
         self.hop = hop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode_mode == "real":
-            raise NotImplementedError("audio/video codecs not available in this environment")
         col = batch["payload"].combine_chunks()
         n = len(col)
         fs, hop = self.frame_size, self.hop
-        bufs = col.buffers()
-        if bufs[2] is None or n == 0:
-            offs = np.zeros(n + 1, dtype=np.int64)
-            data = np.empty(0, dtype=np.uint8)
+        p_offs, p_data = _payload_slices(col)
+        if self.decode_mode == "stub":
+            data = p_data
+            offs = p_offs
         else:
-            offs = np.frombuffer(bufs[1], dtype=np.int32)[col.offset : col.offset + n + 1].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            parts, lens = [], np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                payload = p_data[p_offs[i] : p_offs[i + 1]].tobytes()
+                if payload:
+                    _, samples = decode_container(payload)
+                    lens[i] = len(samples)
+                    parts.append(samples)
+            data = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+            offs = np.concatenate([[0], np.cumsum(lens)])
         lens = offs[1:] - offs[:-1]
         n_frames = np.where(lens >= fs, (lens - fs) // hop + 1, 0)
         # gather every frame's samples in ONE fancy-index: frame f of row i

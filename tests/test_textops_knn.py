@@ -126,15 +126,72 @@ def test_multimodal_stage_direct():
     assert (feats[1] == 0).all()
 
 
-def test_multimodal_real_mode_raises():
+def test_multimodal_real_mode_rejects_unknown_container():
     from arches_rascoll_etl_ray.stages.multimodal import BinaryFeatureExtractor
 
     stage = BinaryFeatureExtractor(decode_mode="real")
-    batch = pa.table({"doc_id": [1], "payload": pa.array([b"x"], pa.binary())})
-    with pytest.raises(NotImplementedError):
+    batch = pa.table({"doc_id": [1, 2], "payload": pa.array([b"xray", b""], pa.binary())})
+    with pytest.raises(ValueError, match="unknown container magic"):
         stage(batch)
     with pytest.raises(ValueError):
         BinaryFeatureExtractor(decode_mode="webp")
+
+
+def test_codec_roundtrip_bmp_wav():
+    """Real codecs: encode → decode recovers the exact sample stream."""
+    from arches_rascoll_etl_ray.stages.multimodal import (
+        decode_container,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 11), dtype=np.uint8)  # odd width → row padding
+    kind, got = decode_container(encode_bmp24(img))
+    assert kind == "bmp" and (got == img.reshape(-1)).all()
+
+    pcm = rng.integers(-(2**15), 2**15, size=333, dtype=np.int16)
+    kind, got = decode_container(encode_wav_pcm16(pcm))  # odd data size → RIFF pad
+    assert kind == "wav" and (got == (pcm.view(np.uint16) & 0xFF).astype(np.uint8)).all()
+
+    with pytest.raises(ValueError):
+        decode_container(b"RIFF\x04\x00\x00\x00JUNK")  # RIFF but not WAVE
+    with pytest.raises(ValueError):
+        decode_container(b"BM" + b"\x00" * 20)  # truncated header
+
+
+def test_multimodal_real_decode_features():
+    """decode_mode='real' parses containers and featurizes the DECODED
+    samples: a BMP and a WAV carrying the same byte stream produce the
+    same histogram feature despite very different raw payloads."""
+    from arches_rascoll_etl_ray.stages.multimodal import (
+        BinaryFeatureExtractor,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    samples = np.arange(128, dtype=np.uint8)
+    bmp = encode_bmp24(samples.reshape(1, -1))
+    wav = encode_wav_pcm16(samples.astype(np.int16))
+    stage = BinaryFeatureExtractor(decode_mode="real", feature_dims=8)
+    out = stage(pa.table({"doc_id": [1, 2], "payload": pa.array([bmp, wav], pa.binary())}))
+    assert out["container"].to_pylist() == ["bmp", "wav"]
+    assert out["n_samples"].to_pylist() == [128, 128]
+    assert out["payload_bytes"].to_pylist() == [len(bmp), len(wav)]
+    f = np.array(out["feature"].to_pylist())
+    assert np.allclose(f[0], f[1])
+    assert np.allclose(f[0], [0.25, 0.25, 0.25, 0.25, 0, 0, 0, 0])  # bytes 0..127
+
+
+def test_frame_sampler_real_mode():
+    from arches_rascoll_etl_ray.stages.multimodal import FrameSampler, encode_wav_pcm16
+
+    pcm = np.arange(12, dtype=np.int16)
+    stage = FrameSampler(decode_mode="real", frame_size=4, hop=4)
+    out = stage(pa.table({"doc_id": [1], "payload": pa.array([encode_wav_pcm16(pcm)], pa.binary())}))
+    assert out["n_frames"].to_pylist() == [3]
+    first = np.array(out["frames"].to_pylist()[0][0]) * 255.0
+    assert np.allclose(np.rint(first), [0, 1, 2, 3])
 
 
 def test_frame_sampler_stage():
