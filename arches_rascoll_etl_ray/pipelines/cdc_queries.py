@@ -532,6 +532,72 @@ def cdc_secondary_index(sf_dir: str):
     )
 
 
+def cdc_index_evolution(sf_dir: str):
+    """Changefeed-maintained secondary index surviving a schema-evolution
+    boundary: the first epoch commits under spec v1 with the index synced
+    on `lang`; the engine then reopens under spec v2 (rename
+    lang→language, add size_bytes, computed content_len) and the SAME
+    index keeps syncing per epoch — the sync window spans the rename, so
+    the index must follow the column identity through the evolved
+    changefeed (new_language/old_language), and the final lookup filters
+    the base rows under the NEW name. Oracle: full-v2 LWW fold restricted
+    to event_type='click'. Incremental≡rebuild postings equality across
+    the boundary is pinned in tests/test_secondary_index.py."""
+    from arches_rascoll_etl_ray.config import AddColumn, ComputedColumn, EvolutionSpec
+    from arches_rascoll_etl_ray.pipelines.index import SecondaryIndex
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    spec_v2 = EvolutionSpec(
+        version=2,
+        renames={"lang": "language"},
+        adds=(AddColumn(name="size_bytes", type="int64", default=None),),
+        computed=(ComputedColumn(name="content_len", source="content", fn="len"),),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    lake = _fresh_lake(f"events_idxevo_{tag}")
+    idx = SecondaryIndex(
+        _fresh_lake(f"events_idxevo_idx_{tag}"), column="lang", num_partitions=4
+    )
+    avail = max_available_lsn(clog_dir)
+    e1 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8, evolution=None))
+    e1.apply_epoch(clog_dir, max_events=max(1, avail // 2))
+    idx.sync(e1)
+    e2 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8, evolution=spec_v2))
+    while True:
+        before = e2.checkpoint().epoch
+        if e2.apply_epoch(clog_dir, max_events=max(1, avail // 4)).epoch == before:
+            break
+        idx.sync(e2)
+    rows = idx.lookup_rows(e2, "click")
+    return pa.table(
+        {
+            "user_key": rows["repo"],
+            "last_event_id": pc.cast(rows["commit"], pa.int64()),
+            "last_event_type": rows["language"],
+            "last_value_str": pc.cast(rows["content"], pa.string()),
+            "content_len": pc.cast(rows["content_len"], pa.int64()),
+        }
+    )
+
+
+QUERIES["cdc_index_evolution"] = cdc_index_evolution
+ORACLE_SQL["cdc_index_evolution"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    )
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str,
+           CAST(length(printf('%.6f', value)) AS BIGINT) AS content_len
+    FROM last WHERE rn = 1 AND event_type = 'click'
+"""
+
+
 QUERIES["cdc_secondary_index"] = cdc_secondary_index
 ORACLE_SQL["cdc_secondary_index"] = """
     WITH ordered AS (

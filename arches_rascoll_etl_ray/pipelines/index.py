@@ -127,6 +127,19 @@ class SecondaryIndex:
             [(self.column, pa.string()), ("repo", pa.string()), ("path", pa.string())]
         )
 
+    def _base_column(self, engine) -> str:
+        """The indexed column's CURRENT name in the base lake. The index is
+        pinned to the column IDENTITY (the name at index creation), which
+        survives an EvolutionSpec rename: postings files keep the original
+        physical name (layout pin, like P/S), while changefeed reads and
+        base-row filters follow the engine's evolved name. Postings values
+        are untouched by a rename, so an index synced across the boundary
+        is byte-identical to a from-scratch rebuild (pinned in pytest)."""
+        spec = getattr(engine.cfg, "evolution", None)
+        if spec and self.column in spec.renames:
+            return spec.renames[self.column]
+        return self.column
+
     # -------------------------------------------------------------- sync
 
     def sync(self, engine) -> int:
@@ -188,7 +201,11 @@ class SecondaryIndex:
         self._save_meta()
         feed = engine.changefeed(self.applied_epoch, to_epoch)
         col, P, S = self.column, self.num_partitions, self.num_subshards
-        new_c, old_c = "new_" + col, "old_" + col
+        # the changefeed always speaks the CURRENT (evolved) schema, even
+        # for a window spanning the evolution boundary (both diff sides are
+        # folded through apply_evolution) — so resolve the rename here
+        base_col = self._base_column(engine)
+        new_c, old_c = "new_" + base_col, "old_" + base_col
         index_dir = self.index_dir
         schema = self._postings_schema()
 
@@ -387,8 +404,10 @@ class SecondaryIndex:
         out = pa.concat_tables([t for t in tables if t.num_rows] or [empty_lake_table(cfg)])
         # horizon-matched lookups make this a no-op; kept as a cheap guard.
         # Cast: postings store values AS STRINGS, so an index on an int
-        # column must compare the base column stringified, not raw
-        out = out.filter(pc.equal(pc.cast(out[self.column], pa.string()), value))
+        # column must compare the base column stringified, not raw. The
+        # base column is read under its CURRENT (possibly renamed) name.
+        base_col = self._base_column(engine)
+        out = out.filter(pc.equal(pc.cast(out[base_col], pa.string()), value))
         return out.take(
             pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("path", "ascending")])
         )

@@ -284,3 +284,41 @@ def test_concurrent_sync_rejected(changelog, tmp_path):
             idx.sync(eng)
     idx.sync(eng)  # lock released: proceeds normally
     assert idx.applied_epoch == eng.checkpoint().epoch
+
+
+def test_index_survives_evolution_rename(changelog, tmp_path):
+    """Incremental ≡ rebuild across a schema-evolution boundary: the index
+    (created on `lang`) keeps syncing after the engine reopens under a
+    spec renaming lang→language — the sync window SPANS the rename — and
+    its postings are byte-identical to a fresh index built wholly under
+    v2. Lookups filter the base rows under the NEW name."""
+    from arches_rascoll_etl_ray.config import AddColumn, ComputedColumn, EvolutionSpec
+
+    spec_v2 = EvolutionSpec(
+        version=2,
+        renames={"lang": "language"},
+        adds=(AddColumn(name="size_bytes", type="int64", default=None),),
+        computed=(ComputedColumn(name="content_len", source="content", fn="len"),),
+    )
+    lake = str(tmp_path / "lake")
+    e1 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8, evolution=None))
+    inc = SecondaryIndex(str(tmp_path / "inc"), column="lang", num_partitions=4)
+    e1.apply_epoch(changelog, max_events=1500)
+    inc.sync(e1)
+    e2 = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8, evolution=spec_v2))
+    while True:
+        before = e2.checkpoint().epoch
+        if e2.apply_epoch(changelog, max_events=800).epoch == before:
+            break
+        inc.sync(e2)
+    fresh = SecondaryIndex(str(tmp_path / "fresh"), column="lang", num_partitions=4)
+    fresh.sync(e2)
+    assert _postings_digest(inc) == _postings_digest(fresh)
+    # lookups agree with a full-scan filter of the evolved snapshot
+    snap = e2.snapshot_table().to_pandas()
+    for v in sorted(snap["language"].dropna().unique()):
+        want = sorted(map(tuple, snap[snap["language"] == v][["repo", "path"]].to_numpy()))
+        assert _index_keys(inc, v) == want, f"language {v}"
+        rows = inc.lookup_rows(e2, v).to_pandas()
+        assert sorted(map(tuple, rows[["repo", "path"]].to_numpy())) == want
+        assert "content_len" in rows.columns  # evolved columns ride through
