@@ -760,7 +760,6 @@ def make_multi_epoch_spill_fn(
     deterministic epoch slice, so task retries overwrite identical bytes
     (atomic replace)."""
     from arches_rascoll_etl_ray.functions.hashing import key_hash64
-    from arches_rascoll_etl_ray.stages.normalize import _adjacent_key_neq
 
     spec = cfg.evolution
     num_parts = cfg.num_partitions
@@ -803,19 +802,23 @@ def make_multi_epoch_spill_fn(
         part = (kh % np.uint64(num_parts)).astype(np.int32)
         lsn_np = batch["lsn"].to_numpy(zero_copy_only=False)
         ep = epoch_ids[np.searchsorted(epoch_ends, lsn_np, side="left")]
-        batch = batch.append_column("_kh", pa.array(kh))
-        batch = batch.append_column("_part", pa.array(part))
+        # Sort indices from the SMALL columns only, run the combiner on a
+        # key-column gather, and take the wide table ONCE for surviving
+        # rows. The content payload dominates batch bytes; the former
+        # full-width take + filter moved it twice for rows the combiner
+        # was about to drop (same move as lww_reduce's winner-first
+        # gather). Output rows/order/bytes are identical.
+        sort_cols: dict[str, object] = {"_part": pa.array(part), "_kh": pa.array(kh), "lsn": batch["lsn"]}
         if multi:
-            batch = batch.append_column("_ep", pa.array(ep))
+            sort_cols = {"_ep": pa.array(ep), **sort_cols}
             sort_keys = [
                 ("_ep", "ascending"), ("_part", "ascending"),
                 ("_kh", "ascending"), ("lsn", "ascending"),
             ]
         else:
             sort_keys = [("_part", "ascending"), ("_kh", "ascending"), ("lsn", "ascending")]
-
-        idx = pc.sort_indices(batch, sort_keys=sort_keys)
-        batch = batch.take(idx)
+        idx = pc.sort_indices(pa.table(sort_cols), sort_keys=sort_keys)
+        idx_np = idx.to_numpy(zero_copy_only=False)
 
         n = batch.num_rows
         if n > 1:
@@ -823,36 +826,46 @@ def make_multi_epoch_spill_fn(
             # here — merge re-reduces; collisions merely stay unreduced).
             # Never across an epoch boundary: each epoch's pieces must equal
             # what a per-epoch spill would have written.
-            neq = _adjacent_key_neq(batch)
+            from arches_rascoll_etl_ray.stages.normalize import _adjacent_neq_arrays
+
+            neq = _adjacent_neq_arrays(
+                pc.take(batch["repo"], idx).combine_chunks(),
+                pc.take(batch["path"], idx).combine_chunks(),
+            )
             if multi:
-                ep_sorted = batch["_ep"].to_numpy(zero_copy_only=False)
+                ep_sorted = ep[idx_np]
                 neq = neq | (ep_sorted[1:] != ep_sorted[:-1])
             # a partial-update row never supersedes what's beneath it: a
             # row whose same-key successor is a 'P' patch must survive to
             # the merge-side resolve (patch_aware_reduce has the same rule)
             p_flags = pc.fill_null(pc.equal(batch["op"], pa.scalar("P")), False)
             if pc.any(p_flags).as_py():
-                neq = neq | p_flags.to_numpy(zero_copy_only=False)[1:]
-            mask = np.append(neq, True)
-            if not mask.all():
-                batch = batch.filter(pa.array(mask))
+                neq = neq | p_flags.to_numpy(zero_copy_only=False)[idx_np][1:]
+            keep_sorted = idx_np[np.append(neq, True)]
+        else:
+            keep_sorted = idx_np
 
-        parts = batch["_part"].to_numpy(zero_copy_only=False)
-        eps = batch["_ep"].to_numpy(zero_copy_only=False) if multi else None
+        parts = part[keep_sorted]
+        eps = ep[keep_sorted] if multi else None
         if multi:
             change = np.r_[True, (parts[1:] != parts[:-1]) | (eps[1:] != eps[:-1])]
         else:
             change = np.r_[True, parts[1:] != parts[:-1]]
         starts = np.flatnonzero(change)
         ends = np.r_[starts[1:], len(parts)]
-        # _part/_ep are encoded by the piece directory; don't pay for them twice
-        piece_tbl = batch.drop_columns(["_part", "_ep"] if multi else ["_part"])
+        # ONE wide gather, survivors only; _part/_ep are encoded by the
+        # piece directory — never materialized as table columns at all
+        piece_tbl = batch.take(pa.array(keep_sorted)).append_column(
+            "_kh", pa.array(kh[keep_sorted])
+        )
         out = []
+        lsn_sorted = lsn_np[keep_sorted]
+        kh_sorted = kh[keep_sorted].astype(np.uint64)
         for s, e in zip(starts, ends):
             sub = piece_tbl.slice(s, e - s)
             part_id = int(parts[s])
             epoch = int(eps[s]) if multi else int(epoch_ids[0])
-            lsns = sub["lsn"].to_numpy(zero_copy_only=False)
+            lsns = lsn_sorted[s:e]
             lo, hi = int(lsns.min()), int(lsns.max())
             # content-hash suffix: (lo,hi) alone is NOT unique under
             # duplicate-LSN delivery split across blocks — two slices with
@@ -865,7 +878,7 @@ def make_multi_epoch_spill_fn(
             # (retry-idempotent overwrite); different row sets collide with
             # ~2^-64 probability, and a duplicate piece would merely be
             # duplicate delivery, which the LWW fold already absorbs.
-            khs = sub["_kh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            khs = kh_sorted[s:e]
             lh = int(np.bitwise_xor.reduce(
                 (lsns.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
                 * np.uint64(0xBF58476D1CE4E5B9)
