@@ -77,11 +77,17 @@ class _WriterLock:
        expired lease is stolen, and a same-host lease whose pid is dead is
        stolen immediately (crash-resume never waits out the TTL). Long
        replays renew per epoch group (`renew()`), so the default TTL only
-       gates takeover after a cross-host crash. Honest limits: rename gives
-       last-writer-wins on a simultaneous cross-host steal and NFS clock
-       skew eats into the TTL margin — advisory mutual exclusion for
-       crash-stop failures, not fencing; a CAS object store would be needed
-       for the latter."""
+       gates takeover after a cross-host crash. Steals are fenced by a
+       link(2)-based CAS: every stealer derives one claim path from a
+       digest of the exact lease bytes it observed, link() creates it
+       exactly once (POSIX create-if-absent, atomic on shared
+       filesystems), and the winner re-verifies the lease is unchanged
+       before renaming its claim into place — so a simultaneous
+       cross-host steal has exactly one winner, and a stealer acting on
+       stale observations aborts instead of clobbering the fresh lease.
+       Honest limits: NFS clock skew still eats into the TTL margin, and
+       renew() remains owner-only rename (a renew racing its own expiry
+       can still lose to a steal) — crash-stop fencing, not Byzantine."""
 
     TTL = float(os.environ.get("ARER_WRITER_LEASE_TTL", "900"))
 
@@ -89,6 +95,8 @@ class _WriterLock:
         self.path = os.path.join(lake_dir, "_writer.lock")
         self.lease_path = os.path.join(lake_dir, "_writer.lease")
         self.owner = _writer_identity()
+
+    STALE_CLAIM_SEC = 60.0  # a claim this old belongs to a crashed stealer
 
     def _read_lease(self) -> dict | None:
         import json
@@ -98,6 +106,76 @@ class _WriterLock:
                 return json.load(f)
         except (OSError, ValueError):
             return None
+
+    def _read_lease_bytes(self) -> bytes | None:
+        try:
+            with open(self.lease_path, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _my_lease_bytes(self) -> bytes:
+        import json
+        import time
+
+        now = time.time()
+        return json.dumps(
+            {"owner": self.owner, "acquired_at": now, "expires_at": now + self.TTL}
+        ).encode()
+
+    def _link_create(self, target: str) -> bool:
+        """POSIX create-if-absent CAS: hard-link a unique tmp onto `target`.
+        Exactly one concurrent caller wins; returns False to losers."""
+        import uuid
+
+        tmp = f"{self.lease_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(self._my_lease_bytes())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def _steal_cas(self, observed: bytes) -> None:
+        """Fenced steal of an expired/dead lease: one claim path per
+        observed-lease digest, created by link() (exactly one winner),
+        verified against the CURRENT lease bytes before the rename — a
+        stealer holding a stale observation aborts instead of clobbering
+        the fresh winner's lease."""
+        import hashlib
+        import time
+
+        digest = hashlib.sha256(observed).hexdigest()[:16]
+        claim = f"{self.lease_path}.steal-{digest}"
+        # a crashed winner leaks its claim; age it out before giving up
+        try:
+            if time.time() - os.stat(claim).st_mtime > self.STALE_CLAIM_SEC:
+                os.remove(claim)
+        except OSError:
+            pass
+        if not self._link_create(claim):
+            raise RuntimeError(
+                f"lost the steal race for {self.lease_path} (claim {digest} is taken)"
+            )
+        try:
+            if self._read_lease_bytes() != observed:
+                # the lease changed between our read and our claim: another
+                # stealer (with an earlier observation) already won
+                raise RuntimeError(
+                    f"lease {self.lease_path} changed during steal; not clobbering"
+                )
+        except BaseException:
+            try:
+                os.remove(claim)
+            except OSError:
+                pass
+            raise
+        os.replace(claim, self.lease_path)  # consume the claim atomically
 
     def _write_lease(self) -> None:
         import time
@@ -111,11 +189,29 @@ class _WriterLock:
         )
 
     def _acquire_lease(self) -> None:
+        import json
         import socket
         import time
 
-        cur = self._read_lease()
-        if cur is not None and cur.get("owner") != self.owner:
+        raw = self._read_lease_bytes()
+        if raw is None:
+            # no lease on disk: create-if-absent CAS (link, not rename —
+            # two simultaneous first writers get exactly one winner)
+            if self._link_create(self.lease_path):
+                return
+            raw = self._read_lease_bytes()
+            if raw is None:  # the racing winner already released; once more
+                if self._link_create(self.lease_path):
+                    return
+                raw = self._read_lease_bytes() or b""
+        try:
+            cur = json.loads(raw)
+        except ValueError:
+            cur = None  # corrupt lease: stealable via CAS on its raw bytes
+        if cur is not None and cur.get("owner") == self.owner:
+            self._write_lease()  # re-entrant refresh of our own lease
+            return
+        if cur is not None:
             expires = float(cur.get("expires_at", 0))
             if time.time() < expires:
                 host, _, rest = str(cur.get("owner", "")).partition(":")
@@ -130,7 +226,8 @@ class _WriterLock:
                         f"lake {os.path.dirname(self.lease_path)} is leased by "
                         f"{cur.get('owner')} until {expires:.0f}; one writer per lake"
                     )
-        self._write_lease()
+        # expired, dead same-host holder, or corrupt: fenced steal
+        self._steal_cas(raw)
 
     def renew(self) -> None:
         """Extend the held lease (called at epoch-group boundaries during
