@@ -221,3 +221,48 @@ def patch_changelog_from_events_table(sf_dir: str) -> pd.DataFrame:
     out.loc[is_patch, "commit"] = None
     out.loc[is_patch, "lang"] = None
     return out
+
+
+def near_dup_changelog_from_documents(sf_dir: str) -> pd.DataFrame:
+    """Recast the driver's `documents` table as a two-phase change stream
+    for the incremental near-dup index (pipelines/dedup_index.py):
+
+      v1: every doc inserted in doc_id order (op U, content = text)
+      v2 (deterministic churn, in doc_id order):
+        - doc_id % 7 == 3 AND (doc_id - 1) exists  → update: content
+          becomes doc_id-1's ORIGINAL text (manufactures exact near-dup
+          pairs that only exist AFTER the update — the incremental path
+          must discover them at the update window, not at insert)
+        - doc_id % 11 == 5 AND doc_id % 7 != 3     → delete (its edges
+          must vanish from the index)
+
+    The DuckDB oracle (cdc_queries.cdc_dedup_incremental) reproduces the
+    same final corpus with a CASE + anti-filter over `documents`."""
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    text_by_id = dict(zip(ids, df["text"]))
+    n = len(df)
+
+    def rows(op, idv, content, lsn0):
+        return pd.DataFrame(
+            {
+                "lsn": np.arange(lsn0, lsn0 + len(idv), dtype=np.int64),
+                "op": np.full(len(idv), op, dtype=object),
+                "repo": np.array([f"doc{i}" for i in idv], dtype=object),
+                "path": np.full(len(idv), "t", dtype=object),
+                "commit": np.full(len(idv), "2" if op != "U" or lsn0 > n else "1", dtype=object),
+                "lang": np.full(len(idv), "v2" if lsn0 > n else "v1", dtype=object),
+                "content": np.asarray(content, dtype=object),
+            }
+        )
+
+    v1 = rows("U", ids, df["text"].to_numpy(dtype=object), 1)
+    upd_mask = (ids % 7 == 3) & np.isin(ids - 1, ids)
+    del_mask = (ids % 11 == 5) & (ids % 7 != 3)
+    upd_ids = ids[upd_mask]
+    v2u = rows("U", upd_ids, [text_by_id[i - 1] for i in upd_ids], n + 1)
+    del_ids = ids[del_mask]
+    v2d = rows("D", del_ids, [text_by_id[i] for i in del_ids], n + 1 + len(upd_ids))
+    return pd.concat([v1, v2u, v2d], ignore_index=True)

@@ -17,6 +17,7 @@ import shutil
 import tempfile
 from typing import Any, Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -595,6 +596,85 @@ ORACLE_SQL["cdc_index_evolution"] = """
            printf('%.6f', value) AS last_value_str,
            CAST(length(printf('%.6f', value)) AS BIGINT) AS content_len
     FROM last WHERE rn = 1 AND event_type = 'click'
+"""
+
+
+def cdc_dedup_incremental(sf_dir: str):
+    """Incremental near-dup maintenance from the changefeed (CDC ×
+    training-data composition, pipelines/dedup_index.py): the documents
+    table replays as a two-phase change stream — inserts, then updates
+    that copy a neighbor's text (manufacturing dup pairs that only exist
+    AFTER the update) and deletes — in 4 epochs, with the MinHash-LSH
+    index synced after every epoch. No sync ever rescans the corpus: each
+    window sketches only its own deltas, removes the changed docs'
+    buckets/edges, and verifies new candidates against texts read from
+    the lake AS OF the sync horizon. Output = final verified pair set,
+    which must equal the batch exact-Jaccard(≥0.5, word 3-gram) pairs
+    over the final live corpus — the DuckDB twin below computes exactly
+    that (LSH recall is 1.0 at this threshold on this corpus: every
+    qualifying pair is ≥0.9, same argument as training.q_dedup_clusters)."""
+    from arches_rascoll_etl_ray.datagen.changelog_gen import (
+        near_dup_changelog_from_documents,
+        write_changelog_shards,
+    )
+    from arches_rascoll_etl_ray.pipelines.dedup_index import KEY_SEP, IncrementalNearDup
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = os.path.join(_CACHE_ROOT, f"docs_neardup_clog_{tag}")
+    marker = os.path.join(clog_dir, "_GENERATED")
+    if not os.path.exists(marker):
+        shutil.rmtree(clog_dir, ignore_errors=True)
+        write_changelog_shards(near_dup_changelog_from_documents(sf_dir), clog_dir, num_shards=8)
+        with open(marker, "w") as f:
+            f.write(sf_dir + "\n")
+
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"docs_neardup_{tag}"), num_partitions=8))
+    idx = IncrementalNearDup(_fresh_lake(f"docs_neardup_idx_{tag}"), num_partitions=8)
+    per = max(1, max_available_lsn(clog_dir) // 4)
+    while True:
+        before = eng.checkpoint().epoch
+        if eng.apply_epoch(clog_dir, max_events=per).epoch == before:
+            break
+        idx.sync(eng)
+    edges = idx.edges_table().to_pandas()
+    ia = edges["a"].str.split(KEY_SEP, n=1).str[0].str[3:].astype(np.int64)
+    ib = edges["b"].str.split(KEY_SEP, n=1).str[0].str[3:].astype(np.int64)
+    a = np.minimum(ia.to_numpy(), ib.to_numpy())
+    b = np.maximum(ia.to_numpy(), ib.to_numpy())
+    order = np.lexsort((b, a))
+    return pa.table({"a": pa.array(a[order], pa.int64()), "b": pa.array(b[order], pa.int64())})
+
+
+QUERIES["cdc_dedup_incremental"] = cdc_dedup_incremental
+ORACLE_SQL["cdc_dedup_incremental"] = r"""
+    WITH final AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 7 = 3 AND p.text IS NOT NULL THEN p.text
+                  ELSE d.text END AS text
+      FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+      WHERE NOT (d.doc_id % 11 = 5 AND d.doc_id % 7 <> 3)
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM final
+    ), gsets AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) = 0 THEN []
+                    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               END) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.g, b.g)) AS inter,
+             len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+      FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+    FROM pairs WHERE uni > 0 AND 2 * inter >= uni
 """
 
 

@@ -1,0 +1,448 @@
+"""Incrementally-maintained MinHash-LSH near-duplicate index, synced from a
+CDC lake's changefeed — the continuous-ingest recast of the batch
+`training.py` dedup pipeline (CDC × training-data composition).
+
+Batch near-dup (training.py:133-260) rescans the whole corpus. At a
+continuously-ingesting 100-TB lake that is the wrong shape: each sync
+window only touches the docs that changed. This index keeps
+
+    buckets/part=<i>/buckets.parquet   (band, bh, key)  — LSH bucket
+        memberships of LIVE docs, partitioned by hash(band, bh) % P
+    edges/part=<j>/edges.parquet       (a, b)           — verified
+        near-dup pairs (a < b lexicographically), partitioned by hash(a)
+    _neardup_meta.json                 params + watermark + intent
+
+and maintains both purely from changefeed deltas:
+
+    I                 → add buckets for the new text; candidates = live
+                        bucket-mates; verify exact Jaccard; add edges
+    D                 → remove the doc's buckets (computed from the OLD
+                        image the changefeed carries — no corpus read)
+                        and every edge touching it
+    U (text changed)  → remove old buckets/edges, then the I path
+    U (text same)     → nothing (lsn-only churn costs zero writes)
+
+Correctness shape: for any pair of finally-live docs, the LATER of their
+last content changes re-verifies the pair against the other side's
+CURRENT text (read from the base lake AS OF the sync horizon), and every
+earlier edge touching a changed doc is dropped — so the final edge set
+equals the batch exact-Jaccard pair set over the final live corpus
+whenever LSH recall is 1 at the chosen threshold (same corpus argument as
+training.q_dedup_clusters; pinned incremental≡batch in pytest).
+
+Scale notes: bucket rewrites touch only the (band, bh) partitions named
+by the window's deltas; candidate generation is bounded by the new docs'
+bucket-mates; the docs themselves never shuffle (only (band, bh, key)
+triples and the window's own new texts move). The output is a PAIR
+materialization — inherently O(qualifying pairs); for clustering-only
+use at dup-heavy scale, cap bucket fan-out with hub edges as the batch
+pipeline does (training.py:_MAX_ALLPAIRS_RUN) and propagate labels
+instead of materializing pairs.
+
+Crash recovery pins the WINDOW like pipelines/index.SecondaryIndex: the
+`pending_to` intent is persisted before any partition write, and
+re-applying a window is idempotent (set add/remove on buckets and edges;
+candidate verification is deterministic).
+
+Reference analogue: the reference dedups only via one-shot NOT-IN guards
+(arches_rascoll/ref_collection.py:305-314); this continuous index is the
+engine-native extension the CDC north star implies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from arches_rascoll_etl_ray.functions import sketches
+from arches_rascoll_etl_ray.functions import text as textfns
+from arches_rascoll_etl_ray.functions.hashing import (
+    combine_key,
+    key_hash64,
+    stable_hash64,
+)
+from arches_rascoll_etl_ray.state.manifest import atomic_write_json
+
+KEY_SEP = "\x00"
+
+
+def _band_rows(texts: pd.Series, keys: np.ndarray, num_perm: int, num_bands: int, ngram: int, seed: int) -> pd.DataFrame:
+    """(band, bh, key) triples for a batch of texts. Docs with zero word
+    n-grams emit nothing (they can never share a qualifying pair: a pair
+    with one empty gram set has intersection 0)."""
+    texts = texts.reset_index(drop=True)
+    flat, offsets = textfns.word_ngrams_hashes(texts, n=ngram)
+    sig = sketches.minhash_signatures(flat, offsets, num_perm=num_perm, seed=seed)
+    bands = sketches.lsh_band_hashes(sig, num_bands=num_bands)
+    # zero-WORD docs (word_ngrams_hashes still assigns them one sentinel
+    # gram slot) must not enter buckets: their SQL gram set is empty, so
+    # no pair involving them can ever qualify
+    nonempty = (texts.str.split().str.len().fillna(0) > 0).to_numpy()
+    n = len(texts)
+    df = pd.DataFrame(
+        {
+            "key": np.repeat(keys, num_bands),
+            "band": np.tile(np.arange(num_bands, dtype=np.int32), n),
+            "bh": bands.reshape(-1).view(np.int64),
+        }
+    )
+    return df[np.repeat(nonempty, num_bands)]
+
+
+class IncrementalNearDup:
+    """Changefeed-maintained near-dup pair index for one CDC lake."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_partitions: int = 8,
+        num_perm: int = 128,
+        num_bands: int = 32,
+        ngram: int = 3,
+        threshold: float = 0.5,
+        seed: int = 1,
+    ):
+        self.index_dir = index_dir
+        self.num_partitions = num_partitions
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.ngram = ngram
+        self.threshold = threshold
+        self.seed = seed
+        os.makedirs(index_dir, exist_ok=True)
+        meta = self._load_meta()
+        if meta is not None:
+            pins = dict(
+                num_partitions=num_partitions, num_perm=num_perm,
+                num_bands=num_bands, ngram=ngram, threshold=threshold, seed=seed,
+            )
+            for k, v in pins.items():
+                if meta.get(k) != v:
+                    raise ValueError(
+                        f"near-dup index at {index_dir} was built with {k}={meta.get(k)!r}"
+                        f" — cannot reopen with {k}={v!r} (signature/layout pin)"
+                    )
+            self.applied_epoch = meta["applied_epoch"]
+            self.pending_to = meta.get("pending_to")
+        else:
+            self.applied_epoch = 0
+            self.pending_to = None
+
+    # ------------------------------------------------------------- state
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.index_dir, "_neardup_meta.json")
+
+    def _load_meta(self) -> dict | None:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _save_meta(self) -> None:
+        atomic_write_json(
+            self._meta_path(),
+            {
+                "num_partitions": self.num_partitions,
+                "num_perm": self.num_perm,
+                "num_bands": self.num_bands,
+                "ngram": self.ngram,
+                "threshold": self.threshold,
+                "seed": self.seed,
+                "applied_epoch": self.applied_epoch,
+                "pending_to": self.pending_to,
+            },
+        )
+
+    def _bucket_file(self, part: int) -> str:
+        return os.path.join(self.index_dir, "buckets", f"part={part:03d}", "buckets.parquet")
+
+    def _edge_file(self, part: int) -> str:
+        return os.path.join(self.index_dir, "edges", f"part={part:03d}", "edges.parquet")
+
+    # -------------------------------------------------------------- sync
+
+    def sync(self, engine) -> int:
+        """Fold the lake's changefeed since this index's watermark; returns
+        the number of verified edges added this sync. A crashed sync left a
+        `pending_to` intent — that exact window re-applies FIRST
+        (idempotent), then a fresh window advances to the lake head."""
+        from arches_rascoll_etl_ray.pipelines.cdc import _WriterLock
+
+        with _WriterLock(self.index_dir):
+            added = 0
+            if self.pending_to is not None and self.pending_to > self.applied_epoch:
+                added += self._apply_window(engine, self.pending_to)
+            cur = engine.checkpoint().epoch
+            if cur != self.applied_epoch:
+                added += self._apply_window(engine, cur)
+            return added
+
+    def _window_deltas(self, engine, to_epoch: int):
+        """changefeed → (adds_df[key,text], rems_df[key,old_text], touched_keys).
+        Driver-side frames are bounded by the WINDOW's churn, not the
+        corpus: a steady-state sync sees only the docs that changed."""
+        from arches_rascoll_etl_ray.stages.merge import evolved_content_col
+
+        col = evolved_content_col(engine.cfg)
+        feed = engine.changefeed(self.applied_epoch, to_epoch)
+        new_c, old_c = "new_" + col, "old_" + col
+
+        def deltas(t: pa.Table) -> pa.Table:
+            op = t["op"]
+            key = pc.binary_join_element_wise(t["repo"], t["path"], KEY_SEP)
+            newv = pc.cast(t[new_c], pa.large_string())
+            oldv = pc.cast(t[old_c], pa.large_string())
+            moved = pc.fill_null(pc.not_equal(oldv, newv), True)
+            add_m = pc.or_(pc.equal(op, "I"), pc.and_(pc.equal(op, "U"), moved))
+            rem_m = pc.or_(pc.equal(op, "D"), pc.and_(pc.equal(op, "U"), moved))
+            return pa.table(
+                {
+                    "key": key,
+                    "add": pc.fill_null(add_m, False),
+                    "rem": pc.fill_null(rem_m, False),
+                    "new_text": newv,
+                    "old_text": oldv,
+                }
+            )
+
+        df = feed.map_batches(deltas, batch_format="pyarrow").to_pandas()
+        adds = df[df["add"]][["key", "new_text"]].rename(columns={"new_text": "text"})
+        adds = adds.fillna({"text": ""})
+        rems = df[df["rem"]][["key", "old_text"]].fillna({"old_text": ""})
+        touched = pd.unique(df.loc[df["add"] | df["rem"], "key"])
+        return adds, rems, touched
+
+    def _apply_window(self, engine, to_epoch: int) -> int:
+        self.pending_to = to_epoch
+        self._save_meta()
+        adds, rems, touched = self._window_deltas(engine, to_epoch)
+        P = self.num_partitions
+
+        add_tr = _band_rows(
+            adds["text"], adds["key"].to_numpy(dtype=object),
+            self.num_perm, self.num_bands, self.ngram, self.seed,
+        ).assign(add=True)
+        rem_tr = _band_rows(
+            rems["old_text"], rems["key"].to_numpy(dtype=object),
+            self.num_perm, self.num_bands, self.ngram, self.seed,
+        ).assign(add=False)
+        tr = pd.concat([rem_tr, add_tr], ignore_index=True)
+        cands = self._update_buckets(tr) if len(tr) else pd.DataFrame({"a": [], "b": []})
+
+        verified = self._verify(engine, to_epoch, cands, adds)
+        self._update_edges(touched, verified)
+        self.applied_epoch = to_epoch
+        self.pending_to = None
+        self._save_meta()
+        return len(verified)
+
+    def _update_buckets(self, tr: pd.DataFrame) -> pd.DataFrame:
+        """Distributed bucket-store update: deltas shuffle by bucket
+        partition; each touched partition rewrites once and emits candidate
+        pairs (new key × live bucket-mates). Returns the window's deduped
+        candidate (a, b) key pairs, a < b."""
+        h = (stable_hash64(pa.array(tr["bh"].astype(str))) ^ tr["band"].to_numpy().astype(np.uint64))
+        tr = tr.assign(part=(h % np.uint64(self.num_partitions)).astype(np.int32))
+        index_dir = self.index_dir
+        bucket_file = self._bucket_file
+
+        def merge_one(g: pd.DataFrame) -> pd.DataFrame:
+            part = int(g["part"].iloc[0])
+            pfile = bucket_file(part)
+            existing = (
+                pq.read_table(pfile).to_pandas()
+                if os.path.exists(pfile)
+                else pd.DataFrame({"band": pd.Series([], dtype=np.int32),
+                                   "bh": pd.Series([], dtype=np.int64),
+                                   "key": pd.Series([], dtype=object)})
+            )
+            g_rem = g[~g["add"]]
+            if len(g_rem):
+                rk = set(zip(g_rem["band"], g_rem["bh"], g_rem["key"]))
+                keep = [
+                    (b, h_, k) not in rk
+                    for b, h_, k in zip(existing["band"], existing["bh"], existing["key"])
+                ]
+                existing = existing[np.array(keep, dtype=bool)] if len(existing) else existing
+            g_add = g[g["add"]]
+            aa, bb = [], []
+            if len(g_add):
+                # candidates: each added (band, bh, key) vs live mates in
+                # the SAME bucket — stored rows after removal, plus other
+                # adds of this window (one direction via key inequality)
+                live = pd.concat(
+                    [existing[["band", "bh", "key"]], g_add[["band", "bh", "key"]]],
+                    ignore_index=True,
+                ).drop_duplicates()
+                merged_c = g_add.merge(live, on=["band", "bh"], suffixes=("", "_m"))
+                merged_c = merged_c[merged_c["key"] != merged_c["key_m"]]
+                if len(merged_c):
+                    lo = np.minimum(merged_c["key"].to_numpy(dtype=object), merged_c["key_m"].to_numpy(dtype=object))
+                    hi = np.maximum(merged_c["key"].to_numpy(dtype=object), merged_c["key_m"].to_numpy(dtype=object))
+                    cp = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+                    aa.append(cp)
+                store = pd.concat(
+                    [existing, g_add[["band", "bh", "key"]]], ignore_index=True
+                ).drop_duplicates()
+            else:
+                store = existing
+            store = store.sort_values(["band", "bh", "key"], kind="mergesort")
+            if len(store):
+                os.makedirs(os.path.dirname(pfile), exist_ok=True)
+                tmp = pfile + f".tmp-{os.getpid()}"
+                pq.write_table(pa.Table.from_pandas(store, preserve_index=False), tmp, compression="lz4")
+                os.replace(tmp, pfile)
+            else:
+                try:
+                    os.remove(pfile)
+                except FileNotFoundError:
+                    pass
+            out = pd.concat(aa, ignore_index=True) if aa else pd.DataFrame({"a": [], "b": []})
+            # Arrow out: object-dtype string columns confuse Ray's block
+            # size estimator (np.vectorize on empty inputs)
+            return pa.table(
+                {
+                    "a": pa.array(out["a"].to_numpy(dtype=object), pa.string()),
+                    "b": pa.array(out["b"].to_numpy(dtype=object), pa.string()),
+                }
+            )
+
+        ds = ray.data.from_pandas(tr)
+        cands = ds.groupby("part").map_groups(merge_one, batch_format="pandas").to_pandas()
+        return cands.drop_duplicates() if len(cands) else cands
+
+    def _verify(self, engine, to_epoch: int, cands: pd.DataFrame, adds: pd.DataFrame) -> pd.DataFrame:
+        """Exact word-ngram Jaccard over candidate pairs. Texts of this
+        window's adds are in hand; other members read from the base lake
+        AS OF the sync horizon via selective per-partition folds (bounded
+        by the candidate set, never a corpus scan)."""
+        if len(cands) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+        lookup: dict = dict(zip(adds["key"], adds["text"]))
+        members = pd.unique(pd.concat([cands["a"], cands["b"]], ignore_index=True))
+        missing = [k for k in members if k not in lookup]
+        if missing:
+            lookup.update(self._fetch_texts(engine, to_epoch, missing))
+        ta = cands["a"].map(lookup)
+        tb = cands["b"].map(lookup)
+        ok = ta.notna() & tb.notna()  # a partner vanished within the window
+        cands, ta, tb = cands[ok], ta[ok], tb[ok]
+        if len(cands) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+        fa, oa = textfns.word_ngrams_hashes(ta.reset_index(drop=True), n=self.ngram)
+        fb, ob = textfns.word_ngrams_hashes(tb.reset_index(drop=True), n=self.ngram)
+        keep = np.zeros(len(cands), dtype=bool)
+        for i in range(len(cands)):
+            sa = np.unique(fa[oa[i] : oa[i + 1]])
+            sb = np.unique(fb[ob[i] : ob[i + 1]])
+            k = np.intersect1d(sa, sb, assume_unique=True).size
+            uni = sa.size + sb.size - k
+            keep[i] = uni > 0 and k >= self.threshold * uni
+        return cands[keep][["a", "b"]]
+
+    def _fetch_texts(self, engine, to_epoch: int, keys: list) -> dict:
+        """key → text for arbitrary live keys at the `to_epoch` horizon:
+        folds ONLY the base partitions the keys hash to (one Ray task
+        each)."""
+        from arches_rascoll_etl_ray.stages.merge import (
+            evolved_content_col,
+            fold_partition_tables,
+            read_partition_state,
+        )
+
+        cfg = engine.cfg
+        col = evolved_content_col(cfg)
+        ckpt = engine.checkpoint(to_epoch)
+        parts = pd.DataFrame({"key": keys})
+        rp = parts["key"].str.split(KEY_SEP, n=1, expand=True)
+        kt = pa.table({"repo": rp[0].to_numpy(dtype=object), "path": rp[1].to_numpy(dtype=object)})
+        ph = key_hash64(kt) % np.uint64(cfg.num_partitions)
+        key_set = pa.array(keys, pa.string())
+        key_ref = ray.put(key_set)
+
+        @ray.remote(num_cpus=1)
+        def fold_filter(part: int):
+            info = ckpt.partitions.get(int(part))
+            if not info:
+                return {}
+            folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
+            sel = folded.filter(pc.is_in(combine_key(folded), value_set=ray.get(key_ref)))
+            k = combine_key(sel).to_pylist()
+            return dict(zip(k, pc.cast(sel[col], pa.large_string()).to_pylist()))
+
+        out: dict = {}
+        for d in ray.get([fold_filter.remote(int(p)) for p in np.unique(ph)]):
+            out.update(d)
+        return out
+
+    def _update_edges(self, touched, verified: pd.DataFrame) -> None:
+        """Edge-store maintenance: every partition drops edges touching a
+        changed/deleted key (the touched set broadcasts — bounded by window
+        churn), then the partitions named by new verified pairs add them."""
+        tset_ref = ray.put(set(map(str, touched)))
+        if len(verified):
+            vh = stable_hash64(pa.array(verified["a"].astype(str)))
+            verified = verified.assign(part=(vh % np.uint64(self.num_partitions)).astype(np.int32))
+        edge_file = self._edge_file
+        P = self.num_partitions
+
+        def rewrite(part: int, new_rows: pd.DataFrame) -> None:
+            pfile = edge_file(part)
+            existing = (
+                pq.read_table(pfile).to_pandas()
+                if os.path.exists(pfile)
+                else pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+            )
+            tset = ray.get(tset_ref)
+            if len(existing) and tset:
+                keep = ~(existing["a"].isin(tset) | existing["b"].isin(tset))
+                existing = existing[keep]
+            merged = pd.concat([existing, new_rows[["a", "b"]]], ignore_index=True)
+            merged = merged.drop_duplicates().sort_values(["a", "b"], kind="mergesort")
+            if len(merged):
+                os.makedirs(os.path.dirname(pfile), exist_ok=True)
+                tmp = pfile + f".tmp-{os.getpid()}"
+                pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp, compression="lz4")
+                os.replace(tmp, pfile)
+            else:
+                try:
+                    os.remove(pfile)
+                except FileNotFoundError:
+                    pass
+
+        rw = ray.remote(num_cpus=1)(rewrite)
+        empty = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+        tasks = []
+        for part in range(P):
+            rows = verified[verified["part"] == part] if len(verified) else empty
+            # removal must visit EVERY partition (an edge lives at hash(a),
+            # but its b endpoint may be the touched key)
+            if len(rows) == 0 and not os.path.exists(edge_file(part)):
+                continue
+            tasks.append(rw.remote(part, rows))
+        if tasks:
+            ray.get(tasks)
+
+    # ------------------------------------------------------------ reads
+
+    def edges_table(self) -> pa.Table:
+        """All verified pairs, (a, b) composite keys sorted — driver-sized
+        (the near-dup pair set, not the corpus)."""
+        parts = []
+        for part in range(self.num_partitions):
+            f = self._edge_file(part)
+            if os.path.exists(f):
+                parts.append(pq.read_table(f))
+        if not parts:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        out = pa.concat_tables(parts, promote_options="permissive")
+        return out.take(pc.sort_indices(out, sort_keys=[("a", "ascending"), ("b", "ascending")]))

@@ -1,0 +1,188 @@
+"""Incremental near-dup index conformance (pipelines/dedup_index.py).
+
+Contracts:
+- INCREMENTAL == BATCH: per-epoch-synced edges equal both a single
+  end-of-history sync and a brute-force exact-Jaccard pair scan of the
+  final live corpus.
+- CHURN: an update drops the doc's stale edges and discovers the pairs
+  its new text creates; a delete removes every edge touching the doc.
+- CRASH WINDOW: a sync that died after persisting its intent re-applies
+  the SAME window first and converges to identical stores.
+- LAYOUT PIN: reopening with different signature params is rejected.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+from arches_rascoll_etl_ray.pipelines.dedup_index import KEY_SEP, IncrementalNearDup
+
+
+def _mk_changelog(tmp_path, rows, name="clog"):
+    df = pd.DataFrame(
+        {
+            "lsn": np.arange(1, len(rows) + 1, dtype=np.int64),
+            "op": [r[0] for r in rows],
+            "repo": [r[1] for r in rows],
+            "path": ["t"] * len(rows),
+            "commit": ["c"] * len(rows),
+            "lang": ["x"] * len(rows),
+            "content": [r[2] for r in rows],
+        }
+    )
+    d = str(tmp_path / name)
+    write_changelog_shards(df, d, num_shards=2)
+    return d
+
+
+def _edges(idx):
+    t = idx.edges_table().to_pandas()
+    return sorted(
+        (a.split(KEY_SEP)[0], b.split(KEY_SEP)[0]) for a, b in zip(t["a"], t["b"])
+    )
+
+
+def _brute_pairs(live: dict) -> list:
+    """Exact word-3-gram Jaccard >= 0.5 pairs over {key: text}."""
+    import itertools
+
+    def grams(t):
+        w = t.split()
+        if not w:
+            return set()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    g = {k: grams(v) for k, v in live.items()}
+    out = []
+    for a, b in itertools.combinations(sorted(g), 2):
+        inter = len(g[a] & g[b])
+        uni = len(g[a] | g[b])
+        if uni > 0 and 2 * inter >= uni:
+            out.append((a, b))
+    return sorted(out)
+
+
+TEXTS = {
+    "dup1": "the quick brown fox jumps over the lazy dog near the river bank",
+    "dup2": "the quick brown fox jumps over the lazy dog near the river bank",
+    "dup3": "the quick brown fox jumps over the lazy dog near the river edge",
+    "solo": "completely different content about distributed stream processing engines",
+    "solo2": "yet another unrelated document on arrow columnar memory formats",
+}
+
+
+def test_incremental_equals_batch_and_brute(tmp_path):
+    rows = [("U", k, v) for k, v in TEXTS.items()]
+    # churn: solo gets UPDATED to a dup of dup1 (pair appears late), dup3
+    # gets DELETED (its edges must vanish)
+    rows += [("U", "solo", TEXTS["dup1"]), ("D", "dup3", TEXTS["dup3"])]
+    clog = _mk_changelog(tmp_path, rows)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=4))
+    inc = IncrementalNearDup(str(tmp_path / "inc"), num_partitions=4)
+    while True:
+        before = eng.checkpoint().epoch
+        if eng.apply_epoch(clog, max_events=3).epoch == before:
+            break
+        inc.sync(eng)
+    live = {k: v for k, v in TEXTS.items() if k != "dup3"}
+    live["solo"] = TEXTS["dup1"]
+    want = _brute_pairs(live)
+    assert _edges(inc) == want
+    assert ("dup1", "solo") in _edges(inc)  # discovered at the update window
+    assert not any("dup3" in e for pair in _edges(inc) for e in pair)
+    # single end-of-history sync lands on the same edge set
+    one = IncrementalNearDup(str(tmp_path / "one"), num_partitions=4)
+    one.sync(eng)
+    assert _edges(one) == want
+
+
+def test_crash_window_replay_idempotent(tmp_path):
+    rows = [("U", k, v) for k, v in TEXTS.items()]
+    clog = _mk_changelog(tmp_path, rows)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.apply_epoch(clog, max_events=100)
+    idx = IncrementalNearDup(str(tmp_path / "idx"), num_partitions=4)
+    idx.sync(eng)
+    edges_clean = _edges(idx)
+    buckets_clean = {
+        p: pq.read_table(idx._bucket_file(p)).to_pandas().to_csv(index=False)
+        for p in range(4)
+        if os.path.exists(idx._bucket_file(p))
+    }
+    # crash simulation: watermark rolled back with the intent persisted —
+    # the next sync must re-apply the SAME window over the existing stores
+    idx.applied_epoch = 0
+    idx.pending_to = eng.checkpoint().epoch
+    idx._save_meta()
+    reopened = IncrementalNearDup(str(tmp_path / "idx"), num_partitions=4)
+    reopened.sync(eng)
+    assert _edges(reopened) == edges_clean
+    buckets_after = {
+        p: pq.read_table(idx._bucket_file(p)).to_pandas().to_csv(index=False)
+        for p in range(4)
+        if os.path.exists(idx._bucket_file(p))
+    }
+    assert buckets_after == buckets_clean
+
+
+def test_param_pin_rejected(tmp_path):
+    d = str(tmp_path / "idx")
+    IncrementalNearDup(d, num_partitions=4)._save_meta()
+    with pytest.raises(ValueError, match="signature/layout pin"):
+        IncrementalNearDup(d, num_partitions=8)
+    with pytest.raises(ValueError, match="signature/layout pin"):
+        IncrementalNearDup(d, num_partitions=4, num_bands=16)
+
+
+def test_lsn_only_churn_writes_nothing(tmp_path):
+    """A redelivered identical upsert (content unchanged, lsn bumped) must
+    not rewrite buckets or edges."""
+    rows = [("U", "dup1", TEXTS["dup1"]), ("U", "dup2", TEXTS["dup2"])]
+    clog1 = _mk_changelog(tmp_path, rows, "c1")
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.apply_epoch(clog1, max_events=100)
+    idx = IncrementalNearDup(str(tmp_path / "idx"), num_partitions=4)
+    idx.sync(eng)
+    mtimes = {
+        p: os.stat(idx._bucket_file(p)).st_mtime_ns
+        for p in range(4)
+        if os.path.exists(idx._bucket_file(p))
+    }
+    # same content again, higher lsn
+    df = pd.DataFrame(
+        {
+            "lsn": [3, 4],
+            "op": ["U", "U"],
+            "repo": ["dup1", "dup2"],
+            "path": ["t", "t"],
+            "commit": ["c", "c"],
+            "lang": ["x", "x"],
+            "content": [TEXTS["dup1"], TEXTS["dup2"]],
+        }
+    )
+    d2 = str(tmp_path / "c2")
+    write_changelog_shards(df, d2, num_shards=1)
+    import shutil
+
+    for f in os.listdir(d2):
+        shutil.copy(os.path.join(d2, f), os.path.join(str(tmp_path / "c1"), f))
+    eng.apply_epoch(str(tmp_path / "c1"), max_events=100)
+    added = idx.sync(eng)
+    assert added == 0
+    after = {
+        p: os.stat(idx._bucket_file(p)).st_mtime_ns
+        for p in range(4)
+        if os.path.exists(idx._bucket_file(p))
+    }
+    assert after == mtimes  # untouched partitions were not rewritten
+    assert _edges(idx) == [("dup1", "dup2")]
