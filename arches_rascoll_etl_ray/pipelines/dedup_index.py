@@ -215,6 +215,14 @@ class IncrementalNearDup:
             )
 
         df = feed.map_batches(deltas, batch_format="pyarrow").to_pandas()
+        if df.empty or "add" not in df.columns:
+            # an empty window (zero changefeed blocks) comes back column-less
+            empty = pd.DataFrame({"key": pd.Series([], dtype=object)})
+            return (
+                empty.assign(text=pd.Series([], dtype=object)),
+                empty.assign(old_text=pd.Series([], dtype=object)),
+                np.array([], dtype=object),
+            )
         adds = df[df["add"]][["key", "new_text"]].rename(columns={"new_text": "text"})
         adds = adds.fillna({"text": ""})
         rems = df[df["rem"]][["key", "old_text"]].fillna({"old_text": ""})

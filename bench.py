@@ -131,6 +131,11 @@ def run_queries() -> dict:
         # secondary index, both through the full engine
         "cdc_events_patch",
         "cdc_secondary_index",
+        # round-5: incremental near-dup index (CDC × dedup composition),
+        # index-across-evolution, real-codec multimodal decode
+        "cdc_dedup_incremental",
+        "cdc_index_evolution",
+        "q_multimodal_features_real",
     ]
     qs = em.queries()
     out = {}

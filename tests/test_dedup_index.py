@@ -186,3 +186,63 @@ def test_lsn_only_churn_writes_nothing(tmp_path):
     }
     assert after == mtimes  # untouched partitions were not rewritten
     assert _edges(idx) == [("dup1", "dup2")]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# small text pool engineered so some pairs qualify (J>=0.5) and some don't
+_POOL = [
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "alpha beta gamma delta epsilon zeta eta iota",      # near-dup of [0]
+    "one two three four five six seven eight nine ten",
+    "one two three four five six seven eight nine zen",  # near-dup of [2]
+    "completely different words about stream engines",
+    "",                                                   # empty doc
+]
+
+
+@st.composite
+def _nd_streams(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    keys = ["k0", "k1", "k2", "k3"]
+    ev = []
+    for lsn in range(1, n + 1):
+        key = keys[draw(st.integers(min_value=0, max_value=3))]
+        op = draw(st.sampled_from(["U", "U", "U", "D"]))  # updates dominate
+        text = _POOL[draw(st.integers(min_value=0, max_value=len(_POOL) - 1))]
+        ev.append((lsn, op, key, text))
+    split = draw(st.integers(min_value=1, max_value=n))
+    return ev, split
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_nd_streams())
+def test_neardup_property_incremental_equals_batch(tmp_path_factory, case):
+    """For ANY I/U/D stream and epoch split: per-epoch-synced edges equal a
+    one-shot end-of-history sync AND a brute-force exact-Jaccard scan of
+    the final live corpus."""
+    events, split = case
+    tmp = tmp_path_factory.mktemp("nd_prop")
+    rows = [(op, key, text) for _, op, key, text in events]
+    clog = _mk_changelog(tmp, rows)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp / "lake"), num_partitions=3))
+    inc = IncrementalNearDup(str(tmp / "inc"), num_partitions=3)
+    while True:
+        before = eng.checkpoint().epoch
+        if eng.apply_epoch(clog, max_events=split).epoch == before:
+            break
+        inc.sync(eng)
+    one = IncrementalNearDup(str(tmp / "one"), num_partitions=3)
+    one.sync(eng)
+    live = {
+        r: c
+        for r, c in zip(
+            eng.snapshot_table()["repo"].to_pylist(),
+            eng.snapshot_table()["content"].to_pylist(),
+        )
+    }
+    want = _brute_pairs({k: v or "" for k, v in live.items()})
+    assert _edges(inc) == want
+    assert _edges(one) == want
