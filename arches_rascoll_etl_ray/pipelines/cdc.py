@@ -137,7 +137,13 @@ class _WriterLock:
             os.link(tmp, target)
             return True
         except FileExistsError:
-            return False
+            # NFS lost-reply guard: a retransmitted link() RPC whose first
+            # reply was lost reports EEXIST even though OUR link succeeded —
+            # the tmp's link count says which happened
+            try:
+                return os.stat(tmp).st_nlink == 2
+            except OSError:
+                return False
         finally:
             os.remove(tmp)
 
@@ -149,13 +155,24 @@ class _WriterLock:
         the fresh winner's lease."""
         import hashlib
         import time
+        import uuid
 
         digest = hashlib.sha256(observed).hexdigest()[:16]
         claim = f"{self.lease_path}.steal-{digest}"
-        # a crashed winner leaks its claim; age it out before giving up
+        # a crashed winner leaks its claim; reap it via atomic RENAME to a
+        # unique name — exactly one reaper gets the inode, and the check is
+        # redone AFTER the rename so a fresh rival claim that raced into the
+        # same path is put back, never deleted (a bare stat+remove would be
+        # a TOCTOU that deletes the rival's fresh claim and lets two
+        # stealers win)
         try:
             if time.time() - os.stat(claim).st_mtime > self.STALE_CLAIM_SEC:
-                os.remove(claim)
+                reap = f"{claim}.reap.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+                os.rename(claim, reap)
+                if time.time() - os.stat(reap).st_mtime > self.STALE_CLAIM_SEC:
+                    os.remove(reap)  # genuinely stale — reaped
+                else:
+                    os.rename(reap, claim)  # raced a fresh claim: restore it
         except OSError:
             pass
         if not self._link_create(claim):
@@ -163,7 +180,19 @@ class _WriterLock:
                 f"lost the steal race for {self.lease_path} (claim {digest} is taken)"
             )
         try:
-            if self._read_lease_bytes() != observed:
+            current = self._read_lease_bytes()
+            if current is None:
+                # the holder released cleanly between our read and our
+                # claim: the lake is FREE — do not rename over a racing
+                # first-writer's fresh lease; retire the claim and go
+                # through create-if-absent like everyone else
+                os.remove(claim)
+                if self._link_create(self.lease_path):
+                    return
+                raise RuntimeError(
+                    f"lease {self.lease_path} released during steal; lost the re-acquire race"
+                )
+            if current != observed:
                 # the lease changed between our read and our claim: another
                 # stealer (with an earlier observation) already won
                 raise RuntimeError(
@@ -175,7 +204,12 @@ class _WriterLock:
             except OSError:
                 pass
             raise
-        os.replace(claim, self.lease_path)  # consume the claim atomically
+        try:
+            os.replace(claim, self.lease_path)  # consume the claim atomically
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"lost the steal race for {self.lease_path} (claim was reaped)"
+            ) from None
 
     def _write_lease(self) -> None:
         import time

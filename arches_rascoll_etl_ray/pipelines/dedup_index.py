@@ -64,13 +64,12 @@ import ray
 from arches_rascoll_etl_ray.functions import sketches
 from arches_rascoll_etl_ray.functions import text as textfns
 from arches_rascoll_etl_ray.functions.hashing import (
+    KEY_SEP,  # the canonical composite-key separator (re-exported for callers)
     combine_key,
     key_hash64,
     stable_hash64,
 )
 from arches_rascoll_etl_ray.state.manifest import atomic_write_json
-
-KEY_SEP = "\x00"
 
 
 def _band_rows(texts: pd.Series, keys: np.ndarray, num_perm: int, num_bands: int, ngram: int, seed: int) -> pd.DataFrame:
@@ -198,7 +197,7 @@ class IncrementalNearDup:
 
         def deltas(t: pa.Table) -> pa.Table:
             op = t["op"]
-            key = pc.binary_join_element_wise(t["repo"], t["path"], KEY_SEP)
+            key = combine_key(t)  # canonical repo\x00path composite
             newv = pc.cast(t[new_c], pa.large_string())
             oldv = pc.cast(t[old_c], pa.large_string())
             moved = pc.fill_null(pc.not_equal(oldv, newv), True)
@@ -333,29 +332,52 @@ class IncrementalNearDup:
         window's adds are in hand; other members read from the base lake
         AS OF the sync horizon via selective per-partition folds (bounded
         by the candidate set, never a corpus scan)."""
+        empty = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
         if len(cands) == 0:
-            return pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+            return empty
         lookup: dict = dict(zip(adds["key"], adds["text"]))
         members = pd.unique(pd.concat([cands["a"], cands["b"]], ignore_index=True))
         missing = [k for k in members if k not in lookup]
         if missing:
             lookup.update(self._fetch_texts(engine, to_epoch, missing))
-        ta = cands["a"].map(lookup)
-        tb = cands["b"].map(lookup)
-        ok = ta.notna() & tb.notna()  # a partner vanished within the window
-        cands, ta, tb = cands[ok], ta[ok], tb[ok]
-        if len(cands) == 0:
-            return pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
-        fa, oa = textfns.word_ngrams_hashes(ta.reset_index(drop=True), n=self.ngram)
-        fb, ob = textfns.word_ngrams_hashes(tb.reset_index(drop=True), n=self.ngram)
-        keep = np.zeros(len(cands), dtype=bool)
-        for i in range(len(cands)):
-            sa = np.unique(fa[oa[i] : oa[i + 1]])
-            sb = np.unique(fb[ob[i] : ob[i + 1]])
-            k = np.intersect1d(sa, sb, assume_unique=True).size
-            uni = sa.size + sb.size - k
-            keep[i] = uni > 0 and k >= self.threshold * uni
-        return cands[keep][["a", "b"]]
+        thr, ngram = self.threshold, self.ngram
+
+        def jaccard_keep(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
+            ta = df["a"].map(lk)
+            tb = df["b"].map(lk)
+            ok = ta.notna() & tb.notna()  # a partner vanished within the window
+            df, ta, tb = df[ok], ta[ok], tb[ok]
+            if len(df) == 0:
+                return empty
+            fa, oa = textfns.word_ngrams_hashes(ta.reset_index(drop=True), n=ngram)
+            fb, ob = textfns.word_ngrams_hashes(tb.reset_index(drop=True), n=ngram)
+            keep = np.zeros(len(df), dtype=bool)
+            for i in range(len(df)):
+                sa = np.unique(fa[oa[i] : oa[i + 1]])
+                sb = np.unique(fb[ob[i] : ob[i + 1]])
+                k = np.intersect1d(sa, sb, assume_unique=True).size
+                uni = sa.size + sb.size - k
+                keep[i] = uni > 0 and k >= thr * uni
+            return df[keep][["a", "b"]]
+
+        # a dup-heavy window (bulk re-ingest into hot buckets) can emit far
+        # more candidates than the steady-state handful: above the gate,
+        # ship the text lookup once and verify distributed; below it, the
+        # Dataset overhead costs more than the driver loop saves
+        gate = int(os.environ.get("ARER_NEARDUP_VERIFY_DRIVER_LIMIT", "4096"))
+        if len(cands) <= gate:
+            return jaccard_keep(cands, lookup)
+        lookup_ref = ray.put(lookup)
+        out = (
+            ray.data.from_pandas(cands.reset_index(drop=True))
+            .map_batches(
+                lambda df: jaccard_keep(df, ray.get(lookup_ref)),
+                batch_format="pandas",
+                batch_size=1024,
+            )
+            .to_pandas()
+        )
+        return out if len(out) else empty
 
     def _fetch_texts(self, engine, to_epoch: int, keys: list) -> dict:
         """key → text for arbitrary live keys at the `to_epoch` horizon:
@@ -411,9 +433,16 @@ class IncrementalNearDup:
                 else pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
             )
             tset = ray.get(tset_ref)
+            removed = False
             if len(existing) and tset:
                 keep = ~(existing["a"].isin(tset) | existing["b"].isin(tset))
+                removed = not bool(keep.all())
                 existing = existing[keep]
+            if not removed and len(new_rows) == 0:
+                # untouched partition: the removal check requires the read,
+                # but NOT a byte-identical re-sort/recompress/rewrite —
+                # per-window write I/O stays bounded by window churn
+                return
             merged = pd.concat([existing, new_rows[["a", "b"]]], ignore_index=True)
             merged = merged.drop_duplicates().sort_values(["a", "b"], kind="mergesort")
             if len(merged):

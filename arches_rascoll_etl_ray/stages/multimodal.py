@@ -93,6 +93,8 @@ def _decode_wav(payload: bytes) -> np.ndarray:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"WAV fmt chunk truncated ({len(body)} bytes < 16)")
             audio_format, _channels, _rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_format != 1:

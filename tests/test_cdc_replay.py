@@ -673,3 +673,29 @@ def _try_steal(args):
         return (got == wl.owner, wl.owner)
     except RuntimeError:
         return (False, wl.owner)
+
+
+def test_lease_steal_of_released_lease_reacquires(tmp_path):
+    """A stealer whose observed (expired) lease vanishes before its claim
+    lands — holder released cleanly — must acquire via create-if-absent,
+    not fail with 'changed during steal' (and never rename over a racing
+    first-writer)."""
+    import json
+    import time
+
+    from arches_rascoll_etl_ray.pipelines.cdc import _WriterLock
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    lease = os.path.join(lake, "_writer.lease")
+    expired = json.dumps(
+        {"owner": "otherhost:1:beef", "acquired_at": 0, "expires_at": time.time() - 5}
+    ).encode()
+    with open(lease, "wb") as f:
+        f.write(expired)
+    wl = _WriterLock(lake)
+    os.remove(lease)  # holder's clean release lands after our read
+    wl._steal_cas(expired)
+    assert json.load(open(lease))["owner"] == wl.owner
+    # and no claim debris
+    assert not [f for f in os.listdir(lake) if ".steal-" in f]

@@ -186,6 +186,19 @@ def test_lsn_only_churn_writes_nothing(tmp_path):
     }
     assert after == mtimes  # untouched partitions were not rewritten
     assert _edges(idx) == [("dup1", "dup2")]
+    # edge partitions are also write-skipped when nothing changed
+    emt = {
+        p: os.stat(idx._edge_file(p)).st_mtime_ns
+        for p in range(4)
+        if os.path.exists(idx._edge_file(p))
+    }
+    idx.sync(eng)  # fully quiet sync
+    emt2 = {
+        p: os.stat(idx._edge_file(p)).st_mtime_ns
+        for p in range(4)
+        if os.path.exists(idx._edge_file(p))
+    }
+    assert emt2 == emt
 
 
 from hypothesis import HealthCheck, given, settings
