@@ -1504,6 +1504,72 @@ def q_frame_sample(sf_dir: str):
     return frames.map_batches(summarize, batch_format="pyarrow")
 
 
+@register(
+    "q_frame_sample_real",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             CASE WHEN strlen(text) >= 32 THEN (strlen(text) - 32) // 64 + 1
+                  ELSE 0 END AS n_frames
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, unicode(substr(text, CAST(ff * 64 + j + 1 AS BIGINT), 1)) AS b
+      FROM f, UNNEST(range(0, n_frames)) AS rf(ff), UNNEST(range(0, 32)) AS rj(j)
+    ), en AS (
+      SELECT doc_id, SUM(b * b) AS energy FROM samp GROUP BY doc_id
+    )
+    SELECT f.doc_id, CAST(f.n_frames AS BIGINT) AS n_frames,
+           CAST(COALESCE(e.energy, 0) AS BIGINT) AS energy
+    FROM f LEFT JOIN en e USING (doc_id)
+    """,
+)
+def q_frame_sample_real(sf_dir: str):
+    """The REAL-codec twin of q_frame_sample: each document's text bytes
+    become PCM16 samples inside an actual RIFF/WAVE container and
+    decode_mode='real' must walk the chunk layout to recover them before
+    framing. Decoded samples equal the text bytes (ASCII corpus, PCM16
+    low-byte fold), so the DuckDB twin is the SAME frame/energy SQL as
+    the stub variant — identical answers through a genuinely different
+    byte-level decode path."""
+    from arches_rascoll_etl_ray.stages.multimodal import FrameSampler, encode_wav_pcm16
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_container(t: pa.Table) -> pa.Table:
+        payloads = [
+            encode_wav_pcm16(
+                np.frombuffer((txt or "").encode("ascii"), dtype=np.uint8).astype(np.int16)
+            )
+            for txt in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())})
+
+    frames = ds.map_batches(to_container, batch_format="pyarrow").map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        fn_constructor_kwargs={"decode_mode": "real", "frame_size": 32, "hop": 64},
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        col = t["frames"].combine_chunks()
+        flat = col.flatten().flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        outer = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.rint(flat * 255.0).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(b * b)])
+        doc_energy = csum[outer[1:] * 32] - csum[outer[:-1] * 32]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_frames": t["n_frames"],
+                "energy": pa.array(doc_energy.astype(np.int64)),
+            }
+        )
+
+    return frames.map_batches(summarize, batch_format="pyarrow")
+
+
 @register("dedup_embedding")
 def dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup clustering via IVF-cell bucketing: vectors
