@@ -34,7 +34,7 @@ _PRIORITY = [
     "cdc_events_patch", "cdc_bootstrap_handoff", "cdc_retention",
     "cdc_multi_table", "cdc_changefeed", "cdc_incremental_mv",
     "cdc_replicate", "cdc_time_travel", "cdc_secondary_index",
-    "cdc_index_evolution", "cdc_dedup_incremental",
+    "cdc_index_evolution", "cdc_dedup_incremental", "cdc_join_view",
     # Training-data / LLM-curation flagship ops
     "dedup_exact", "q_dedup_clusters", "q_simhash_clusters",
     "q_embedding_clusters", "q_ngram_jaccard_pairs", "knn_brute",
@@ -46,7 +46,7 @@ _PRIORITY = [
     "q_dedup_spans_removed", "q_curation", "q_multimodal_features",
     "q_multimodal_features_real", "q_frame_sample",
     # Representative relational subset (one per operator family)
-    "q_pricing_summary", "q_region_revenue", "q_anti_join", "q_semi_join",
+    "q_pricing_summary", "q_region_revenue", "q_anti_join",
     "q_full_outer_join", "q_asof_join", "q_window_hopping",
     "q_session_windows", "q_lww_latest_event",
 ]

@@ -646,6 +646,92 @@ def cdc_dedup_incremental(sf_dir: str):
     return pa.table({"a": pa.array(a[order], pa.int64()), "b": pa.array(b[order], pa.int64())})
 
 
+def cdc_join_view(sf_dir: str):
+    """Incrementally-maintained LEFT-JOIN view across TWO CDC lakes
+    (pipelines/join_view.py): an event-keyed lake (one immutable row per
+    event, carrying its user as a foreign-key column) joined to the
+    user-keyed LWW lake, both replayed in 3 epochs with the view synced
+    after every epoch pair via Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB — every term
+    partition-targeted from the two changefeeds' images, no side ever
+    rescanned. User churn (updates + deletes) exercises the ΔB in-place
+    column rewrite and the LEFT-JOIN null-out; the oracle is the plain
+    SQL join of the two final states."""
+    from arches_rascoll_etl_ray.pipelines.join_view import IncrementalJoinView
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # A: event-keyed changelog (every event an insert; lang = user FK)
+    a_dir = os.path.join(_CACHE_ROOT, f"events_byid_clog_{tag}")
+    marker = os.path.join(a_dir, "_GENERATED")
+    if not os.path.exists(marker):
+        import pandas as pd
+
+        shutil.rmtree(a_dir, ignore_errors=True)
+        ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        ev = ev.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        df = pd.DataFrame(
+            {
+                "lsn": np.arange(1, len(ev) + 1, dtype=np.int64),
+                "op": np.full(len(ev), "U", dtype=object),
+                "repo": ("ev" + ev["event_id"].astype(str)).to_numpy(dtype=object),
+                "path": np.full(len(ev), "e", dtype=object),
+                "commit": ev["event_id"].astype(str).to_numpy(dtype=object),
+                "lang": ("user" + ev["user_id"].astype(str)).to_numpy(dtype=object),
+                "content": ev["value"].map(lambda v: f"{v:.6f}").to_numpy(dtype=object),
+            }
+        )
+        write_changelog_shards(df, a_dir, num_shards=8)
+        with open(marker, "w") as f:
+            f.write(sf_dir + "\n")
+    b_dir = _events_changelog(sf_dir, tag)  # user-keyed LWW stream
+
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    a_eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"jv_a_{tag}"), num_partitions=8))
+    b_eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"jv_b_{tag}"), num_partitions=8))
+    view = IncrementalJoinView(
+        _fresh_lake(f"jv_view_{tag}"), join_col="lang", num_partitions=8, right_path="state"
+    )
+    per_a = max(1, max_available_lsn(a_dir) // 3)
+    per_b = max(1, max_available_lsn(b_dir) // 3)
+    while True:
+        ea0, eb0 = a_eng.checkpoint().epoch, b_eng.checkpoint().epoch
+        ea = a_eng.apply_epoch(a_dir, max_events=per_a).epoch
+        eb = b_eng.apply_epoch(b_dir, max_events=per_b).epoch
+        view.sync(a_eng, b_eng)
+        if ea == ea0 and eb == eb0:
+            break
+    t = view.table().to_pandas()
+    return pa.table(
+        {
+            "event_id": pa.array(t["a_commit"].astype(np.int64), pa.int64()),
+            "user_key": pa.array(t["b_key"].to_numpy(dtype=object), pa.string()),
+            "event_value": pa.array(t["a_content"].to_numpy(dtype=object), pa.string()),
+            "user_last_type": pa.array(t["b_lang"].to_numpy(dtype=object), pa.string()),
+            "user_last_value": pa.array(t["b_content"].to_numpy(dtype=object), pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_join_view"] = cdc_join_view
+ORACLE_SQL["cdc_join_view"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    ), users AS (
+      SELECT user_id, event_type, value FROM last
+      WHERE rn = 1 AND event_type <> 'delete'
+    )
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           'user' || CAST(e.user_id AS VARCHAR) AS user_key,
+           printf('%.6f', e.value) AS event_value,
+           u.event_type AS user_last_type,
+           printf('%.6f', u.value) AS user_last_value
+    FROM events e LEFT JOIN users u ON u.user_id = e.user_id
+"""
+
+
 QUERIES["cdc_dedup_incremental"] = cdc_dedup_incremental
 ORACLE_SQL["cdc_dedup_incremental"] = r"""
     WITH final AS (
