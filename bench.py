@@ -136,6 +136,7 @@ def run_queries() -> dict:
         "cdc_dedup_incremental",
         "cdc_index_evolution",
         "q_multimodal_features_real",
+        "cdc_join_view",
     ]
     qs = em.queries()
     out = {}
