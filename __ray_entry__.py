@@ -46,9 +46,11 @@ _PRIORITY = [
     "q_dedup_spans_removed", "q_curation", "q_multimodal_features",
     "q_multimodal_features_real", "q_frame_sample",
     # Representative relational subset (one per operator family)
-    "q_pricing_summary", "q_region_revenue", "q_anti_join",
+    # (q_lww_latest_event stays in queries() but outside the window: the
+    # LWW fold already has driver rows through every CDC engine entry)
+    "q_pricing_summary", "q_region_revenue", "q_anti_join", "q_semi_join",
     "q_full_outer_join", "q_asof_join", "q_window_hopping",
-    "q_session_windows", "q_lww_latest_event",
+    "q_session_windows",
 ]
 
 

@@ -50,7 +50,6 @@ import pyarrow.parquet as pq
 import ray
 
 from arches_rascoll_etl_ray.functions.hashing import (
-    KEY_SEP,
     combine_key,
     key_hash64,
     stable_hash64,
@@ -90,11 +89,13 @@ class IncrementalJoinView:
             self.applied_b = meta["applied_b"]
             self.pending_a = meta.get("pending_a")
             self.pending_b = meta.get("pending_b")
+            self._columns = meta.get("columns")
         else:
             self.applied_a = 0
             self.applied_b = 0
             self.pending_a = None
             self.pending_b = None
+            self._columns = None
 
     # ------------------------------------------------------------- state
 
@@ -119,6 +120,7 @@ class IncrementalJoinView:
                 "applied_b": self.applied_b,
                 "pending_a": self.pending_a,
                 "pending_b": self.pending_b,
+                "columns": self._columns,
             },
         )
 
@@ -172,53 +174,119 @@ class IncrementalJoinView:
 
     # ---- right side: update matching rows' b-columns in place
 
+    @staticmethod
+    def _to_df(tbl: pa.Table) -> pd.DataFrame:
+        """Arrow → pandas with integer columns as nullable Int64: the
+        default conversion NaN-promotes nullable int64 to float64, which
+        corrupts lsn values above 2^53 (the exact hazard
+        merge.diff_partition_states guards against)."""
+        int64 = pd.Int64Dtype()
+        return tbl.to_pandas(
+            types_mapper=lambda t: int64 if pa.types.is_integer(t) else None
+        )
+
     def _apply_right(self, right_engine, to_b: int) -> None:
         bcols = self._val_cols(right_engine)
         feed = right_engine.changefeed(self.applied_b, to_b)
+        P = self.num_partitions
+        rp = self.right_path
+        part_file = self._part_file
+        bcol_names = ["b_" + c for c in bcols]
+        write_part = self._write_part
+        to_df = self._to_df
 
         def deltas(t: pa.Table) -> pa.Table:
+            if t.num_rows and not pc.all(pc.equal(t["path"], pa.scalar(rp))).as_py():
+                raise ValueError(
+                    f"right lake rows carry path != {rp!r} — the view's "
+                    "right_path pin does not match the right lake "
+                    "(IncrementalJoinView(right_path=...))"
+                )
             cols = {"b_key": t["repo"], "b_dead": pc.equal(t["op"], pa.scalar("D"))}
             for c in bcols:
                 cols["b_" + c] = t["new_" + c]
-            return pa.table(cols)
+            part = (stable_hash64(t["repo"]) % np.uint64(P)).astype(np.int32)
+            return pa.table({**cols, "part": pa.array(part)})
 
-        df = feed.map_batches(deltas, batch_format="pyarrow").to_pandas()
-        if df.empty or "b_key" not in df.columns:
+        # the feed stays distributed: 'part' rides from the map side and
+        # the groupby shuffles deltas straight to their partition rewrite
+        ds = feed.map_batches(deltas, batch_format="pyarrow").materialize()
+        if ds.count() == 0:
             return
-        df["part"] = self._bpart(df["b_key"])
-        part_file = self._part_file
-        bcol_names = ["b_" + c for c in bcols]
 
-        def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        def rewrite(t: pa.Table) -> pa.Table:
+            g = to_df(t)
             part = int(g["part"].iloc[0])
             pfile = part_file(part)
+            empty = pa.table({"part": pa.array([], pa.int32())})
             if not os.path.exists(pfile):
-                return pd.DataFrame({"part": pd.Series([], dtype=np.int32)})
-            cur = pq.read_table(pfile).to_pandas()
+                return empty
+            cur = to_df(pq.read_table(pfile))
             g = g.drop_duplicates("b_key", keep="last").set_index("b_key")
             hit = cur["b_key"].isin(g.index)
             if not hit.any():
-                return pd.DataFrame({"part": pd.Series([], dtype=np.int32)})
+                return empty
             for c in bcol_names:
                 vals = cur.loc[hit, "b_key"].map(g[c])
                 dead = cur.loc[hit, "b_key"].map(g["b_dead"]).fillna(False)
                 vals[dead.to_numpy(dtype=bool)] = None  # LEFT JOIN: delete nulls
-                cur.loc[hit, c] = vals
-            self._write_part(pfile, cur)
-            return pd.DataFrame({"part": pd.Series([part], dtype=np.int32)})
+                # Int64/object columns accept NA without dtype violation
+                cur.loc[hit, c] = vals.astype(cur[c].dtype)
+            write_part(pfile, cur)
+            return pa.table({"part": pa.array([part], pa.int32())})
 
-        ray.data.from_pandas(df).groupby("part").map_groups(
-            rewrite, batch_format="pandas"
-        ).count()
+        ds.groupby("part").map_groups(rewrite, batch_format="pyarrow").count()
 
     # ---- left side: remove old rows, add new ones joined at B's horizon
 
     def _apply_left(self, left_engine, right_engine, to_a: int, to_b: int) -> None:
         acols = self._val_cols(left_engine)
+        bcols = self._val_cols(right_engine)
         jcol = self.join_col
-        feed = left_engine.changefeed(self.applied_a, to_a)
+        P = self.num_partitions
+        acol_names = ["a_" + c for c in acols]
+        bcol_names = ["b_" + c for c in bcols]
+        out_cols = ["a_key", "b_key"] + acol_names + bcol_names
+        part_file = self._part_file
+        write_part = self._write_part
+        to_df = self._to_df
+        # integer view columns by the two lakes' schemas: rem rows carry NA
+        # in every value column, and a concat that float-promotes them
+        # would corrupt int64 values above 2^53
+        from arches_rascoll_etl_ray.stages.merge import empty_lake_table
 
-        def deltas(t: pa.Table) -> pa.Table:
+        int_cols = {
+            "a_" + f.name
+            for f in empty_lake_table(left_engine.cfg).schema
+            if pa.types.is_integer(f.type)
+        } | {
+            "b_" + f.name
+            for f in empty_lake_table(right_engine.cfg).schema
+            if pa.types.is_integer(f.type)
+        }
+
+        # pass 1 (ids only, driver-bounded by window churn): the distinct
+        # new join keys, for the selective right-side fold AS OF to_b
+        feed = left_engine.changefeed(self.applied_a, to_a)
+        jv = feed.map_batches(
+            lambda t: pa.table(
+                {"op": t["op"], "new_j": pc.cast(t["new_" + jcol], pa.string())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if jv.empty or "op" not in jv.columns:
+            return
+        new_keys = pd.unique(jv.loc[jv["op"].isin(("I", "U")), "new_j"].dropna())
+        blookup = self._fetch_right(right_engine, to_b, new_keys) if len(new_keys) else {}
+        lkp = pd.DataFrame.from_dict(blookup, orient="index")
+        if len(lkp):
+            lkp = lkp[[c for c in bcols if c in lkp.columns]].add_prefix("b_")
+        lkp_ref = ray.put(lkp)
+
+        # pass 2 (distributed): full delta rows built per batch — removals
+        # to hash(old join key), adds to hash(new), b-columns via ONE
+        # vectorized join against the broadcast lookup
+        def build(t: pa.Table) -> pa.Table:
             cols = {
                 "a_key": combine_key(t),
                 "op": t["op"],
@@ -227,40 +295,37 @@ class IncrementalJoinView:
             }
             for c in acols:
                 cols["a_" + c] = t["new_" + c]
-            return pa.table(cols)
+            df = to_df(pa.table(cols))
+            rem = df[df["op"].isin(("D", "U"))][["a_key", "old_j"]].copy()
+            rem = rem.assign(part=self._bpart(rem["old_j"]), kind="rem")
+            add = df[df["op"].isin(("I", "U"))].copy()
+            lk = ray.get(lkp_ref)
+            if len(lk):
+                add = add.join(lk, on="new_j")
+            for c in bcol_names:
+                if c not in add.columns:
+                    add[c] = None
+            add = add.rename(columns={"new_j": "b_key"})
+            add = add[out_cols].assign(part=self._bpart(add["b_key"]), kind="add")
+            frames = [f for f in (rem, add) if len(f)]
+            if not frames:
+                return pa.table({"part": pa.array([], pa.int32())})
+            allrows = pd.concat(frames, ignore_index=True)
+            for c in int_cols:
+                if c in allrows.columns:
+                    allrows[c] = allrows[c].astype("Int64")  # exact, NA-safe
+            return pa.Table.from_pandas(allrows, preserve_index=False)
 
-        df = feed.map_batches(deltas, batch_format="pyarrow").to_pandas()
-        if df.empty or "op" not in df.columns:
+        ds = feed.map_batches(build, batch_format="pyarrow").materialize()
+        if ds.count() == 0:
             return
-        rem = df[df["op"].isin(("D", "U"))][["a_key", "old_j"]]
-        add = df[df["op"].isin(("I", "U"))].copy()
 
-        # right columns for the adds: selective fold of ONLY the right
-        # partitions the new join keys live in, AS OF to_b
-        bcols = self._val_cols(right_engine)
-        blookup = self._fetch_right(right_engine, to_b, pd.unique(add["new_j"].dropna())) if len(add) else {}
-        for c in bcols:
-            add["b_" + c] = add["new_j"].map(lambda k: blookup.get(k, {}).get(c) if pd.notna(k) else None)
-        add = add.rename(columns={"new_j": "b_key"})
-
-        # route: removals to hash(old_j), adds to hash(b_key)
-        rem = rem.assign(part=self._bpart(rem["old_j"]), kind="rem")
-        acol_names = ["a_" + c for c in acols]
-        bcol_names = ["b_" + c for c in bcols]
-        add = add[["a_key", "b_key"] + acol_names + bcol_names].assign(
-            part=self._bpart(add["b_key"]), kind="add"
-        )
-        allrows = pd.concat([rem, add], ignore_index=True)
-        if not len(allrows):
-            return
-        part_file = self._part_file
-        out_cols = ["a_key", "b_key"] + acol_names + bcol_names
-
-        def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        def rewrite(t: pa.Table) -> pa.Table:
+            g = to_df(t)
             part = int(g["part"].iloc[0])
             pfile = part_file(part)
             cur = (
-                pq.read_table(pfile).to_pandas()
+                to_df(pq.read_table(pfile))
                 if os.path.exists(pfile)
                 else pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
             )
@@ -271,12 +336,13 @@ class IncrementalJoinView:
                 cur = cur[~(cur["a_key"].isin(rem_keys) | cur["a_key"].isin(add_keys))]
             frames = [f for f in (cur, adds[out_cols]) if len(f)]
             merged = pd.concat(frames, ignore_index=True) if frames else cur
-            self._write_part(pfile, merged.sort_values(["a_key"], kind="mergesort"))
-            return pd.DataFrame({"part": pd.Series([part], dtype=np.int32)})
+            write_part(pfile, merged.sort_values(["a_key"], kind="mergesort"))
+            return pa.table({"part": pa.array([part], pa.int32())})
 
-        ray.data.from_pandas(allrows).groupby("part").map_groups(
-            rewrite, batch_format="pandas"
-        ).count()
+        ds.groupby("part").map_groups(rewrite, batch_format="pyarrow").count()
+        if self._columns != out_cols:
+            self._columns = list(out_cols)
+            self._save_meta()
 
     def _write_part(self, pfile: str, frame: pd.DataFrame) -> None:
         if len(frame) == 0:
@@ -340,6 +406,9 @@ class IncrementalJoinView:
             if os.path.exists(f):
                 parts.append(pq.read_table(f))
         if not parts:
-            return pa.table({"a_key": pa.array([], pa.string())})
+            # schema-correct empty view (column list persisted at the last
+            # apply; string-typed sentinel when the view never synced)
+            cols = self._columns or ["a_key", "b_key"]
+            return pa.table({c: pa.array([], pa.string()) for c in cols})
         out = pa.concat_tables(parts, promote_options="permissive")
         return out.take(pc.sort_indices(out, sort_keys=[("a_key", "ascending")]))

@@ -158,3 +158,50 @@ def test_join_view_layout_pin(tmp_path):
         IncrementalJoinView(d, join_col="commit", num_partitions=3)
     with pytest.raises(ValueError, match="layout pin"):
         IncrementalJoinView(d, join_col="lang", num_partitions=5)
+
+
+def test_join_view_int_columns_stay_int64(tmp_path):
+    """Delete-bearing windows must not float-promote integer view columns
+    (lsn > 2^53 corruption hazard): after right deletes land, the stored
+    parquet schema keeps int64, and _to_df round-trips exactly."""
+    import pyarrow as pa
+
+    big = 2**53
+    t = pa.table({"x": pa.array([big + 1, None], pa.int64())})
+    df = IncrementalJoinView._to_df(t)
+    assert str(df["x"].dtype) == "Int64"
+    assert int(df["x"].iloc[0]) == big + 1  # a float64 path would land on 2**53
+
+    a_dir = _clog(tmp_path, A1 + A2, "a", "e")
+    b_dir = _clog(tmp_path, B1 + B2, "b", "state")
+    a_eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "la"), num_partitions=3))
+    b_eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lb"), num_partitions=3))
+    a_eng.apply_epoch(a_dir, max_events=100)
+    b_eng.apply_epoch(b_dir, max_events=100)  # includes the u1 delete
+    view = IncrementalJoinView(str(tmp_path / "v"), join_col="lang", num_partitions=3)
+    view.sync(a_eng, b_eng)
+    for p in range(3):
+        f = view._part_file(p)
+        if os.path.exists(f):
+            sch = pq.read_schema(f)
+            assert sch.field("a_lsn").type == "int64", f
+            assert sch.field("b_lsn").type == "int64", f
+
+
+def test_join_view_right_path_pin_guard(tmp_path):
+    """A right_path pin that doesn't match the right lake's actual path
+    fails loudly on the first right window, not with silently dangling
+    rows."""
+    a_dir = _clog(tmp_path, A1, "a", "e")
+    b_dir = _clog(tmp_path, B1, "b", "state")
+    a_eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "la"), num_partitions=3))
+    b_eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lb"), num_partitions=3))
+    a_eng.apply_epoch(a_dir, max_events=100)
+    b_eng.apply_epoch(b_dir, max_events=100)
+    view = IncrementalJoinView(
+        str(tmp_path / "v"), join_col="lang", num_partitions=3, right_path="WRONG"
+    )
+    import ray.exceptions
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError), match="right_path"):
+        view.sync(a_eng, b_eng)
