@@ -381,13 +381,23 @@ class IncrementalJoinView:
         parts = np.unique(key_hash64(kt) % np.uint64(cfg.num_partitions)).tolist()
         key_ref = ray.put(pa.array(bkeys, pa.string()))
 
+        rp = self.right_path
+
         @ray.remote(num_cpus=1)
         def fold_filter(part: int):
             info = ckpt.partitions.get(int(part))
             if not info:
                 return {}
             folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
-            sel = folded.filter(pc.is_in(folded["repo"], value_set=ray.get(key_ref)))
+            # path filter enforces the right_path pin (a repo-only match
+            # against a wrong-path lake would resolve a nondeterministic
+            # subset of keys — the hash targeted the wrong partitions)
+            sel = folded.filter(
+                pc.and_(
+                    pc.is_in(folded["repo"], value_set=ray.get(key_ref)),
+                    pc.equal(folded["path"], pa.scalar(rp)),
+                )
+            )
             reps = sel["repo"].to_pylist()
             cols = {c: sel[c].to_pylist() for c in bcols}
             return {r: {c: cols[c][i] for c in bcols} for i, r in enumerate(reps)}
