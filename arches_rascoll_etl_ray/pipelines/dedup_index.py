@@ -185,81 +185,95 @@ class IncrementalNearDup:
                 added += self._apply_window(engine, cur)
             return added
 
-    def _window_deltas(self, engine, to_epoch: int):
-        """changefeed → (adds_df[key,text], rems_df[key,old_text], touched_keys).
-        Driver-side frames are bounded by the WINDOW's churn, not the
-        corpus: a steady-state sync sees only the docs that changed."""
+    def _apply_window(self, engine, to_epoch: int) -> int:
         from arches_rascoll_etl_ray.stages.merge import evolved_content_col
 
+        self.pending_to = to_epoch
+        self._save_meta()
         col = evolved_content_col(engine.cfg)
-        feed = engine.changefeed(self.applied_epoch, to_epoch)
         new_c, old_c = "new_" + col, "old_" + col
+        num_perm, num_bands, ngram, seed = self.num_perm, self.num_bands, self.ngram, self.seed
 
-        def deltas(t: pa.Table) -> pa.Table:
+        # DISTRIBUTED delta sketching: each feed batch classifies its own
+        # rows and emits (band, bh, key, add, part) triples — texts never
+        # leave the map side and the driver never holds the window's
+        # content (the former driver-side sketch serialized every changed
+        # doc through the driver)
+        def batch_triples(t: pa.Table) -> pd.DataFrame:
             op = t["op"]
             key = combine_key(t)  # canonical repo\x00path composite
             newv = pc.cast(t[new_c], pa.large_string())
             oldv = pc.cast(t[old_c], pa.large_string())
             moved = pc.fill_null(pc.not_equal(oldv, newv), True)
-            add_m = pc.or_(pc.equal(op, "I"), pc.and_(pc.equal(op, "U"), moved))
-            rem_m = pc.or_(pc.equal(op, "D"), pc.and_(pc.equal(op, "U"), moved))
-            return pa.table(
-                {
-                    "key": key,
-                    "add": pc.fill_null(add_m, False),
-                    "rem": pc.fill_null(rem_m, False),
-                    "new_text": newv,
-                    "old_text": oldv,
-                }
+            add_m = pc.fill_null(
+                pc.or_(pc.equal(op, "I"), pc.and_(pc.equal(op, "U"), moved)), False
             )
-
-        df = feed.map_batches(deltas, batch_format="pyarrow").to_pandas()
-        if df.empty or "add" not in df.columns:
-            # an empty window (zero changefeed blocks) comes back column-less
-            empty = pd.DataFrame({"key": pd.Series([], dtype=object)})
-            return (
-                empty.assign(text=pd.Series([], dtype=object)),
-                empty.assign(old_text=pd.Series([], dtype=object)),
-                np.array([], dtype=object),
+            rem_m = pc.fill_null(
+                pc.or_(pc.equal(op, "D"), pc.and_(pc.equal(op, "U"), moved)), False
             )
-        adds = df[df["add"]][["key", "new_text"]].rename(columns={"new_text": "text"})
-        adds = adds.fillna({"text": ""})
-        rems = df[df["rem"]][["key", "old_text"]].fillna({"old_text": ""})
-        touched = pd.unique(df.loc[df["add"] | df["rem"], "key"])
-        return adds, rems, touched
+            adds = pa.table({"key": key, "text": newv}).filter(add_m)
+            rems = pa.table({"key": key, "text": oldv}).filter(rem_m)
+            parts = []
+            if adds.num_rows:
+                parts.append(
+                    _band_rows(
+                        adds["text"].to_pandas().fillna(""),
+                        np.asarray(adds["key"].to_pylist(), dtype=object),
+                        num_perm, num_bands, ngram, seed,
+                    ).assign(add=True)
+                )
+            if rems.num_rows:
+                parts.append(
+                    _band_rows(
+                        rems["text"].to_pandas().fillna(""),
+                        np.asarray(rems["key"].to_pylist(), dtype=object),
+                        num_perm, num_bands, ngram, seed,
+                    ).assign(add=False)
+                )
+            if not parts:
+                return pd.DataFrame(
+                    {"key": pd.Series([], dtype=object),
+                     "band": pd.Series([], dtype=np.int32),
+                     "bh": pd.Series([], dtype=np.int64),
+                     "add": pd.Series([], dtype=bool)}
+                )
+            return pd.concat(parts, ignore_index=True)
 
-    def _apply_window(self, engine, to_epoch: int) -> int:
-        self.pending_to = to_epoch
-        self._save_meta()
-        adds, rems, touched = self._window_deltas(engine, to_epoch)
-        P = self.num_partitions
-
-        add_tr = _band_rows(
-            adds["text"], adds["key"].to_numpy(dtype=object),
-            self.num_perm, self.num_bands, self.ngram, self.seed,
-        ).assign(add=True)
-        rem_tr = _band_rows(
-            rems["old_text"], rems["key"].to_numpy(dtype=object),
-            self.num_perm, self.num_bands, self.ngram, self.seed,
-        ).assign(add=False)
-        tr = pd.concat([rem_tr, add_tr], ignore_index=True)
-        cands = self._update_buckets(tr) if len(tr) else pd.DataFrame({"a": [], "b": []})
-
-        verified = self._verify(engine, to_epoch, cands, adds)
+        feed = engine.changefeed(self.applied_epoch, to_epoch)
+        trs = feed.map_batches(batch_triples, batch_format="pyarrow").materialize()
+        if trs.count() == 0:
+            self.applied_epoch = to_epoch
+            self.pending_to = None
+            self._save_meta()
+            return 0
+        cands = self._update_buckets(trs)
+        # touched keys for edge removal: any key with triples this window
+        # (ids only — a key with neither add nor rem triples has no grams
+        # on either side, hence no edges to remove)
+        touched = pd.unique(
+            trs.map_batches(
+                lambda df: df[["key"]].drop_duplicates(), batch_format="pandas"
+            ).to_pandas()["key"]
+        )
+        verified = self._verify(engine, to_epoch, cands)
         self._update_edges(touched, verified)
         self.applied_epoch = to_epoch
         self.pending_to = None
         self._save_meta()
         return len(verified)
 
-    def _update_buckets(self, tr: pd.DataFrame) -> pd.DataFrame:
-        """Distributed bucket-store update: deltas shuffle by bucket
-        partition; each touched partition rewrites once and emits candidate
-        pairs (new key × live bucket-mates). Returns the window's deduped
-        candidate (a, b) key pairs, a < b."""
-        h = (stable_hash64(pa.array(tr["bh"].astype(str))) ^ tr["band"].to_numpy().astype(np.uint64))
-        tr = tr.assign(part=(h % np.uint64(self.num_partitions)).astype(np.int32))
-        index_dir = self.index_dir
+    def _update_buckets(self, trs) -> pd.DataFrame:
+        """Distributed bucket-store update: the triples Dataset shuffles by
+        bucket partition; each touched partition rewrites once and emits
+        candidate pairs (new key × live bucket-mates). Returns the window's
+        deduped candidate (a, b) key pairs, a < b — the only driver-side
+        product (bounded by the changed docs' bucket-mates)."""
+        P = self.num_partitions
+
+        def add_part(tr: pd.DataFrame) -> pd.DataFrame:
+            h = stable_hash64(pa.array(tr["bh"].astype(str))) ^ tr["band"].to_numpy().astype(np.uint64)
+            return tr.assign(part=(h % np.uint64(P)).astype(np.int32))
+
         bucket_file = self._bucket_file
 
         def merge_one(g: pd.DataFrame) -> pd.DataFrame:
@@ -323,23 +337,25 @@ class IncrementalNearDup:
                 }
             )
 
-        ds = ray.data.from_pandas(tr)
-        cands = ds.groupby("part").map_groups(merge_one, batch_format="pandas").to_pandas()
+        cands = (
+            trs.map_batches(add_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(merge_one, batch_format="pandas")
+            .to_pandas()
+        )
         return cands.drop_duplicates() if len(cands) else cands
 
-    def _verify(self, engine, to_epoch: int, cands: pd.DataFrame, adds: pd.DataFrame) -> pd.DataFrame:
-        """Exact word-ngram Jaccard over candidate pairs. Texts of this
-        window's adds are in hand; other members read from the base lake
-        AS OF the sync horizon via selective per-partition folds (bounded
-        by the candidate set, never a corpus scan)."""
+    def _verify(self, engine, to_epoch: int, cands: pd.DataFrame) -> pd.DataFrame:
+        """Exact word-ngram Jaccard over candidate pairs. EVERY member's
+        text comes from the base lake AS OF the sync horizon via selective
+        per-partition folds (the window's adds are live there too — the
+        feed is an endpoint diff), bounded by the candidate set, never a
+        corpus scan."""
         empty = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
         if len(cands) == 0:
             return empty
-        lookup: dict = dict(zip(adds["key"], adds["text"]))
         members = pd.unique(pd.concat([cands["a"], cands["b"]], ignore_index=True))
-        missing = [k for k in members if k not in lookup]
-        if missing:
-            lookup.update(self._fetch_texts(engine, to_epoch, missing))
+        lookup = self._fetch_texts(engine, to_epoch, list(members))
         thr, ngram = self.threshold, self.ngram
 
         def jaccard_keep(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
