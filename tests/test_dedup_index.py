@@ -259,3 +259,18 @@ def test_neardup_property_incremental_equals_batch(tmp_path_factory, case):
     want = _brute_pairs({k: v or "" for k, v in live.items()})
     assert _edges(inc) == want
     assert _edges(one) == want
+
+
+def test_neardup_distributed_verify_path(tmp_path, monkeypatch):
+    """ARER_NEARDUP_VERIFY_DRIVER_LIMIT=0 forces the map_batches verify
+    route (the bulk re-ingest path); the edge set must be identical to
+    the driver-loop route."""
+    monkeypatch.setenv("ARER_NEARDUP_VERIFY_DRIVER_LIMIT", "0")
+    rows = [("U", k, v) for k, v in TEXTS.items()]
+    clog = _mk_changelog(tmp_path, rows)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.apply_epoch(clog, max_events=100)
+    idx = IncrementalNearDup(str(tmp_path / "idx"), num_partitions=4)
+    idx.sync(eng)
+    live = dict(TEXTS)
+    assert _edges(idx) == _brute_pairs(live)
