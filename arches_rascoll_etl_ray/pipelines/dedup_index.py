@@ -195,11 +195,13 @@ class IncrementalNearDup:
         num_perm, num_bands, ngram, seed = self.num_perm, self.num_bands, self.ngram, self.seed
 
         # DISTRIBUTED delta sketching: each feed batch classifies its own
-        # rows and emits (band, bh, key, add, part) triples — texts never
-        # leave the map side and the driver never holds the window's
-        # content (the former driver-side sketch serialized every changed
-        # doc through the driver)
-        def batch_triples(t: pa.Table) -> pd.DataFrame:
+        # rows and emits (band, bh, key, add) triples plus one band=-1
+        # sentinel row per sketched add carrying its text — so the window's
+        # changed texts live in the object store (never the driver), and
+        # _verify can pull add-member texts from `trs` with a distributed
+        # filter instead of re-folding base partitions. The driver holds
+        # texts only for candidate MEMBERS (bounded by the candidate set).
+        def batch_triples(t: pa.Table) -> pa.Table:
             op = t["op"]
             key = combine_key(t)  # canonical repo\x00path composite
             newv = pc.cast(t[new_c], pa.large_string())
@@ -215,29 +217,49 @@ class IncrementalNearDup:
             rems = pa.table({"key": key, "text": oldv}).filter(rem_m)
             parts = []
             if adds.num_rows:
-                parts.append(
-                    _band_rows(
-                        adds["text"].to_pandas().fillna(""),
-                        np.asarray(adds["key"].to_pylist(), dtype=object),
-                        num_perm, num_bands, ngram, seed,
-                    ).assign(add=True)
-                )
+                add_texts = adds["text"].to_pandas().fillna("")
+                tri_add = _band_rows(
+                    add_texts,
+                    np.asarray(adds["key"].to_pylist(), dtype=object),
+                    num_perm, num_bands, ngram, seed,
+                ).assign(add=True, text=None)
+                parts.append(tri_add)
+                # band=-1 text sentinels, only for adds that emitted triples
+                # (zero-gram docs can never be candidate members)
+                sketched = pd.unique(tri_add["key"])
+                if len(sketched):
+                    src = pd.DataFrame(
+                        {"key": np.asarray(adds["key"].to_pylist(), dtype=object),
+                         "text": add_texts.to_numpy(dtype=object)}
+                    )
+                    sent = src[src["key"].isin(set(sketched))]
+                    parts.append(
+                        sent.assign(band=np.int32(-1), bh=np.int64(0), add=True)
+                    )
             if rems.num_rows:
                 parts.append(
                     _band_rows(
                         rems["text"].to_pandas().fillna(""),
                         np.asarray(rems["key"].to_pylist(), dtype=object),
                         num_perm, num_bands, ngram, seed,
-                    ).assign(add=False)
+                    ).assign(add=False, text=None)
                 )
             if not parts:
-                return pd.DataFrame(
-                    {"key": pd.Series([], dtype=object),
-                     "band": pd.Series([], dtype=np.int32),
-                     "bh": pd.Series([], dtype=np.int64),
-                     "add": pd.Series([], dtype=bool)}
-                )
-            return pd.concat(parts, ignore_index=True)
+                out = pd.DataFrame({"key": [], "band": [], "bh": [], "add": [], "text": []})
+            else:
+                out = pd.concat(parts, ignore_index=True)
+            # Arrow out: empty object-dtype pandas frames trip Ray's block
+            # size estimator (np.vectorize on empty inputs) — same guard as
+            # merge_one below
+            return pa.table(
+                {
+                    "key": pa.array(out["key"].to_numpy(dtype=object), pa.string()),
+                    "band": pa.array(out["band"].to_numpy(), pa.int32()),
+                    "bh": pa.array(out["bh"].to_numpy(), pa.int64()),
+                    "add": pa.array(out["add"].to_numpy(), pa.bool_()),
+                    "text": pa.array(out["text"].to_numpy(dtype=object), pa.large_string()),
+                }
+            )
 
         feed = engine.changefeed(self.applied_epoch, to_epoch)
         trs = feed.map_batches(batch_triples, batch_format="pyarrow").materialize()
@@ -247,15 +269,19 @@ class IncrementalNearDup:
             self._save_meta()
             return 0
         cands = self._update_buckets(trs)
-        # touched keys for edge removal: any key with triples this window
-        # (ids only — a key with neither add nor rem triples has no grams
-        # on either side, hence no edges to remove)
+        # touched keys for edge removal: any key with triples this window.
+        # Skipping the others is correct for two distinct reasons: a
+        # zero-gram doc has no buckets, hence never acquired edges; and an
+        # lsn-only-churn doc (feed row, text unchanged, no triples) keeps
+        # its existing edges VALID — broadening `touched` to all feed keys
+        # would silently drop those edges with nothing re-verifying them.
         touched = pd.unique(
             trs.map_batches(
-                lambda df: df[["key"]].drop_duplicates(), batch_format="pandas"
+                lambda t: pa.table({"key": pc.unique(t["key"])}),
+                batch_format="pyarrow",
             ).to_pandas()["key"]
         )
-        verified = self._verify(engine, to_epoch, cands)
+        verified = self._verify(engine, to_epoch, cands, trs)
         self._update_edges(touched, verified)
         self.applied_epoch = to_epoch
         self.pending_to = None
@@ -270,9 +296,24 @@ class IncrementalNearDup:
         product (bounded by the changed docs' bucket-mates)."""
         P = self.num_partitions
 
-        def add_part(tr: pd.DataFrame) -> pd.DataFrame:
-            h = stable_hash64(pa.array(tr["bh"].astype(str))) ^ tr["band"].to_numpy().astype(np.uint64)
-            return tr.assign(part=(h % np.uint64(P)).astype(np.int32))
+        def add_part(tr: pd.DataFrame) -> pa.Table:
+            # drop the band=-1 text sentinels and the text column: ONLY
+            # (band, bh, key, add, part) triples enter the bucket shuffle
+            tr = tr[tr["band"] >= 0][["key", "band", "bh", "add"]]
+            if len(tr):
+                h = stable_hash64(pa.array(tr["bh"].astype(str))) ^ tr["band"].to_numpy().astype(np.uint64)
+                part = (h % np.uint64(P)).astype(np.int32)
+            else:
+                part = np.array([], dtype=np.int32)
+            return pa.table(
+                {
+                    "key": pa.array(tr["key"].to_numpy(dtype=object), pa.string()),
+                    "band": pa.array(tr["band"].to_numpy(), pa.int32()),
+                    "bh": pa.array(tr["bh"].to_numpy(), pa.int64()),
+                    "add": pa.array(tr["add"].to_numpy(), pa.bool_()),
+                    "part": pa.array(part, pa.int32()),
+                }
+            )
 
         bucket_file = self._bucket_file
 
@@ -345,36 +386,59 @@ class IncrementalNearDup:
         )
         return cands.drop_duplicates() if len(cands) else cands
 
-    def _verify(self, engine, to_epoch: int, cands: pd.DataFrame) -> pd.DataFrame:
-        """Exact word-ngram Jaccard over candidate pairs. EVERY member's
-        text comes from the base lake AS OF the sync horizon via selective
-        per-partition folds (the window's adds are live there too — the
-        feed is an endpoint diff), bounded by the candidate set, never a
-        corpus scan."""
+    def _verify(self, engine, to_epoch: int, cands: pd.DataFrame, trs) -> pd.DataFrame:
+        """Exact word-ngram Jaccard over candidate pairs. Members ADDED
+        this window get their text from the triples dataset's band=-1
+        sentinels (a distributed filter over `trs` — zero lake reads, so a
+        bulk initial load verifies without re-folding any partition);
+        stored bucket-mates fall back to selective per-partition lake
+        folds AS OF the sync horizon. Both are bounded by the candidate
+        set, never a corpus scan."""
         empty = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
         if len(cands) == 0:
             return empty
         members = pd.unique(pd.concat([cands["a"], cands["b"]], ignore_index=True))
-        lookup = self._fetch_texts(engine, to_epoch, list(members))
+        mset_ref = ray.put(pa.array(list(members), pa.string()))
+
+        def pick_sentinels(t: pa.Table) -> pa.Table:
+            sel = t.filter(
+                pc.and_(
+                    pc.equal(t["band"], -1),
+                    pc.is_in(t["key"], value_set=ray.get(mset_ref)),
+                )
+            )
+            return sel.select(["key", "text"])
+
+        got = trs.map_batches(pick_sentinels, batch_format="pyarrow").to_pandas()
+        lookup = dict(zip(got["key"], got["text"]))
+        missing = [k for k in members if k not in lookup]
+        if missing:
+            lookup.update(self._fetch_texts(engine, to_epoch, missing))
         thr, ngram = self.threshold, self.ngram
 
-        def jaccard_keep(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
+        def jaccard_keep(df: pd.DataFrame, lk: dict) -> pa.Table:
             ta = df["a"].map(lk)
             tb = df["b"].map(lk)
             ok = ta.notna() & tb.notna()  # a partner vanished within the window
             df, ta, tb = df[ok], ta[ok], tb[ok]
-            if len(df) == 0:
-                return empty
-            fa, oa = textfns.word_ngrams_hashes(ta.reset_index(drop=True), n=ngram)
-            fb, ob = textfns.word_ngrams_hashes(tb.reset_index(drop=True), n=ngram)
             keep = np.zeros(len(df), dtype=bool)
-            for i in range(len(df)):
-                sa = np.unique(fa[oa[i] : oa[i + 1]])
-                sb = np.unique(fb[ob[i] : ob[i + 1]])
-                k = np.intersect1d(sa, sb, assume_unique=True).size
-                uni = sa.size + sb.size - k
-                keep[i] = uni > 0 and k >= thr * uni
-            return df[keep][["a", "b"]]
+            if len(df):
+                fa, oa = textfns.word_ngrams_hashes(ta.reset_index(drop=True), n=ngram)
+                fb, ob = textfns.word_ngrams_hashes(tb.reset_index(drop=True), n=ngram)
+                for i in range(len(df)):
+                    sa = np.unique(fa[oa[i] : oa[i + 1]])
+                    sb = np.unique(fb[ob[i] : ob[i + 1]])
+                    k = np.intersect1d(sa, sb, assume_unique=True).size
+                    uni = sa.size + sb.size - k
+                    keep[i] = uni > 0 and k >= thr * uni
+            kept = df[keep]
+            # Arrow out: empty object-dtype frames trip Ray's size estimator
+            return pa.table(
+                {
+                    "a": pa.array(kept["a"].to_numpy(dtype=object), pa.string()),
+                    "b": pa.array(kept["b"].to_numpy(dtype=object), pa.string()),
+                }
+            )
 
         # a dup-heavy window (bulk re-ingest into hot buckets) can emit far
         # more candidates than the steady-state handful: above the gate,
@@ -382,7 +446,8 @@ class IncrementalNearDup:
         # Dataset overhead costs more than the driver loop saves
         gate = int(os.environ.get("ARER_NEARDUP_VERIFY_DRIVER_LIMIT", "4096"))
         if len(cands) <= gate:
-            return jaccard_keep(cands, lookup)
+            out = jaccard_keep(cands, lookup).to_pandas()
+            return out if len(out) else empty
         lookup_ref = ray.put(lookup)
         out = (
             ray.data.from_pandas(cands.reset_index(drop=True))
