@@ -274,3 +274,22 @@ def test_neardup_distributed_verify_path(tmp_path, monkeypatch):
     idx.sync(eng)
     live = dict(TEXTS)
     assert _edges(idx) == _brute_pairs(live)
+
+
+def test_bulk_insert_verify_reads_no_lake_partitions(tmp_path, monkeypatch):
+    """A pure-insert window's candidate members are all adds, whose verify
+    texts ride the band=-1 sentinels in the triples dataset — the lake
+    fold fallback (_fetch_texts) must not run at all (the zero-lake-reads
+    bulk-load contract), and the edges must still be exact."""
+    rows = [("I", k, v) for k, v in TEXTS.items()]
+    clog = _mk_changelog(tmp_path, rows)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.apply_epoch(clog, max_events=100)
+    idx = IncrementalNearDup(str(tmp_path / "idx"), num_partitions=4)
+
+    def boom(*a, **k):
+        raise AssertionError("_fetch_texts must not be called on a pure-insert window")
+
+    monkeypatch.setattr(IncrementalNearDup, "_fetch_texts", boom)
+    idx.sync(eng)
+    assert _edges(idx) == _brute_pairs(dict(TEXTS))
