@@ -20,11 +20,24 @@ import pyarrow.compute as pc
 # Namespace for deterministic uuid5 minting (replaces reference uuid4).
 ENGINE_UUID_NS = uuid.uuid5(uuid.NAMESPACE_URL, "arches-rascoll-etl-ray")
 
-KEY_SEP = "\x00"  # cannot appear in repo/path
+# ASCII unit separator. NOT NUL: pandas' vectorized string hashtables and
+# multi-key sorts (pd.unique, array-path factorize, multi-column
+# drop_duplicates/duplicated, string-key groupby/merge, multi-column
+# sort_values) hash/compare object strings as C strings and silently
+# TRUNCATE at the first NUL byte — "repo\x00path" composites collapsed to
+# their repo prefix, corrupting any downstream pandas op (proven: the
+# near-dup index's bucket stores went order-dependent on shared-repo
+# corpora). \x1f never truncates; the residual ambiguity (a repo name
+# that itself contains \x1f) is documented and pathological, where the
+# NUL hazard was silent and systemic. Arrow kernels and Python-object
+# paths (set/isin/sort of a single key column/Index engines) are exact
+# for BOTH separators.
+KEY_SEP = "\x1f"
 
 
 def combine_key(table_or_cols, left: str = "repo", right: str = "path") -> pa.Array:
-    """Exact composite key `repo\\x00path` as a single Arrow string column.
+    """Exact composite key `repo + KEY_SEP + path` as a single Arrow string
+    column.
 
     Used for exact anti-join / is_in membership (no hash-collision risk) —
     the engine's analogue of the reference's NOT IN idempotence guards
@@ -74,7 +87,7 @@ def key_hash64(table_or_cols, left: str = "repo", right: str = "path") -> np.nda
     """64-bit hash of the composite (repo, path) key WITHOUT materializing
     the concatenated key string or any Python object — the spill/normalize
     hot path (every event is hashed every epoch). Equivalent collision
-    semantics to hashing `repo\\x00path`: the separator step makes
+    semantics to hashing `repo + sep + path`: the separator step makes
     ("ab","c") ≠ ("a","bc").
 
     NB: this function is part of the lake's PHYSICAL identity (keys hash to
@@ -85,7 +98,7 @@ def key_hash64(table_or_cols, left: str = "repo", right: str = "path") -> np.nda
     n = len(r)
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     _poly_hash_into(h, r)
-    h = h * _FNV_PRIME  # \x00 separator fold
+    h = h * _FNV_PRIME  # separator boundary fold (independent of KEY_SEP's byte value)
     _poly_hash_into(h, p)
     return _mix64(h)
 

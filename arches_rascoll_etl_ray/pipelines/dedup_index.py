@@ -72,6 +72,31 @@ from arches_rascoll_etl_ray.functions.hashing import (
 from arches_rascoll_etl_ray.state.manifest import atomic_write_json
 
 
+def _dedup_rows(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Byte-exact multi-column row dedup (defense in depth). pandas'
+    vectorized hash paths (`pd.unique`, array-path `factorize`, multi-column
+    `duplicated`/`drop_duplicates`, string-key `groupby`/`merge`, multi-key
+    `sort_values`) hash/compare object strings as C strings and TRUNCATE at
+    the first NUL byte — when KEY_SEP was "\\x00" that silently collapsed
+    composites to their repo prefix and made bucket stores and edge sets
+    run-to-run nondeterministic on shared-repo corpora (KEY_SEP is now
+    "\\x1f", see functions/hashing.py). Sort + adjacent full-Python-compare
+    sidesteps the hash paths entirely (the sort itself still requires a
+    NUL-free key, which KEY_SEP now guarantees)."""
+    if not len(df):
+        return df
+    s = df.sort_values(cols, kind="mergesort", ignore_index=True)
+    # per-column adjacent compare on the ORIGINAL dtype: pandas' .shift()
+    # would float-promote int64 (the bh hash column), and values beyond
+    # 2^53 that collide in float64 would be falsely dropped as duplicates
+    keep = np.zeros(len(s), dtype=bool)
+    keep[0] = True
+    for c in cols:
+        v = s[c].to_numpy()
+        keep[1:] |= v[1:] != v[:-1]
+    return s[keep]
+
+
 def _band_rows(texts: pd.Series, keys: np.ndarray, num_perm: int, num_bands: int, ngram: int, seed: int) -> pd.DataFrame:
     """(band, bh, key) triples for a batch of texts. Docs with zero word
     n-grams emit nothing (they can never share a qualifying pair: a pair
@@ -107,7 +132,17 @@ class IncrementalNearDup:
         ngram: int = 3,
         threshold: float = 0.5,
         seed: int = 1,
+        max_bucket_mates: int | None = None,
     ):
+        """`max_bucket_mates`: per-(band, bh) bucket cap on the live mates
+        each added doc generates candidates against (first N by sorted
+        key — deterministic). None (default) keeps EXACT pair semantics
+        (the oracle contract: every qualifying pair whose bucket LSH
+        recalls). Dup-heavy corpora (small vocab / bulk re-ingest) make
+        hot buckets quadratic — set a cap there and treat the index as a
+        CLUSTERING input (connectivity preserved through the capped hub
+        mates, pair set intentionally incomplete), the same trade the
+        batch pipeline's hub-edge cap makes (training.py run>32 cap)."""
         self.index_dir = index_dir
         self.num_partitions = num_partitions
         self.num_perm = num_perm
@@ -115,12 +150,14 @@ class IncrementalNearDup:
         self.ngram = ngram
         self.threshold = threshold
         self.seed = seed
+        self.max_bucket_mates = max_bucket_mates
         os.makedirs(index_dir, exist_ok=True)
         meta = self._load_meta()
         if meta is not None:
             pins = dict(
                 num_partitions=num_partitions, num_perm=num_perm,
                 num_bands=num_bands, ngram=ngram, threshold=threshold, seed=seed,
+                max_bucket_mates=max_bucket_mates,
             )
             for k, v in pins.items():
                 if meta.get(k) != v:
@@ -156,6 +193,7 @@ class IncrementalNearDup:
                 "ngram": self.ngram,
                 "threshold": self.threshold,
                 "seed": self.seed,
+                "max_bucket_mates": self.max_bucket_mates,
                 "applied_epoch": self.applied_epoch,
                 "pending_to": self.pending_to,
             },
@@ -203,7 +241,7 @@ class IncrementalNearDup:
         # texts only for candidate MEMBERS (bounded by the candidate set).
         def batch_triples(t: pa.Table) -> pa.Table:
             op = t["op"]
-            key = combine_key(t)  # canonical repo\x00path composite
+            key = combine_key(t)  # canonical repo+KEY_SEP+path composite
             newv = pc.cast(t[new_c], pa.large_string())
             oldv = pc.cast(t[old_c], pa.large_string())
             moved = pc.fill_null(pc.not_equal(oldv, newv), True)
@@ -226,13 +264,13 @@ class IncrementalNearDup:
                 parts.append(tri_add)
                 # band=-1 text sentinels, only for adds that emitted triples
                 # (zero-gram docs can never be candidate members)
-                sketched = pd.unique(tri_add["key"])
-                if len(sketched):
+                sketched = set(tri_add["key"])  # NUL-safe (not pd.unique)
+                if sketched:
                     src = pd.DataFrame(
                         {"key": np.asarray(adds["key"].to_pylist(), dtype=object),
                          "text": add_texts.to_numpy(dtype=object)}
                     )
-                    sent = src[src["key"].isin(set(sketched))]
+                    sent = src[src["key"].isin(sketched)]
                     parts.append(
                         sent.assign(band=np.int32(-1), bh=np.int64(0), add=True)
                     )
@@ -275,8 +313,8 @@ class IncrementalNearDup:
         # lsn-only-churn doc (feed row, text unchanged, no triples) keeps
         # its existing edges VALID — broadening `touched` to all feed keys
         # would silently drop those edges with nothing re-verifying them.
-        touched = pd.unique(
-            trs.map_batches(
+        touched = set(  # NUL-safe driver-side dedup (pc.unique per batch is
+            trs.map_batches(  # Arrow and NUL-exact; pd.unique is NOT)
                 lambda t: pa.table({"key": pc.unique(t["key"])}),
                 batch_format="pyarrow",
             ).to_pandas()["key"]
@@ -316,6 +354,7 @@ class IncrementalNearDup:
             )
 
         bucket_file = self._bucket_file
+        cap = self.max_bucket_mates
 
         def merge_one(g: pd.DataFrame) -> pd.DataFrame:
             part = int(g["part"].iloc[0])
@@ -341,20 +380,31 @@ class IncrementalNearDup:
                 # candidates: each added (band, bh, key) vs live mates in
                 # the SAME bucket — stored rows after removal, plus other
                 # adds of this window (one direction via key inequality)
-                live = pd.concat(
-                    [existing[["band", "bh", "key"]], g_add[["band", "bh", "key"]]],
-                    ignore_index=True,
-                ).drop_duplicates()
+                live = _dedup_rows(
+                    pd.concat(
+                        [existing[["band", "bh", "key"]], g_add[["band", "bh", "key"]]],
+                        ignore_index=True,
+                    ),
+                    ["band", "bh", "key"],
+                )
+                if cap is not None:
+                    # hot-bucket fan-out cap: _dedup_rows returns rows
+                    # sorted by (band, bh, key), so head(cap) per bucket is
+                    # the deterministic first-N-by-key hub-mate set
+                    live = live.groupby(["band", "bh"], sort=False).head(cap)
                 merged_c = g_add.merge(live, on=["band", "bh"], suffixes=("", "_m"))
                 merged_c = merged_c[merged_c["key"] != merged_c["key_m"]]
                 if len(merged_c):
                     lo = np.minimum(merged_c["key"].to_numpy(dtype=object), merged_c["key_m"].to_numpy(dtype=object))
                     hi = np.maximum(merged_c["key"].to_numpy(dtype=object), merged_c["key_m"].to_numpy(dtype=object))
-                    cp = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+                    cp = _dedup_rows(pd.DataFrame({"a": lo, "b": hi}), ["a", "b"])
                     aa.append(cp)
-                store = pd.concat(
-                    [existing, g_add[["band", "bh", "key"]]], ignore_index=True
-                ).drop_duplicates()
+                store = _dedup_rows(
+                    pd.concat(
+                        [existing, g_add[["band", "bh", "key"]]], ignore_index=True
+                    ),
+                    ["band", "bh", "key"],
+                )
             else:
                 store = existing
             store = store.sort_values(["band", "bh", "key"], kind="mergesort")
@@ -384,7 +434,7 @@ class IncrementalNearDup:
             .map_groups(merge_one, batch_format="pandas")
             .to_pandas()
         )
-        return cands.drop_duplicates() if len(cands) else cands
+        return _dedup_rows(cands, ["a", "b"]) if len(cands) else cands
 
     def _verify(self, engine, to_epoch: int, cands: pd.DataFrame, trs) -> pd.DataFrame:
         """Exact word-ngram Jaccard over candidate pairs. Members ADDED
@@ -397,8 +447,10 @@ class IncrementalNearDup:
         empty = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
         if len(cands) == 0:
             return empty
-        members = pd.unique(pd.concat([cands["a"], cands["b"]], ignore_index=True))
-        mset_ref = ray.put(pa.array(list(members), pa.string()))
+        # sorted(set(...)): pd.unique NUL-truncates composite keys (see
+        # _dedup_rows) and its first-occurrence order is batch-dependent
+        members = sorted(set(cands["a"]).union(cands["b"]))
+        mset_ref = ray.put(pa.array(members, pa.string()))
 
         def pick_sentinels(t: pa.Table) -> pa.Table:
             sel = t.filter(
@@ -525,7 +577,7 @@ class IncrementalNearDup:
                 # per-window write I/O stays bounded by window churn
                 return
             merged = pd.concat([existing, new_rows[["a", "b"]]], ignore_index=True)
-            merged = merged.drop_duplicates().sort_values(["a", "b"], kind="mergesort")
+            merged = _dedup_rows(merged, ["a", "b"]).sort_values(["a", "b"], kind="mergesort")
             if len(merged):
                 os.makedirs(os.path.dirname(pfile), exist_ok=True)
                 tmp = pfile + f".tmp-{os.getpid()}"

@@ -99,7 +99,7 @@ class IncrementalGroupAgg:
     string-keyed and `sorted()` never compares str with None; `to_table`
     maps the sentinel back to a null group_key."""
 
-    NULL_GROUP = "\x00<null>"
+    NULL_GROUP = "\x1f<null>"  # \x1f, not NUL: pandas groupby C-string-truncates at \x00
 
     def __init__(self, group_col: str, measure_col: str):
         self.group_col = group_col

@@ -55,6 +55,7 @@ import ray
 import ray.data
 
 from arches_rascoll_etl_ray.functions.hashing import (
+    KEY_SEP,
     combine_key,
     key_hash64,
     stable_hash64,
@@ -262,19 +263,19 @@ class SecondaryIndex:
                 pc.binary_join_element_wise(
                     pc.cast(group["value"], pa.string()),
                     group["repo"],
-                    "\x00",
+                    KEY_SEP,
                 ),
                 group["path"],
-                "\x00",
+                KEY_SEP,
             )
             add_rows = group.filter(group["add"])
             rem_key = gkey.filter(pc.invert(group["add"].combine_chunks()))
             parts = []
             if existing is not None and existing.num_rows:
                 ekey = pc.binary_join_element_wise(
-                    pc.binary_join_element_wise(existing[col], existing["repo"], "\x00"),
+                    pc.binary_join_element_wise(existing[col], existing["repo"], KEY_SEP),
                     existing["path"],
-                    "\x00",
+                    KEY_SEP,
                 )
                 keep = pc.invert(pc.is_in(ekey, value_set=rem_key))
                 parts.append(existing.filter(keep))
@@ -294,9 +295,9 @@ class SecondaryIndex:
             if merged.num_rows:
                 # dedup (idempotent re-adds) + deterministic order
                 mkey = pc.binary_join_element_wise(
-                    pc.binary_join_element_wise(merged[col], merged["repo"], "\x00"),
+                    pc.binary_join_element_wise(merged[col], merged["repo"], KEY_SEP),
                     merged["path"],
-                    "\x00",
+                    KEY_SEP,
                 )
                 import pandas as _pd
 

@@ -293,3 +293,42 @@ def test_bulk_insert_verify_reads_no_lake_partitions(tmp_path, monkeypatch):
     monkeypatch.setattr(IncrementalNearDup, "_fetch_texts", boom)
     idx.sync(eng)
     assert _edges(idx) == _brute_pairs(dict(TEXTS))
+
+
+def test_shared_repo_prefix_exact(tmp_path):
+    """Regression: every doc lives in the SAME repo, so every composite key
+    shares its prefix up to KEY_SEP. When KEY_SEP was NUL, pandas'
+    C-string hash/sort paths collapsed all keys to that prefix — members,
+    touched sets, bucket dedup and candidate dedup silently merged
+    distinct docs and the edge set went order-dependent. With the \\x1f
+    separator (and the byte-exact _dedup_rows), per-epoch incremental sync
+    must equal the brute-force exact-Jaccard pair set."""
+    docs = {f"d{i:02d}": t for i, t in enumerate(
+        [TEXTS["dup1"], TEXTS["dup2"], TEXTS["dup3"], TEXTS["solo"], TEXTS["solo2"]] * 3
+    )}
+    df = pd.DataFrame(
+        {
+            "lsn": np.arange(1, len(docs) + 1, dtype=np.int64),
+            "op": ["I"] * len(docs),
+            "repo": ["corp"] * len(docs),           # shared prefix for EVERY key
+            "path": list(docs.keys()),
+            "commit": ["c"] * len(docs),
+            "lang": ["x"] * len(docs),
+            "content": list(docs.values()),
+        }
+    )
+    d = str(tmp_path / "clog")
+    write_changelog_shards(df, d, num_shards=2)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    idx = IncrementalNearDup(str(tmp_path / "idx"), num_partitions=4)
+    while True:
+        before = eng.checkpoint().epoch
+        if eng.apply_epoch(clog_dir := d, max_events=4).epoch == before:
+            break
+        idx.sync(eng)
+    t = idx.edges_table().to_pandas()
+    got = sorted(
+        (a.split(KEY_SEP, 1)[1], b.split(KEY_SEP, 1)[1]) for a, b in zip(t["a"], t["b"])
+    )
+    assert got == _brute_pairs(docs)
+    assert len(got) > 0  # the corpus genuinely has near-dup pairs

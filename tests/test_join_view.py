@@ -17,6 +17,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.functions.hashing import KEY_SEP
 from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
 from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
 from arches_rascoll_etl_ray.pipelines.join_view import IncrementalJoinView
@@ -59,7 +60,7 @@ def _got(view):
         return pd.DataFrame(
             columns=["repo", "path", "lang", "content", "b_commit", "b_lang", "b_content"]
         )
-    rp = t["a_key"].str.split("\x00", n=1, expand=True)
+    rp = t["a_key"].str.split(KEY_SEP, n=1, expand=True)
     out = pd.DataFrame(
         {
             "repo": rp[0],
