@@ -276,7 +276,10 @@ class IncrementalJoinView:
         ).to_pandas()
         if jv.empty or "op" not in jv.columns:
             return
-        new_keys = pd.unique(jv.loc[jv["op"].isin(("I", "U")), "new_j"].dropna())
+        # sorted(set(...)), not pd.unique: the array-path unique NUL-
+        # truncates object strings (join values are user data), and a
+        # sorted list keeps _fetch_right's fold filter input deterministic
+        new_keys = sorted(set(jv.loc[jv["op"].isin(("I", "U")), "new_j"].dropna()))
         blookup = self._fetch_right(right_engine, to_b, new_keys) if len(new_keys) else {}
         lkp = pd.DataFrame.from_dict(blookup, orient="index")
         if len(lkp):

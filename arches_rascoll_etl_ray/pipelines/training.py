@@ -648,7 +648,11 @@ def _md5_gram_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     for d in np.flatnonzero(counts == 1):
         grams[offsets[d]] = flat_words[word_starts[d]]
     if len(grams):
-        codes, uniques = pd.factorize(pd.Series(grams))
+        # np.unique (full-string sort compare), NOT pd.factorize: the
+        # array-path factorize hashes object strings as C strings and
+        # truncates at an embedded NUL — distinct grams from a NUL-bearing
+        # doc would collapse to one md5 (the DuckDB twin hashes exactly)
+        uniques, codes = np.unique(grams, return_inverse=True)
         md5 = hashlib.md5
         uh = np.fromiter(
             (int(md5(u.encode()).hexdigest()[:15], 16) for u in uniques),
