@@ -95,6 +95,20 @@ def key_hash64(table_or_cols, left: str = "repo", right: str = "path") -> np.nda
     changing num_partitions."""
     r = table_or_cols[left]
     p = table_or_cols[right]
+    # ingest-time invariant: key parts must not contain KEY_SEP, or every
+    # downstream composite (combine_key splits, index postings, near-dup
+    # keys) silently mis-parses. Every event passes through here in the
+    # spill hot path, so this single C-level substring scan guards the
+    # whole engine; the old "\x00 cannot appear" claim was never enforced.
+    for _name, _arr in ((left, r), (right, p)):
+        if isinstance(_arr, (pa.Array, pa.ChunkedArray)):
+            bad = pc.any(pc.fill_null(pc.match_substring(_arr, KEY_SEP), False))
+            if bad.is_valid and bad.as_py():
+                raise ValueError(
+                    f"key column {_name!r} contains the reserved separator "
+                    f"byte 0x{ord(KEY_SEP):02x} (KEY_SEP) — such keys cannot "
+                    "be represented in composite form"
+                )
     n = len(r)
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     _poly_hash_into(h, r)

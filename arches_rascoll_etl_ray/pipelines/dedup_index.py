@@ -72,6 +72,19 @@ from arches_rascoll_etl_ray.functions.hashing import (
 from arches_rascoll_etl_ray.state.manifest import atomic_write_json
 
 
+def _sort_rows(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """Byte-exact multi-key sort: successive STABLE single-key sorts from
+    minor to major key. pandas' multi-column sort_values factorizes object
+    strings through the NUL-truncating StringHashTable (verified on pandas
+    2.2.2: ['r\\x00y','r\\x00x'] stays in input order under a multi-key
+    sort), while a single-key object sort argsorts with full Python string
+    comparison."""
+    out = df
+    for c in reversed(cols):
+        out = out.sort_values(c, kind="mergesort", ignore_index=True)
+    return out
+
+
 def _dedup_rows(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     """Byte-exact multi-column row dedup (defense in depth). pandas'
     vectorized hash paths (`pd.unique`, array-path `factorize`, multi-column
@@ -81,11 +94,14 @@ def _dedup_rows(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     composites to their repo prefix and made bucket stores and edge sets
     run-to-run nondeterministic on shared-repo corpora (KEY_SEP is now
     "\\x1f", see functions/hashing.py). Sort + adjacent full-Python-compare
-    sidesteps the hash paths entirely (the sort itself still requires a
-    NUL-free key, which KEY_SEP now guarantees)."""
+    sidesteps the hash paths entirely — including the sort: MULTI-key
+    sort_values factorizes string keys through the same truncating
+    hashtable, so _sort_rows composes stable SINGLE-key sorts (argsort
+    with full PyObject comparison), which are byte-exact for any
+    content."""
     if not len(df):
         return df
-    s = df.sort_values(cols, kind="mergesort", ignore_index=True)
+    s = _sort_rows(df, cols)
     # per-column adjacent compare on the ORIGINAL dtype: pandas' .shift()
     # would float-promote int64 (the bh hash column), and values beyond
     # 2^53 that collide in float64 would be falsely dropped as duplicates
@@ -154,10 +170,14 @@ class IncrementalNearDup:
         os.makedirs(index_dir, exist_ok=True)
         meta = self._load_meta()
         if meta is not None:
+            # key_sep is part of the PERSISTED layout: stored bucket/edge
+            # keys embed it, so an index written under a different
+            # separator (e.g. pre-fix "\x00") must be rejected, not
+            # silently mismatched against new-separator removals/touches
             pins = dict(
                 num_partitions=num_partitions, num_perm=num_perm,
                 num_bands=num_bands, ngram=ngram, threshold=threshold, seed=seed,
-                max_bucket_mates=max_bucket_mates,
+                max_bucket_mates=max_bucket_mates, key_sep=KEY_SEP,
             )
             for k, v in pins.items():
                 if meta.get(k) != v:
@@ -194,6 +214,7 @@ class IncrementalNearDup:
                 "threshold": self.threshold,
                 "seed": self.seed,
                 "max_bucket_mates": self.max_bucket_mates,
+                "key_sep": KEY_SEP,
                 "applied_epoch": self.applied_epoch,
                 "pending_to": self.pending_to,
             },
@@ -334,24 +355,24 @@ class IncrementalNearDup:
         product (bounded by the changed docs' bucket-mates)."""
         P = self.num_partitions
 
-        def add_part(tr: pd.DataFrame) -> pa.Table:
-            # drop the band=-1 text sentinels and the text column: ONLY
-            # (band, bh, key, add, part) triples enter the bucket shuffle
-            tr = tr[tr["band"] >= 0][["key", "band", "bh", "add"]]
-            if len(tr):
-                h = stable_hash64(pa.array(tr["bh"].astype(str))) ^ tr["band"].to_numpy().astype(np.uint64)
+        def add_part(t: pa.Table) -> pa.Table:
+            # Arrow in/out: drop the band=-1 text sentinels and the text
+            # column BEFORE any pandas conversion — a bulk window's
+            # sentinel texts (the whole changed corpus) must never be
+            # deserialized into Python strings just to be discarded. ONLY
+            # (band, bh, key, add, part) triples enter the bucket shuffle.
+            t = t.filter(pc.greater_equal(t["band"], 0)).select(["key", "band", "bh", "add"])
+            if t.num_rows:
+                # pc.cast int64→string emits the same decimal text as the
+                # former pandas astype(str) (verified incl. INT64_MIN), so
+                # the bucket→partition mapping is unchanged
+                h = stable_hash64(pc.cast(t["bh"], pa.string())) ^ np.asarray(
+                    t["band"].to_numpy(zero_copy_only=False), dtype=np.uint64
+                )
                 part = (h % np.uint64(P)).astype(np.int32)
             else:
                 part = np.array([], dtype=np.int32)
-            return pa.table(
-                {
-                    "key": pa.array(tr["key"].to_numpy(dtype=object), pa.string()),
-                    "band": pa.array(tr["band"].to_numpy(), pa.int32()),
-                    "bh": pa.array(tr["bh"].to_numpy(), pa.int64()),
-                    "add": pa.array(tr["add"].to_numpy(), pa.bool_()),
-                    "part": pa.array(part, pa.int32()),
-                }
-            )
+            return t.append_column("part", pa.array(part, pa.int32()))
 
         bucket_file = self._bucket_file
         cap = self.max_bucket_mates
@@ -407,7 +428,7 @@ class IncrementalNearDup:
                 )
             else:
                 store = existing
-            store = store.sort_values(["band", "bh", "key"], kind="mergesort")
+            store = _sort_rows(store, ["band", "bh", "key"])  # byte-exact multi-key sort
             if len(store):
                 os.makedirs(os.path.dirname(pfile), exist_ok=True)
                 tmp = pfile + f".tmp-{os.getpid()}"
@@ -429,7 +450,7 @@ class IncrementalNearDup:
             )
 
         cands = (
-            trs.map_batches(add_part, batch_format="pandas")
+            trs.map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
             .map_groups(merge_one, batch_format="pandas")
             .to_pandas()
@@ -577,7 +598,7 @@ class IncrementalNearDup:
                 # per-window write I/O stays bounded by window churn
                 return
             merged = pd.concat([existing, new_rows[["a", "b"]]], ignore_index=True)
-            merged = _dedup_rows(merged, ["a", "b"]).sort_values(["a", "b"], kind="mergesort")
+            merged = _dedup_rows(merged, ["a", "b"])  # _dedup_rows output is already (a, b)-sorted
             if len(merged):
                 os.makedirs(os.path.dirname(pfile), exist_ok=True)
                 tmp = pfile + f".tmp-{os.getpid()}"

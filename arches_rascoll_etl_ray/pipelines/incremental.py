@@ -93,13 +93,17 @@ class IncrementalGroupAgg:
     """count(*) + sum(int64 measure) per group, maintained from changefeed
     deltas (CDCEngine.changefeed output schema: op, old_*/new_* images).
 
-    Null group keys are kept as their own group (SQL GROUP BY semantics):
-    they are mapped to the reserved in-state sentinel `NULL_GROUP` (leads
-    with NUL, which cannot appear in real values) so dict/JSON state stays
-    string-keyed and `sorted()` never compares str with None; `to_table`
-    maps the sentinel back to a null group_key."""
+    Group keys are stored PREFIX-FREE encoded: "n" is the null group, a
+    real value v is stored as "v" + v — no sentinel can ever collide with
+    user data (SQL GROUP BY semantics for nulls; dict/JSON state stays
+    string-keyed and `sorted()` never compares str with None). `to_table`
+    decodes back to a null group_key. The per-batch partial groupby runs
+    on utf-8 BYTES keys: pandas' string-key groupby hashes object strings
+    as C strings and silently merges distinct groups at an embedded NUL
+    byte, while bytes keys take the exact PyObject hashtable (verified on
+    pandas 2.2.2)."""
 
-    NULL_GROUP = "\x1f<null>"  # \x1f, not NUL: pandas groupby C-string-truncates at \x00
+    NULL_GROUP = "n"  # encoded-state key for the null group ("v"+value otherwise)
 
     def __init__(self, group_col: str, measure_col: str):
         self.group_col = group_col
@@ -115,10 +119,12 @@ class IncrementalGroupAgg:
         null_grp = self.NULL_GROUP
 
         def _grp(series: pd.Series):
-            # sentinel BEFORE the groupby: pandas' default dropna would
-            # silently discard null-group deltas
+            # encode BEFORE the groupby: pandas' default dropna would
+            # silently discard null-group deltas ("n" = null, "v"+value
+            # otherwise — prefix-free, so no user value collides)
             arr = series.to_numpy(dtype=object)
-            return np.where(pd.isna(arr), null_grp, arr)
+            enc = pd.Series(arr, dtype=object).radd("v").to_numpy(dtype=object)
+            return np.where(pd.isna(arr), null_grp, enc)
 
         def partials(df: pd.DataFrame) -> pd.DataFrame:
             parts = []
@@ -152,7 +158,11 @@ class IncrementalGroupAgg:
                         "d_m": pd.Series([], dtype="int64"),
                     }
                 )
-            return pd.concat(parts).groupby("grp", as_index=False).sum()
+            cat = pd.concat(parts)
+            # bytes keys: string-key groupby NUL-truncates object strings
+            out = cat.groupby(cat["grp"].str.encode("utf-8"))[["d_n", "d_m"]].sum().reset_index()
+            out["grp"] = out["grp"].str.decode("utf-8")
+            return out[["grp", "d_n", "d_m"]]
 
         # stream the (≤ groups-per-batch)-row partials; the raw feed never
         # materializes on the driver
@@ -171,7 +181,7 @@ class IncrementalGroupAgg:
         return pa.table(
             {
                 "group_key": pa.array(
-                    [None if k == self.NULL_GROUP else k for k in keys], pa.string()
+                    [None if k == self.NULL_GROUP else k[1:] for k in keys], pa.string()
                 ),
                 "n_keys": pa.array([self.state[k][0] for k in keys], pa.int64()),
                 "sum_measure": pa.array([self.state[k][1] for k in keys], pa.int64()),
@@ -194,6 +204,10 @@ class IncrementalGroupAgg:
                 {
                     "group_col": self.group_col,
                     "measure_col": self.measure_col,
+                    # state keys are prefix-free encoded ("n"/"v"+value);
+                    # v1 states (raw keys + NUL sentinel) must not be
+                    # silently reinterpreted — load() rejects them
+                    "state_format": 2,
                     "applied_epoch": self.applied_epoch,
                     "state": self.state,
                 },
@@ -207,6 +221,11 @@ class IncrementalGroupAgg:
 
         with open(path) as f:
             d = json.load(f)
+        if d.get("state_format") != 2:
+            raise ValueError(
+                f"incremental view state at {path} uses an old key encoding "
+                "(pre-prefix-free) — rebuild the view (it is derived state)"
+            )
         view = cls(d["group_col"], d["measure_col"])
         view.state = {k: [int(a), int(b)] for k, (a, b) in d["state"].items()}
         view.applied_epoch = int(d["applied_epoch"])

@@ -83,6 +83,8 @@ class SecondaryIndex:
                 meta["column"] != column
                 or meta["num_partitions"] != num_partitions
                 or meta.get("num_subshards", 8) != num_subshards
+                # postings dedup keys embed KEY_SEP: reject cross-separator reopen
+                or meta.get("key_sep") != KEY_SEP
             ):
                 raise ValueError(
                     f"index at {index_dir} was built on column={meta['column']!r} "
@@ -115,6 +117,7 @@ class SecondaryIndex:
                 "column": self.column,
                 "num_partitions": self.num_partitions,
                 "num_subshards": self.num_subshards,
+                "key_sep": KEY_SEP,
                 "applied_epoch": self.applied_epoch,
                 "pending_to": self.pending_to,
             },

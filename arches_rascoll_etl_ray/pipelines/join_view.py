@@ -50,6 +50,7 @@ import pyarrow.parquet as pq
 import ray
 
 from arches_rascoll_etl_ray.functions.hashing import (
+    KEY_SEP,
     combine_key,
     key_hash64,
     stable_hash64,
@@ -80,6 +81,9 @@ class IncrementalJoinView:
                 meta["join_col"] != join_col
                 or meta["num_partitions"] != num_partitions
                 or meta.get("right_path", "state") != right_path
+                # stored a_key composites embed the separator: a view
+                # written under a different KEY_SEP must be rejected
+                or meta.get("key_sep") != KEY_SEP
             ):
                 raise ValueError(
                     f"join view at {view_dir} was built with join_col="
@@ -116,6 +120,7 @@ class IncrementalJoinView:
                 "join_col": self.join_col,
                 "num_partitions": self.num_partitions,
                 "right_path": self.right_path,
+                "key_sep": KEY_SEP,
                 "applied_a": self.applied_a,
                 "applied_b": self.applied_b,
                 "pending_a": self.pending_a,

@@ -374,3 +374,29 @@ def test_incremental_view_null_group(tmp_path):
     t2 = loaded.to_table().to_pandas()
     nulls = t2[t2["group_key"].isna()]
     assert len(nulls) == 1 and nulls.iloc[0]["sum_measure"] == 11
+
+
+def test_incremental_view_nul_bearing_groups_stay_distinct():
+    """Regression: pandas' string-key groupby hashes object strings as C
+    strings and merges distinct groups at an embedded NUL. The partial
+    groupby now runs on utf-8 BYTES keys (exact PyObject hashtable), and a
+    user value equal to the old sentinel text cannot collide with the null
+    group (prefix-free 'n'/'v'+value state encoding)."""
+    import ray
+
+    view = IncrementalGroupAgg(group_col="lang", measure_col="lsn")
+    feed = ray.data.from_arrow(
+        pa.table(
+            {
+                "op": ["I", "I", "I", "I"],
+                "new_lang": pa.array(["g\x00a", "g\x00b", "g\x00a", "\x1f<null>"], pa.string()),
+                "old_lang": pa.array([None] * 4, pa.string()),
+                "new_lsn": pa.array([1, 2, 4, 8], pa.int64()),
+                "old_lsn": pa.array([None] * 4, pa.int64()),
+            }
+        )
+    )
+    view.apply(feed)
+    t = view.to_table().to_pandas()
+    by_key = {k: (n, s) for k, n, s in t.itertuples(index=False)}
+    assert by_key == {"g\x00a": (2, 5), "g\x00b": (1, 2), "\x1f<null>": (1, 8)}

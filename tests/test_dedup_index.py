@@ -332,3 +332,33 @@ def test_shared_repo_prefix_exact(tmp_path):
     )
     assert got == _brute_pairs(docs)
     assert len(got) > 0  # the corpus genuinely has near-dup pairs
+
+
+def test_key_sep_layout_pin_rejected(tmp_path):
+    """An index written under a different composite-key separator (e.g. the
+    pre-fix NUL) must be rejected on reopen, not silently mismatched."""
+    import json
+
+    d = str(tmp_path / "idx")
+    IncrementalNearDup(d, num_partitions=4)._save_meta()
+    meta_path = os.path.join(d, "_neardup_meta.json")
+    m = json.load(open(meta_path))
+    m["key_sep"] = "\x00"
+    json.dump(m, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="signature/layout pin"):
+        IncrementalNearDup(d, num_partitions=4)
+    # a meta with NO key_sep field (pre-pin layout) is likewise rejected
+    del m["key_sep"]
+    json.dump(m, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="signature/layout pin"):
+        IncrementalNearDup(d, num_partitions=4)
+
+
+def test_key_sep_in_repo_rejected_at_ingest(tmp_path):
+    """repo/path containing the reserved separator byte must fail loudly at
+    the spill's key hash, not silently mis-parse downstream composites."""
+    rows = [("I", "bad\x1frepo", "hello world text")]
+    clog = _mk_changelog(tmp_path, rows)
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=2))
+    with pytest.raises(Exception, match="reserved separator"):
+        eng.apply_epoch(clog, max_events=5)
