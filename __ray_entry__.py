@@ -43,7 +43,7 @@ _PRIORITY = [
     "q_sample_portable_md5", "q_stratified_sample", "q_token_count",
     "q_regex_redact", "q_quality_score", "q_lang_id", "q_fingerprint",
     "q_vocab_topk", "q_repetition_score", "q_dup_spans",
-    "q_dedup_spans_removed", "q_curation", "q_multimodal_features",
+    "q_dedup_spans_removed", "q_curation", "q_pack_sequences",
     "q_multimodal_features_real", "q_frame_sample",
     # Representative relational subset (one per operator family)
     # (q_lww_latest_event stays in queries() but outside the window: the

@@ -763,6 +763,100 @@ def q_token_count(sf_dir: str):
     return ds.map_batches(count, batch_format="pandas")
 
 
+# Sequence packing: training-example construction packs documents into
+# fixed-capacity token bins. This is the concat-then-chunk assignment
+# (deterministic, order-defined): documents are laid out end-to-end in
+# doc_id order and each document belongs to the bin its FIRST token lands
+# in — bin_id = exclusive_prefix_tokens // PACK_LEN. A document that
+# straddles a boundary stays whole in its starting bin (no splitting),
+# matching the common "greedy contiguous packing" used for LLM pretraining
+# batches. The global ordered prefix sum is distributed: per-range-shard
+# token totals (≤ _PACK_SHARDS rows to the driver), an exclusive scan over
+# those on the driver, then a per-shard vectorized cumsum + offset.
+_PACK_LEN = 256
+_PACK_SHARDS = 64
+
+
+@register(
+    "q_pack_sequences",
+    f"""
+    SELECT doc_id, n_tokens,
+           CAST((running - n_tokens) // {_PACK_LEN} AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS running
+      FROM documents
+    )
+    """,
+)
+def q_pack_sequences(sf_dir: str):
+    """Greedy contiguous sequence packing (see the module note above):
+    assigns every document a training-bin id under a global doc_id-ordered
+    token layout. Scale shape: the regex tokenization runs ONCE
+    (map_batches over text, then the tiny (doc_id, n_tokens, shard)
+    projection is materialized — ~16 B/doc, 0.1% of corpus bytes — so the
+    two consumers below don't re-tokenize); the driver holds only
+    ≤ _PACK_SHARDS shard totals for the exclusive scan; bin assignment is
+    a per-shard vectorized cumsum. doc_id ranges give the shard → order
+    correspondence (doc_id is the dense layout order; any total order
+    with range stats would do)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    if n_docs == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "bin_id": pa.array([], pa.int64()),
+            }
+        )
+    rng = max(1, math.ceil(n_docs / _PACK_SHARDS))
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "n_tokens": textfns.re_token_counts(df["text"]),
+                "_sh": (d // rng).astype(np.int32),
+            }
+        )
+
+    tok_ds = ds.map_batches(tok, batch_format="pandas").materialize()
+
+    # exclusive scan over the ≤ _PACK_SHARDS per-shard totals (driver-side,
+    # bounded); shards are doc_id ranges so shard order IS layout order
+    shard_rows = tok_ds.groupby("_sh").aggregate(Sum("n_tokens", alias_name="tot")).take_all()
+    totals = {int(r["_sh"]): int(r["tot"]) for r in shard_rows}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for sh in sorted(totals):
+        offsets[sh] = acc
+        acc += totals[sh]
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        t = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = offsets[int(g["_sh"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(t)[:-1])
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_tokens": t,
+                "bin_id": (start // _PACK_LEN).astype(np.int64),
+            }
+        )
+
+    return tok_ds.groupby("_sh").map_groups(assign, batch_format="pandas")
+
+
 # PII-masking shape: the operator is a generic RE2 redaction (mask every
 # substring matching a pattern, count the masks, extract the first match).
 # Real deployments pass email/phone/IP patterns; the synthetic corpus has

@@ -335,3 +335,28 @@ def test_repetition_score_exact_values():
     assert len(res) == len(ora)
     for c in ("dup_word_e3", "top2_cover_e3"):
         assert (res[c].sort_index() == ora[c].sort_index()).all()
+
+
+def test_pack_sequences_properties():
+    """Greedy contiguous packing invariants: bin ids are non-decreasing in
+    doc_id order (bins are contiguous doc ranges), every doc's bin is the
+    bin its first token lands in (bin = exclusive-prefix // L), and no bin
+    is skipped. Exact equality vs SQL is the oracle gate's job; this pins
+    the packing SEMANTICS independent of the twin."""
+    import numpy as np
+
+    from arches_rascoll_etl_ray.pipelines.training import _PACK_LEN, q_pack_sequences
+
+    out = q_pack_sequences(SF_SMOKE).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) > 0
+    bins = out["bin_id"].to_numpy()
+    toks = out["n_tokens"].to_numpy()
+    # contiguous, no skips, starts at 0
+    assert bins[0] == 0
+    assert ((np.diff(bins) == 0) | (np.diff(bins) == 1)).all()
+    # definitional check against the prefix sum
+    start = np.concatenate(([0], np.cumsum(toks)[:-1]))
+    assert (bins == start // _PACK_LEN).all()
+    # docs stay whole: a multi-doc corpus at L=256 with ~56-token docs must
+    # actually pack several docs per bin
+    assert bins.max() < len(out) / 2
