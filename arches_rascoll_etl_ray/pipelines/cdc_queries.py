@@ -338,6 +338,56 @@ def cdc_incremental_mv(sf_dir: str):
     )
 
 
+def cdc_distinct_mv(sf_dir: str):
+    """Deletion-safe incrementally-maintained DISTINCT-count view: replay
+    the events change stream in 4 epochs; after each epoch fold only that
+    epoch's changefeed into an IncrementalDistinctAgg (refcount per
+    (group, value) pair — a sketch can't retract, refcounts can). The
+    counted value is a derived bucket (event_id mod 97, the stand-in for a
+    real deployment's domain/bucket extractor) so pairs genuinely collide
+    and refcounts matter; updates move refs across BOTH groups and values.
+    The oracle recomputes count(DISTINCT ...) from the final LWW state from
+    scratch — any retraction drift is a hash mismatch."""
+    from arches_rascoll_etl_ray.pipelines.incremental import IncrementalDistinctAgg
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    avail = max_available_lsn(clog_dir)
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"events_dmv_{tag}"), num_partitions=8))
+
+    def bucket(s):
+        import pandas as pd
+
+        return pd.to_numeric(s, errors="coerce").astype("Int64") % 97
+
+    view = IncrementalDistinctAgg(group_col="lang", value_col="commit", value_map=bucket)
+    per = max(1, avail // 4)
+    prev = 0
+    while True:
+        ckpt = eng.apply_epoch(clog_dir, max_events=per)
+        if ckpt.epoch == prev:
+            break
+        view.apply(eng.changefeed(prev, ckpt.epoch))
+        prev = ckpt.epoch
+    return view.to_table()
+
+
+QUERIES["cdc_distinct_mv"] = cdc_distinct_mv
+ORACLE_SQL["cdc_distinct_mv"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    )
+    SELECT event_type AS group_key,
+           CAST(count(DISTINCT event_id % 97) AS BIGINT) AS n_distinct
+    FROM last WHERE rn = 1 AND event_type <> 'delete'
+    GROUP BY event_type
+"""
+
+
 QUERIES["cdc_incremental_mv"] = cdc_incremental_mv
 ORACLE_SQL["cdc_incremental_mv"] = """
     WITH ordered AS (

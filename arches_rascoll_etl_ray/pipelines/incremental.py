@@ -232,6 +232,181 @@ class IncrementalGroupAgg:
         return view
 
 
+class IncrementalDistinctAgg:
+    """count(DISTINCT value) per group, maintained from changefeed deltas —
+    the deletion-safe distinct view. A plain sketch (HLL) cannot retract, so
+    the state is a REFCOUNT per (group, value): I adds +1 to the new image's
+    pair, D adds -1 to the old image's, U moves one ref from the old pair to
+    the new (handling BOTH group moves and value moves); a value counts
+    toward its group's distinct total while its refcount > 0. Integer
+    refcounts make the fold exact and order-independent, so the incremental
+    view is bit-equal to a from-scratch `count(DISTINCT ...)` of the final
+    state (pinned at every epoch horizon in tests/test_changefeed.py).
+
+    `value_map` (optional, vectorized, deterministic) derives the counted
+    value from the raw column — a real deployment passes e.g. a domain
+    extractor (distinct domains per language); it is applied to old and new
+    images identically so retraction always hits the pair insertion hit.
+
+    Scale shape: per-batch partials are (group, value, Δref) — one row per
+    touched pair per batch; only those reach the driver. Driver state is
+    bounded by live (group, value) cardinality, the right tool for
+    bounded-domain views. For an unbounded value domain, derive distinct
+    counts from the sharded postings store instead (pipelines/index.py
+    SecondaryIndex: distinct count == per-value postings cardinality) —
+    this class intentionally stays driver-small like IncrementalGroupAgg.
+
+    Keys share IncrementalGroupAgg's hardening: prefix-free 'n'/'v'+value
+    encoding (no null sentinel can collide with user data) and bytes-key
+    pandas groupbys (the str path C-truncates at embedded NULs); state is
+    a nested dict {group: {value: refcount}} so no separator byte exists
+    to collide with either."""
+
+    NULL_KEY = "n"  # encoded null ("v"+value otherwise), groups AND values
+
+    def __init__(self, group_col: str, value_col: str, value_map=None):
+        self.group_col = group_col
+        self.value_col = value_col
+        self.value_map = value_map
+        # group -> {value -> refcount}
+        self.state: dict[str, dict[str, int]] = {}
+
+    def _enc(self, series: pd.Series, is_value: bool = False) -> np.ndarray:
+        arr = series.to_numpy(dtype=object)
+        if is_value and self.value_map is not None:
+            arr = pd.Series(self.value_map(pd.Series(arr)), dtype=object).to_numpy(dtype=object)
+        # str-render THEN null-mask on the pre-render array: a float NaN
+        # becomes NULL_KEY, never the "vnan" a real "nan" string encodes to
+        enc = pd.Series(arr, dtype=object).astype(str).radd("v").to_numpy(dtype=object)
+        return np.where(pd.isna(arr), self.NULL_KEY, enc)
+
+    def apply(self, feed: ray.data.Dataset) -> None:
+        g, v = self.group_col, self.value_col
+        enc = self._enc
+
+        def img(df: pd.DataFrame, col: str, side: str) -> pd.Series:
+            # key columns ride the feed BARE (they identify the row, so
+            # old image == new image == the key); value columns are
+            # old_/new_ prefixed (changefeed_schema, stages/merge.py)
+            pref = side + "_" + col
+            return df[pref] if pref in df.columns else df[col]
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            add = df[df["op"].isin(("I", "U"))]
+            if len(add):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "grp": enc(img(add, g, "new")),
+                            "val": enc(img(add, v, "new"), True),
+                            "d": 1,
+                        }
+                    )
+                )
+            sub = df[df["op"].isin(("D", "U"))]
+            if len(sub):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "grp": enc(img(sub, g, "old")),
+                            "val": enc(img(sub, v, "old"), True),
+                            "d": -1,
+                        }
+                    )
+                )
+            if not parts:
+                return pd.DataFrame(
+                    {
+                        "grp": pd.Series([], dtype=object),
+                        "val": pd.Series([], dtype=object),
+                        "d": pd.Series([], dtype="int64"),
+                    }
+                )
+            cat = pd.concat(parts)
+            # bytes keys: pandas' str-key groupby NUL-truncates object strings
+            out = (
+                cat.groupby(
+                    [cat["grp"].str.encode("utf-8"), cat["val"].str.encode("utf-8")]
+                )["d"]
+                .sum()
+                .reset_index()
+            )
+            out["grp"] = out["grp"].str.decode("utf-8")
+            out["val"] = out["val"].str.decode("utf-8")
+            return out[["grp", "val", "d"]]
+
+        for batch in feed.map_batches(partials, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        ):
+            for grp, val, d in batch[["grp", "val", "d"]].itertuples(index=False):
+                vals = self.state.setdefault(grp, {})
+                nxt = vals.get(val, 0) + int(d)
+                if nxt == 0:
+                    vals.pop(val, None)
+                else:
+                    vals[val] = nxt
+        self.state = {k: v for k, v in self.state.items() if v}
+
+    def to_table(self) -> pa.Table:
+        keys = sorted(self.state)
+        return pa.table(
+            {
+                "group_key": pa.array(
+                    [None if k == self.NULL_KEY else k[1:] for k in keys], pa.string()
+                ),
+                "n_distinct": pa.array([len(self.state[k]) for k in keys], pa.int64()),
+            }
+        )
+
+    # ------------------------------------------------- cross-run persistence
+
+    applied_epoch: int = 0
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "group_col": self.group_col,
+                    "value_col": self.value_col,
+                    "state_format": 2,
+                    "has_value_map": self.value_map is not None,
+                    "applied_epoch": self.applied_epoch,
+                    "state": self.state,
+                },
+                f,
+            )
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, value_map=None) -> "IncrementalDistinctAgg":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        if d.get("state_format") != 2:
+            raise ValueError(
+                f"distinct view state at {path} uses an old key encoding — "
+                "rebuild the view (it is derived state)"
+            )
+        if d.get("has_value_map", False) != (value_map is not None):
+            raise ValueError(
+                "distinct view state was saved with a different value_map "
+                "presence — refcounts keyed on mapped values cannot be "
+                "reinterpreted; rebuild the view"
+            )
+        view = cls(d["group_col"], d["value_col"], value_map=value_map)
+        view.state = {
+            g: {vk: int(r) for vk, r in vals.items()} for g, vals in d["state"].items()
+        }
+        view.applied_epoch = int(d["applied_epoch"])
+        return view
+
+
 def sync_view(engine, view: IncrementalGroupAgg, store_path: str | None = None) -> IncrementalGroupAgg:
     """Catch a view up to the engine's latest committed epoch by folding
     ONLY the changefeed since the view's applied-epoch watermark — the

@@ -137,6 +137,8 @@ def run_queries() -> dict:
         "cdc_index_evolution",
         "q_multimodal_features_real",
         "cdc_join_view",
+        # late round-5: sequence packing (distributed ordered prefix sum)
+        "q_pack_sequences",
     ]
     qs = em.queries()
     out = {}

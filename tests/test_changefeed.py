@@ -400,3 +400,85 @@ def test_incremental_view_nul_bearing_groups_stay_distinct():
     t = view.to_table().to_pandas()
     by_key = {k: (n, s) for k, n, s in t.itertuples(index=False)}
     assert by_key == {"g\x00a": (2, 5), "g\x00b": (1, 2), "\x1f<null>": (1, 8)}
+
+
+def test_distinct_view_matches_recompute_at_every_epoch(changelog, tmp_path):
+    """Refcounted distinct view: incremental fold ≡ from-scratch
+    count(DISTINCT repo) per lang at every epoch horizon (deletes and
+    updates retract refs; a (lang, repo) pair only leaves the view when its
+    last file does)."""
+    from arches_rascoll_etl_ray.pipelines.incremental import IncrementalDistinctAgg
+
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake_dv"), num_partitions=8))
+    view = IncrementalDistinctAgg(group_col="lang", value_col="repo")
+    prev = 0
+    while True:
+        ckpt = eng.apply_epoch(changelog, max_events=700)
+        if ckpt.epoch == prev:
+            break
+        view.apply(eng.changefeed(prev, ckpt.epoch))
+        prev = ckpt.epoch
+        snap = eng.snapshot_table().to_pandas()
+        expect = (
+            snap.groupby("lang")["repo"]
+            .nunique()
+            .reset_index()
+            .rename(columns={"repo": "n_distinct"})
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        got = view.to_table().to_pandas().rename(columns={"group_key": "lang"})
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_distinct_view_refcounts_and_nulls(tmp_path):
+    """Refcount semantics under value/group moves, NUL-bearing values, and
+    null groups/values; save/load pins the value_map presence."""
+    import ray
+
+    from arches_rascoll_etl_ray.pipelines.incremental import IncrementalDistinctAgg
+
+    def feed(rows):
+        ops, og, ov, ng, nv = (list(x) for x in zip(*rows))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "op": pa.array(ops, pa.string()),
+                    "old_lang": pa.array(og, pa.string()),
+                    "old_repo": pa.array(ov, pa.string()),
+                    "new_lang": pa.array(ng, pa.string()),
+                    "new_repo": pa.array(nv, pa.string()),
+                }
+            )
+        )
+
+    view = IncrementalDistinctAgg(group_col="lang", value_col="repo")
+    # two files in (py, r1), one in (py, r\x00a), one null-group, one null value
+    view.apply(
+        feed(
+            [
+                ("I", None, None, "py", "r1"),
+                ("I", None, None, "py", "r1"),
+                ("I", None, None, "py", "r\x00a"),
+                ("I", None, None, None, "rX"),
+                ("I", None, None, "py", None),
+            ]
+        )
+    )
+    t = {r["group_key"]: r["n_distinct"] for r in view.to_table().to_pylist()}
+    assert t == {"py": 3, None: 1}  # r1, r\x00a, NULL-value bucket
+    # delete ONE of the two (py, r1) files: r1 must remain distinct-live
+    view.apply(feed([("D", "py", "r1", None, None)]))
+    t = {r["group_key"]: r["n_distinct"] for r in view.to_table().to_pylist()}
+    assert t["py"] == 3
+    # move the last (py, r1) ref to (go, r1): py loses r1, go gains it
+    view.apply(feed([("U", "py", "r1", "go", "r1")]))
+    t = {r["group_key"]: r["n_distinct"] for r in view.to_table().to_pylist()}
+    assert t == {"py": 2, "go": 1, None: 1}
+    # persistence round-trip + value_map presence pin
+    p = str(tmp_path / "dv.json")
+    view.save(p)
+    back = IncrementalDistinctAgg.load(p)
+    assert back.state == view.state
+    with pytest.raises(ValueError, match="value_map"):
+        IncrementalDistinctAgg.load(p, value_map=lambda s: s)
