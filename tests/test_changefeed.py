@@ -482,3 +482,49 @@ def test_distinct_view_refcounts_and_nulls(tmp_path):
     assert back.state == view.state
     with pytest.raises(ValueError, match="value_map"):
         IncrementalDistinctAgg.load(p, value_map=lambda s: s)
+
+
+def test_distinct_view_sync_store_and_crash_window(changelog, tmp_path):
+    """sync_view is duck-typed over the distinct view: persisted watermark
+    resumes mid-history, and a crash BEFORE save (simulated by discarding
+    the synced view) re-folds the same window from the old watermark and
+    converges to the identical state — the fold of a diff between two
+    horizons is deterministic."""
+    from arches_rascoll_etl_ray.pipelines.incremental import (
+        IncrementalDistinctAgg,
+        sync_view,
+    )
+
+    lake = str(tmp_path / "lake_dsync")
+    store = str(tmp_path / "dview.json")
+    eng = CDCEngine(EngineConfig(lake_dir=lake, num_partitions=8))
+    eng.apply_epoch(changelog, max_events=1200)  # epoch 1
+
+    view = IncrementalDistinctAgg("lang", "repo")
+    sync_view(eng, view, store)
+    assert view.applied_epoch == 1
+
+    eng.apply_epoch(changelog, max_events=1200)  # epoch 2
+    eng.apply_epoch(changelog)  # epoch 3 (rest)
+
+    # crash window: sync WITHOUT persisting (store untouched at epoch 1)
+    crashed = IncrementalDistinctAgg.load(store)
+    sync_view(eng, crashed, store_path=None)
+    assert crashed.applied_epoch == 3
+
+    # "next run": reload the epoch-1 store, re-fold the same 2..3 window
+    view2 = IncrementalDistinctAgg.load(store)
+    assert view2.applied_epoch == 1
+    sync_view(eng, view2, store)
+    assert view2.applied_epoch == 3 and view2.state == crashed.state
+
+    snap = eng.snapshot_table().to_pandas()
+    expect = (
+        snap.groupby("lang")["repo"]
+        .nunique()
+        .reset_index()
+        .rename(columns={"lang": "group_key", "repo": "n_distinct"})
+        .sort_values("group_key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(view2.to_table().to_pandas(), expect, check_dtype=False)
