@@ -35,12 +35,15 @@ _PRIORITY = [
     "cdc_multi_table", "cdc_changefeed", "cdc_incremental_mv",
     "cdc_replicate", "cdc_time_travel", "cdc_secondary_index",
     "cdc_index_evolution", "cdc_dedup_incremental", "cdc_join_view",
+    "cdc_lineage",
     # Training-data / LLM-curation flagship ops
     "dedup_exact", "q_dedup_clusters", "q_simhash_clusters",
     "q_embedding_clusters", "q_ngram_jaccard_pairs", "knn_brute",
     "q_contamination", "q_heavy_hitters", "q_term_importance",
+    # (q_sample_portable_md5 yields its window slot to cdc_lineage: the
+    # sampling family keeps q_sample_deterministic + q_stratified_sample)
     "q_hll_registers", "q_hll_by_group", "q_sample_deterministic",
-    "q_sample_portable_md5", "q_stratified_sample", "q_token_count",
+    "q_stratified_sample", "q_token_count",
     "q_regex_redact", "q_quality_score", "q_lang_id", "q_fingerprint",
     "q_vocab_topk", "q_repetition_score", "q_dup_spans",
     "q_dedup_spans_removed", "q_curation", "q_pack_sequences",

@@ -117,6 +117,61 @@ def key_hash64(table_or_cols, left: str = "repo", right: str = "path") -> np.nda
     return _mix64(h)
 
 
+def _mulmod64_sql(z: str, c: int) -> str:
+    """SQL expr for (z * c) mod 2^64 — `z` a UBIGINT column/expr, `c` a
+    uint64 constant — via 32-bit limb split (a full HUGEINT product of two
+    ~2^64 values overflows INT128). Same construction as the training
+    samplers' splitmix twin (pipelines/training.py)."""
+    m64 = 1 << 64
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"CAST(((((CAST(({z}) >> 32 AS HUGEINT) * {cl} + "
+        f"CAST(({z}) & 4294967295 AS HUGEINT) * {ch}) % 4294967296) * 4294967296) + "
+        f"CAST(({z}) & 4294967295 AS HUGEINT) * {cl}) % {m64} AS UBIGINT)"
+    )
+
+
+def key_hash64_sql(inner_sql: str, repo_expr: str, path_const: str, carry_cols: list[str]) -> str:
+    """Generated DuckDB twin of `key_hash64` — bit-exact (pinned in
+    tests/test_hashing.py), so an oracle can reproduce the engine's
+    key→partition routing in pure SQL (the cdc_lineage oracle).
+
+    Returns a SELECT over `inner_sql` whose `kh` column is
+    key_hash64(repo_expr, path_const) as UBIGINT; `carry_cols` ride along.
+    Built as a CHAIN of subselects — one hash step per level — because
+    inlining (each mul-mod repeats its operand 4×, the mixer repeats twice
+    per round) blows the expression up ~4^10 and DuckDB's planner never
+    returns. The variable-length repo fold is a list_reduce over the
+    string's bytes; the constant path + the separator boundary (≡ folding a
+    0x00 byte, see the `h * _FNV_PRIME` line in key_hash64) unroll to fixed
+    steps. ASCII-only: ord(substr(...)) reads codepoints, which equal bytes
+    exactly for the engine's synthesized keys."""
+    offset = int(_FNV_OFFSET)
+    prime = int(_FNV_PRIME)
+    cc = ", ".join(carry_cols)
+    bytes_l = (
+        f"list_transform(range(1, length({repo_expr})+1),"
+        f" i -> CAST(ord(substr({repo_expr}, i, 1)) AS UBIGINT))"
+    )
+    lam = f"xor({_mulmod64_sql('h', prime)}, b)"
+    q = (
+        f"SELECT {cc}, list_reduce(list_prepend(CAST({offset} AS UBIGINT), {bytes_l}),"
+        f" (h, b) -> {lam}) AS kh FROM ({inner_sql})"
+    )
+    steps = [_mulmod64_sql("kh", prime)]  # separator boundary fold
+    for byte in path_const.encode():
+        steps.append(f"xor({_mulmod64_sql('kh', prime)}, CAST({byte} AS UBIGINT))")
+    # _mix64 finalizer (splitmix64 finalizer, no gamma add)
+    steps.append("xor(kh, kh >> 30)")
+    steps.append(_mulmod64_sql("kh", 0xBF58476D1CE4E5B9))
+    steps.append("xor(kh, kh >> 27)")
+    steps.append(_mulmod64_sql("kh", 0x94D049BB133111EB))
+    steps.append("xor(kh, kh >> 31)")
+    for s in steps:
+        q = f"SELECT {cc}, {s} AS kh FROM ({q})"
+    return q
+
+
 def stable_hash64(arr) -> np.ndarray:
     """Vectorized, process-stable 64-bit hash of a string array.
 

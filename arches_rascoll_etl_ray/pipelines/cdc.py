@@ -1234,6 +1234,52 @@ class CDCEngine:
             "rows": sum(i["rows"] for i in ckpt.partitions.values()),
         }
 
+    def lineage(self) -> pa.Table:
+        """Per-partition lineage read from the commit records themselves
+        (north-star requirement: "every partition emits lineage (offset
+        ranges, applied-LSN watermark)"). One row per partition with data:
+
+          partition       int64  partition id
+          applied_lsn     int64  partition-local watermark: max LSN folded
+                                 into the latest committed snapshot
+          events_applied  int64  winner rows folded (sum over retained epoch
+                                 manifests; distinct-LSN counted at merge).
+                                 NB: the map-side LWW combiner collapses
+                                 superseded same-key events before the
+                                 shuffle, so this is the engine's WORK
+                                 metric (batch-boundary dependent), not the
+                                 raw stream event count — the oracled
+                                 cdc_lineage query exposes only the
+                                 crash-exact columns
+          live_rows       int64  rows in the latest committed snapshot
+          epochs_active   int64  epochs that routed ≥1 event here
+          first_epoch     int64  earliest / latest retained epoch with
+          last_epoch      int64  events for this partition
+
+        Sourced ONLY from manifest JSONs — no data files are opened, so the
+        scan cost is O(partitions × epochs) tiny reads. Fan-out: one Ray
+        task per partition directory (the export_snapshot shape) so
+        wall-time scales with cores, not partition count. Horizon: since
+        the last vacuum — vacuum trims superseded manifests, exactly like
+        metrics_history; uncommitted-future manifests from a crashed
+        attempt (epoch > checkpoint) are excluded."""
+        import ray as _ray
+
+        ckpt = self.checkpoint()
+        parts = sorted(ckpt.partitions)
+        scan = _ray.remote(_scan_partition_lineage)
+        rows = _ray.get(
+            [scan.remote(self.cfg.lake_dir, p, ckpt.epoch) for p in parts]
+        )
+        rows = [r for r in rows if r is not None]
+        cols = [
+            "partition", "applied_lsn", "events_applied",
+            "live_rows", "epochs_active", "first_epoch", "last_epoch",
+        ]
+        return pa.table(
+            {c: pa.array([r[c] for r in rows], pa.int64()) for c in cols}
+        )
+
     def export_snapshot(self, out_dir: str, fmt: str = "parquet") -> int:
         """Materialize the live snapshot as a directory of per-partition
         files (resumable: finished partitions are skipped on rerun — the
@@ -1349,6 +1395,46 @@ class CDCEngine:
                     os.remove(os.path.join(pdir, f))
                     removed += 1
         return removed
+
+
+def _scan_partition_lineage(lake_dir: str, part: int, max_epoch: int) -> dict | None:
+    """Worker side of CDCEngine.lineage(): fold ONE partition's retained
+    manifest JSONs (epoch ≤ max_epoch — the committed horizon) into its
+    lineage row. Pure metadata: never opens a data/run file."""
+    import json as _json
+    import re as _re
+
+    from arches_rascoll_etl_ray.state.manifest import partition_dir as _pdir
+
+    mani_re = _re.compile(r"^manifest_epoch(\d{9})\.json$")
+    pdir = _pdir(lake_dir, part)
+    try:
+        names = os.listdir(pdir)
+    except FileNotFoundError:
+        return None
+    manis = []
+    for name in names:
+        m = mani_re.match(name)
+        if not m or int(m.group(1)) > max_epoch:
+            continue
+        try:
+            with open(os.path.join(pdir, name)) as f:
+                manis.append(_json.load(f))
+        except (OSError, _json.JSONDecodeError):
+            continue  # torn write: same tolerance as load_latest_checkpoint
+    if not manis:
+        return None
+    latest = max(manis, key=lambda d: d["epoch"])
+    active = [d for d in manis if d.get("events_applied", 0) > 0]
+    return {
+        "partition": part,
+        "applied_lsn": latest["applied_lsn"],
+        "events_applied": sum(d.get("events_applied", 0) for d in manis),
+        "live_rows": latest["rows"],
+        "epochs_active": len(active),
+        "first_epoch": min(d["epoch"] for d in active) if active else 0,
+        "last_epoch": max(d["epoch"] for d in active) if active else 0,
+    }
 
 
 def _export_partition_file(cfg, info: dict, dst: str, fmt: str, cols, current_v: int) -> int:

@@ -984,3 +984,76 @@ ORACLE_SQL["cdc_retention"] = """
     WHERE rn = 1 AND event_type <> 'delete'
       AND lsn >= (SELECT count(*) // 2 FROM events)
 """
+
+
+def cdc_lineage(sf_dir: str):
+    """Per-partition lineage surface (the north star names it verbatim:
+    "every partition emits lineage (offset ranges, applied-LSN watermark)").
+
+    Replays the events changelog through the real engine, then reads the
+    lineage table from the COMMIT RECORDS alone (CDCEngine.lineage() — one
+    metadata task per partition, no data reads). The DuckDB oracle has to
+    reproduce the engine's key→partition routing bit-for-bit, so it runs
+    the generated SQL twin of functions.hashing.key_hash64 (FNV-1a-style
+    byte fold + separator boundary + splitmix64 finalizer, chained one step
+    per subselect) over 'user'||user_id / 'state' — the strongest oracle in
+    the suite: a single hash-bit deviation reroutes a key and flips four
+    columns at once.
+
+    Exposes the crash-exact columns only: `events_applied` (the API's
+    folded-winner count) is batch-boundary-dependent by design (the
+    map-side LWW combiner collapses superseded events before the shuffle),
+    so it has no deterministic SQL twin."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"lineage_{tag}"), num_partitions=8))
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    per_epoch = max(1, max_available_lsn(clog_dir) // 4)
+    eng.replay(clog_dir, events_per_epoch=per_epoch)
+    lin = eng.lineage()
+    return lin.select(["partition", "applied_lsn", "live_rows", "epochs_active"])
+
+
+def _lineage_oracle_sql() -> str:
+    from arches_rascoll_etl_ray.functions.hashing import key_hash64_sql
+
+    hashed = key_hash64_sql(
+        "SELECT lsn, user_id, event_type, 'user' || CAST(user_id AS VARCHAR) AS repo"
+        " FROM ordered",
+        "repo",
+        "state",
+        ["lsn", "user_id", "event_type"],
+    )
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (ORDER BY ts, event_id) AS lsn
+      FROM events
+    ), parts AS (
+      SELECT CAST(kh % 8 AS BIGINT) AS partition, lsn, user_id, event_type
+      FROM ({hashed})
+    ), pe AS (
+      SELECT greatest(1, count(*) // 4) AS v FROM events
+    ), last AS (
+      SELECT partition, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM parts
+    ), live AS (
+      SELECT partition, count(*) AS live_rows
+      FROM last WHERE rn = 1 AND event_type <> 'delete'
+      GROUP BY partition
+    ), agg AS (
+      SELECT partition,
+             max(lsn) AS applied_lsn,
+             count(DISTINCT (lsn - 1) // (SELECT v FROM pe)) AS epochs_active
+      FROM parts GROUP BY partition
+    )
+    SELECT a.partition, a.applied_lsn,
+           coalesce(l.live_rows, 0) AS live_rows, a.epochs_active
+    FROM agg a LEFT JOIN live l USING (partition)
+    """
+
+
+QUERIES["cdc_lineage"] = cdc_lineage
+ORACLE_SQL["cdc_lineage"] = _lineage_oracle_sql()

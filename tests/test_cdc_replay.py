@@ -699,3 +699,55 @@ def test_lease_steal_of_released_lease_reacquires(tmp_path):
     assert json.load(open(lease))["owner"] == wl.owner
     # and no claim debris
     assert not [f for f in os.listdir(lake) if ".steal-" in f]
+
+
+def test_lineage_from_manifests(changelog, tmp_lake, tmp_path):
+    """CDCEngine.lineage(): per-partition lineage sourced from the commit
+    records alone must (a) agree with a recomputed truth over the log, and
+    (b) be identical whether the replay ran one-shot or split across two
+    engine sessions (resume) — manifests are the lineage, not run history."""
+    eng = CDCEngine(EngineConfig(lake_dir=tmp_lake, num_partitions=8))
+    eng.replay(changelog, events_per_epoch=1000)
+    lin = eng.lineage()
+    assert lin.column_names == [
+        "partition", "applied_lsn", "events_applied",
+        "live_rows", "epochs_active", "first_epoch", "last_epoch",
+    ]
+
+    # truth recomputed from the raw log + the engine's own hash
+    import pyarrow.compute as pc
+
+    from arches_rascoll_etl_ray.functions.hashing import key_hash64
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    con = duckdb.connect()
+    log = con.execute(
+        f"SELECT * FROM read_parquet('{changelog}/changelog-*.parquet') ORDER BY lsn"
+    ).arrow()
+    con.close()
+    part = (key_hash64(log) % np.uint64(8)).astype(np.int64)
+    lsn = log["lsn"].to_numpy(zero_copy_only=False)
+    d = lin.to_pydict()
+    by_part = {p: i for i, p in enumerate(d["partition"])}
+    live = duckdb_fold(changelog)
+    live_part = (key_hash64(live) % np.uint64(8)).astype(np.int64)
+    for p in range(8):
+        m = part == p
+        if not m.any():
+            assert p not in by_part
+            continue
+        i = by_part[p]
+        assert d["applied_lsn"][i] == int(lsn[m].max())
+        assert d["live_rows"][i] == int((live_part == p).sum())
+        assert d["epochs_active"][i] == len(np.unique((lsn[m] - 1) // 1000))
+
+    # resume split: epochs 1-2 in one engine, rest in a fresh engine
+    lake2 = str(tmp_path / "lake2")
+    eng2a = CDCEngine(EngineConfig(lake_dir=lake2, num_partitions=8))
+    avail = max_available_lsn(changelog)
+    eng2a.apply_epoch(changelog, max_events=1000)
+    eng2a.apply_epoch(changelog, max_events=1000)
+    eng2b = CDCEngine(EngineConfig(lake_dir=lake2, num_partitions=8))
+    eng2b.replay(changelog, events_per_epoch=1000)
+    lin2 = eng2b.lineage()
+    assert lin.equals(lin2)

@@ -56,3 +56,27 @@ def test_table_content_sha_sensitivity():
     assert s(t1) != s(t2)
     assert s(t1) != s(t3)  # row-order sensitive by design (callers key-sort)
     assert s(t1) == s(pa.table({"a": ["x", "y"], "b": [1, 2]}))
+
+
+def test_key_hash64_sql_twin_bit_exact():
+    """The generated DuckDB pipeline (key_hash64_sql) must reproduce
+    key_hash64 bit-for-bit — the cdc_lineage oracle's routing depends on
+    every one of the 64 bits."""
+    import duckdb
+
+    from arches_rascoll_etl_ray.functions.hashing import key_hash64, key_hash64_sql
+
+    rng = np.random.default_rng(7)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789_-./"), dtype=object)
+    repos = ["".join(rng.choice(alpha, size=rng.integers(1, 24))) for _ in range(500)]
+    repos += ["user0", "user999999", "a", "z" * 63]
+    for path_const in ("state", "t", "src/lib/mod.rs"):
+        t = pa.table({"repo": repos, "path": [path_const] * len(repos)})
+        want = key_hash64(t)
+        con = duckdb.connect()
+        con.register("k", pa.table({"repo": repos}))
+        q = key_hash64_sql("SELECT repo FROM k", "repo", path_const, ["repo"])
+        got = (
+            con.sql(f"SELECT kh FROM ({q})").arrow()["kh"].to_numpy().astype(np.uint64)
+        )
+        assert np.array_equal(want, got), path_const
