@@ -3147,3 +3147,359 @@ def q_heavy_hitters(sf_dir: str):
         .sort(["n", "tok"], descending=[True, False])
     )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (retrieval scoring for curation / hard-negative mining)
+# ---------------------------------------------------------------------------
+
+# Query terms + parameters are module constants so the DuckDB twin is
+# GENERATED from the same truth (the q_curation threshold discipline).
+# Scoring is integer-exact e3 arithmetic — floor division everywhere, both
+# sides — so the hash gate compares int64, never floats.
+_BM25_QUERY = ("join", "scan", "merge")
+_BM25_K1_E3 = 1200  # k1 = 1.2
+_BM25_B_E3 = 750    # b = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    terms, k1, b = _BM25_QUERY, _BM25_K1_E3, _BM25_B_E3
+    tf_cols = ", ".join(
+        f"len(list_filter(l, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(((1000 * (n - df{i} + 1)) // (df{i} + 1)) * tf{i} * {k1 + 1000}) // "
+        f"(tf{i} * 1000 + ({k1} * (1000 - {b} + ({b} * dl * n) // total_tokens)) // 1000)"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), perdoc AS (
+      SELECT doc_id, len(l) AS dl, {tf_cols} FROM toks
+    ), stats AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS n, {df_cols}
+      FROM perdoc
+    )
+    SELECT doc_id, CAST({contribs} AS BIGINT) AS score_e3
+    FROM perdoc, stats
+    WHERE CAST({contribs} AS BIGINT) > 0
+    ORDER BY score_e3 DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@register("q_bm25_topk", _bm25_sql())
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval over the corpus for a fixed query (curation /
+    hard-negative mining staple). Okapi BM25 with the idf surrogate
+    (N-df+1)/(df+1), k1/b from module constants, all arithmetic integer-e3
+    floor division so the generated DuckDB twin matches hash-exact.
+
+    Distributed shape (100-TB path): ONE tokenize pass materializes only the
+    (doc_id, dl, tf×|q|) projection — 8·(|q|+2) bytes/doc, the text never
+    leaves the map stage (the q_pack_sequences projection discipline);
+    global stats (N, Σdl, per-term df) reduce from one ≤|blocks|-row
+    partial per batch; scoring is a second map over the tiny projection
+    with the stats inlined (driver ints, no shuffle); per-batch local top-k
+    caps what the final sort sees to k·blocks rows."""
+    terms = list(_BM25_QUERY)
+    k1, b, topk = _BM25_K1_E3, _BM25_B_E3, _BM25_TOPK
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).combine_chunks().to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        tok_np = flat.to_numpy(zero_copy_only=False)
+        nonempty = tok_np != ""
+        cols = {
+            "doc_id": t["doc_id"],
+            "dl": pa.array(np.bincount(row_of[nonempty], minlength=n).astype(np.int64)),
+        }
+        for i, term in enumerate(terms):
+            cols[f"tf{i}"] = pa.array(
+                np.bincount(row_of[tok_np == term], minlength=n).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    compact = ds.map_batches(proj, batch_format="pyarrow").materialize()
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        row = {
+            "n": pa.array([t.num_rows], pa.int64()),
+            "total_tokens": pa.array([pc.sum(t["dl"]).as_py() or 0], pa.int64()),
+        }
+        for i in range(len(terms)):
+            row[f"df{i}"] = pa.array(
+                [pc.sum(pc.cast(pc.greater(t[f"tf{i}"], 0), pa.int64())).as_py() or 0],
+                pa.int64(),
+            )
+        return pa.table(row)
+
+    parts = compact.map_batches(partial_stats, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in parts)
+    total_tokens = sum(r["total_tokens"] for r in parts)
+    dfs = [sum(r[f"df{i}"] for r in parts) for i in range(len(terms))]
+    if total_tokens == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "score_e3": pa.array([], pa.int64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        norm = 1000 - b + (b * dl * n_docs) // total_tokens
+        for i, dfv in enumerate(dfs):
+            tf = t[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idf = (1000 * (n_docs - dfv + 1)) // (dfv + 1)
+            den = tf * 1000 + (k1 * norm) // 1000
+            total += (idf * tf * (k1 + 1000)) // den
+        out = pa.table({"doc_id": t["doc_id"], "score_e3": pa.array(total)})
+        out = out.filter(pc.greater(out["score_e3"], 0))
+        if out.num_rows > topk:  # local top-k: the global sort sees ≤ k·blocks rows
+            idx = pc.sort_indices(
+                out, sort_keys=[("score_e3", "descending"), ("doc_id", "ascending")]
+            )
+            out = out.take(idx.slice(0, topk))
+        return out
+
+    return (
+        compact.map_batches(score, batch_format="pyarrow")
+        .sort(["score_e3", "doc_id"], descending=[True, False])
+        .limit(topk)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence mining (phrase/association discovery for data analysis)
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB_K = 64     # pair space is bounded by K(K-1)/2 — the scale story
+_PMI_MIN_SUPPORT = 5  # drop rare pairs (PMI's classic low-count pathology)
+_PMI_TOPK = 20
+
+_PMI_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), inst AS (
+      SELECT doc_id, unnest(l) AS tok FROM raw
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM inst GROUP BY tok
+        ORDER BY n DESC, tok LIMIT {_PMI_VOCAB_K}
+      )
+    ), pres AS (
+      SELECT DISTINCT doc_id, tok FROM inst
+      WHERE tok IN (SELECT tok FROM vocab)
+    ), ca AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM pres GROUP BY tok
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    ), n_docs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    )
+    SELECT tok_a, tok_b, c_ab,
+           CAST((1000 * n_docs.n * c_ab) // (ca1.c * ca2.c) AS BIGINT) AS score_e3
+    FROM pairs, n_docs
+    JOIN ca ca1 ON ca1.tok = pairs.tok_a
+    JOIN ca ca2 ON ca2.tok = pairs.tok_b
+    WHERE c_ab >= {_PMI_MIN_SUPPORT}
+    ORDER BY score_e3 DESC, tok_a, tok_b LIMIT {_PMI_TOPK}
+"""
+
+
+@register("q_pmi_pairs", _PMI_SQL)
+def q_pmi_pairs(sf_dir: str):
+    """Pointwise-mutual-information pair mining: top pairs of high-frequency
+    tokens by document-level association (phrase discovery / corpus-mix
+    analysis). Score is the integer-e3 PMI argument N·c_ab/(c_a·c_b) —
+    monotone in PMI, floor-division exact on both sides.
+
+    Distributed shape (100-TB path): the pair space is CAPPED up front —
+    pairs are mined only among the global top-{K} tokens (exact vocabulary
+    via the q_vocab_topk shard pattern, then broadcast), so each batch folds
+    its docs into one K×K boolean-presence matmul (vectorized, no per-doc
+    pair explosion) and ships ≤K(K+1)/2 partial-count rows; a constant-64
+    shard groupby sums partials exactly; only the ≤K² aggregated counts ever
+    reach the driver. The corpus text itself never shuffles."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    k, min_sup, topk = _PMI_VOCAB_K, _PMI_MIN_SUPPORT, _PMI_TOPK
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # parquet-metadata read
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat.combine_chunks())
+        tok = vc.field("values")
+        shard = (stable_hash64(tok) % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {"tok": tok, "n": pc.cast(vc.field("counts"), pa.int64()), "shard": pa.array(shard)}
+        )
+
+    def shard_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False).agg(n=("n", "sum"))
+        g = g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+        return g.head(k)  # token→one shard, so global top-k ⊆ shard top-ks
+
+    vocab_df = (
+        ds.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    vocab = vocab_df["tok"].tolist()  # rank order; index = matrix axis
+    if not vocab:
+        empty = pa.table(
+            {
+                "tok_a": pa.array([], pa.string()), "tok_b": pa.array([], pa.string()),
+                "c_ab": pa.array([], pa.int64()), "score_e3": pa.array([], pa.int64()),
+            }
+        )
+        return empty
+    vocab_idx = {t: i for i, t in enumerate(vocab)}
+    kk = len(vocab)
+    vocab_ref = ray.put(vocab_idx)
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        vi = ray.get(vocab_ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).combine_chunks().to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        tok_np = flat.to_numpy(zero_copy_only=False)
+        idx = pd.Series(tok_np).map(vi)
+        hit = idx.notna().to_numpy()
+        pres = np.zeros((n, kk), dtype=bool)
+        pres[row_of[hit], idx.to_numpy(dtype=object)[hit].astype(np.int64)] = True
+        co = pres.T.astype(np.int64) @ pres.astype(np.int64)  # K×K, diag = c_a
+        iu = np.triu_indices(kk)  # upper triangle INCLUDING diag (c_a rides along)
+        cnt = co[iu]
+        nz = cnt > 0
+        i, j = iu[0][nz], iu[1][nz]
+        return pa.table(
+            {
+                "i": pa.array(i.astype(np.int64)),
+                "j": pa.array(j.astype(np.int64)),
+                "c": pa.array(cnt[nz]),
+                "shard": pa.array(((i * kk + j) % 64).astype(np.int32)),
+            }
+        )
+
+    def sum_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["i", "j"], as_index=False).agg(c=("c", "sum"))
+
+    agg = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sum_shard, batch_format="pandas")
+        .to_pandas()  # ≤ K(K+1)/2 rows by construction
+    )
+    ca = np.zeros(kk, dtype=np.int64)
+    diag = agg[agg["i"] == agg["j"]]
+    ca[diag["i"].to_numpy(dtype=np.int64)] = diag["c"].to_numpy(dtype=np.int64)
+    pairs = agg[(agg["i"] != agg["j"]) & (agg["c"] >= min_sup)].copy()
+    ia = pairs["i"].to_numpy(dtype=np.int64)
+    jb = pairs["j"].to_numpy(dtype=np.int64)
+    c_ab = pairs["c"].to_numpy(dtype=np.int64)
+    score = (1000 * n_docs * c_ab) // (ca[ia] * ca[jb])
+    out = pd.DataFrame(
+        {
+            "tok_a": [vocab[x] for x in ia],
+            "tok_b": [vocab[x] for x in jb],
+            "c_ab": c_ab,
+            "score_e3": score,
+        }
+    )
+    # matrix axes are vocab-rank order; the oracle pairs on tok_a < tok_b
+    swap = out["tok_a"] > out["tok_b"]
+    out.loc[swap, ["tok_a", "tok_b"]] = out.loc[swap, ["tok_b", "tok_a"]].to_numpy()
+    out = out.sort_values(
+        ["score_e3", "tok_a", "tok_b"], ascending=[False, True, True], kind="mergesort"
+    ).head(topk)
+    return pa.table(
+        {
+            "tok_a": pa.array(out["tok_a"].to_numpy(dtype=object), pa.string()),
+            "tok_b": pa.array(out["tok_b"].to_numpy(dtype=object), pa.string()),
+            "c_ab": pa.array(out["c_ab"].to_numpy(dtype=np.int64)),
+            "score_e3": pa.array(out["score_e3"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means assignment (embedding-space bucketing / curation mix)
+# ---------------------------------------------------------------------------
+
+_KMA_K = 8  # seed centroids = embeddings of vec_id < _KMA_K (deterministic)
+
+_KMEANS_ASSIGN_SQL = f"""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < {_KMA_K}
+    ), d AS (
+      SELECT e.vec_id, c.cid,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.ce) AS dist
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d
+    ) WHERE rn = 1
+"""
+
+
+@register("q_kmeans_assign", _KMEANS_ASSIGN_SQL)
+def q_kmeans_assign(sf_dir: str):
+    """Distributed k-means ASSIGNMENT pass — the O(N) half of Lloyd that
+    scales with the corpus (the centroid UPDATE is the tiny K×dim side; the
+    IVF build's _kmeans already iterates it on a driver-sized sample).
+    Deterministic seed centroids (embeddings of vec_id < K) broadcast once
+    via ray.put; each batch computes exact float64 squared distances in the
+    direct ((x-c)²) form (no matmul cancellation — keeps the engine/DuckDB
+    argmin margin at ~1e-13 relative, the knn_brute float discipline) and
+    emits (vec_id, argmin) with ties to the smaller centroid id, matching
+    the oracle's ORDER BY dist, cid."""
+    import pyarrow.parquet as _pq
+
+    cents = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _KMA_K)],
+    ).sort_by("vec_id")
+    cm = np.stack(cents["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    c_ref = ray.put(cm)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)  # (K, dim)
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)  # (n, dim)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # (n, K) exact form
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+                "cluster": d2.argmin(axis=1).astype(np.int64),  # first index wins ties
+            }
+        )
+
+    return _embs(sf_dir, ["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pandas", batch_size=4096
+    )
