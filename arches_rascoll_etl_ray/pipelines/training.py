@@ -3503,3 +3503,63 @@ def q_kmeans_assign(sf_dir: str):
     return _embs(sf_dir, ["vec_id", "embedding"]).map_batches(
         assign, batch_format="pandas", batch_size=4096
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group capped sampling (data-mix construction: N docs per source/lang)
+# ---------------------------------------------------------------------------
+
+_GROUP_SAMPLE_K = 16
+
+_GROUP_SAMPLE_SQL = f"""
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ({_splitmix64_sql("doc_id")}), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_GROUP_SAMPLE_K}
+"""
+
+
+@register("q_group_sample", _GROUP_SAMPLE_SQL)
+def q_group_sample(sf_dir: str):
+    """Deterministic uniform-without-replacement CAP of k docs per group
+    (per-language/per-source quota — the data-mix construction primitive
+    the rate-based q_stratified_sample can't express: a rate over a skewed
+    source over- or under-shoots a fixed budget; a hash-rank cap hits it
+    exactly). Rank = splitmix64(doc_id) ascending (ties impossible: the
+    mixer is a bijection on uint64), the same portable coin as the other
+    samplers, so membership is reproducible across engines and the DuckDB
+    twin is the generated HUGEINT mul-mod splitmix.
+
+    Distributed shape: per-batch local top-k per group first (each batch
+    ships ≤ k rows per group it sees — 16 B/row, no text), then one tiny
+    groupby(lang) final top-k; group count bounds the driver result."""
+    from arches_rascoll_etl_ray.functions.hashing import splitmix64
+
+    k = _GROUP_SAMPLE_K
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        h = splitmix64(df["doc_id"].to_numpy(dtype=np.int64))
+        out = pd.DataFrame(
+            {"lang": df["lang"].to_numpy(dtype=object),
+             "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+             "h": h}
+        )
+        out = out.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return out.groupby("lang", as_index=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        g = g.groupby("lang", as_index=False).head(k)
+        g["rank"] = g.groupby("lang").cumcount().to_numpy(dtype=np.int64) + 1
+        return g[["lang", "doc_id", "rank"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+    )
