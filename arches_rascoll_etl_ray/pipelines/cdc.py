@@ -1234,6 +1234,47 @@ class CDCEngine:
             "rows": sum(i["rows"] for i in ckpt.partitions.values()),
         }
 
+    def repartition_to(self, new_lake_dir: str, num_partitions: int) -> "CDCEngine":
+        """Online partition-count migration: rebuild this lake's live state
+        into a NEW lake with `num_partitions` partitions and hand back an
+        engine positioned to keep tailing the same changelog where this one
+        left off. The growth path when the cluster scales out and the
+        original partition count (pinned by `_lake_config.json` — reopening
+        with a different count raises by design) no longer provides enough
+        merge parallelism.
+
+        Composition, not new machinery: `snapshot_dataset()` streams the
+        live rows WITH their per-row commit lsns, and `bootstrap(...,
+        as_of_lsn=end_lsn)` routes them through the normal spill shuffle +
+        per-partition merge into the new layout — one distributed pass,
+        crash-idempotent via the same manifest/checkpoint protocol, after
+        which `snapshot_table()` (the globally key-sorted live table) is
+        unchanged row-for-row and replay resumes at end_lsn+1. NB
+        `snapshot_sha256()` digests per-PARTITION shas, so it is comparable
+        only between lakes of the same partition count — continued replay
+        on the migrated lake lands on the identical sha a from-scratch
+        replay at the new count produces (pinned in tests).
+        The new lake starts at epoch 1 with a fresh history horizon
+        (time-travel to pre-migration epochs stays with the old lake, the
+        vacuum rule). The old lake is left untouched — cut over by pointing
+        writers at the new dir, keep the old as the rollback."""
+        import dataclasses
+
+        ckpt = self.checkpoint()
+        if ckpt.end_lsn < 1:
+            raise ValueError("repartition_to: source lake is empty (nothing to migrate)")
+        if num_partitions == self.cfg.num_partitions:
+            raise ValueError(
+                f"repartition_to: target partition count equals the current "
+                f"({num_partitions}) — nothing to do"
+            )
+        new_cfg = dataclasses.replace(
+            self.cfg, lake_dir=new_lake_dir, num_partitions=num_partitions
+        )
+        dst = CDCEngine(new_cfg)
+        dst.bootstrap(self.snapshot_dataset(), as_of_lsn=ckpt.end_lsn)
+        return dst
+
     def lineage(self) -> pa.Table:
         """Per-partition lineage read from the commit records themselves
         (north-star requirement: "every partition emits lineage (offset

@@ -139,6 +139,11 @@ def run_queries() -> dict:
         "cdc_join_view",
         # late round-5: sequence packing (distributed ordered prefix sum)
         "q_pack_sequences",
+        # final round-5: lineage-from-manifests (hash-routing oracle),
+        # BM25 retrieval, PMI pair mining
+        "cdc_lineage",
+        "q_bm25_topk",
+        "q_pmi_pairs",
     ]
     qs = em.queries()
     out = {}

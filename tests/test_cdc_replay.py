@@ -751,3 +751,63 @@ def test_lineage_from_manifests(changelog, tmp_lake, tmp_path):
     eng2b.replay(changelog, events_per_epoch=1000)
     lin2 = eng2b.lineage()
     assert lin.equals(lin2)
+
+
+def test_repartition_to_preserves_state_and_tailing(changelog, tmp_path):
+    """Online partition-count migration: after consuming half the log at
+    P=8, repartition_to(P=16) must (a) preserve the snapshot sha exactly,
+    (b) keep tailing from the same position, and (c) land on the identical
+    final state a from-scratch P=16 replay produces."""
+    src = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "p8"), num_partitions=8))
+    src.apply_epoch(changelog, max_events=2000)
+    mid_tbl = src.snapshot_table()  # globally key-sorted — layout-independent
+
+    dst = src.repartition_to(str(tmp_path / "p16"), 16)
+    assert dst.cfg.num_partitions == 16
+    assert dst.snapshot_table().equals(mid_tbl)
+    lin = dst.lineage()
+    assert lin.num_rows <= 16 and lin.num_rows > 8  # keys actually spread
+
+    # tail the remaining half on the NEW lake
+    dst.replay(changelog, events_per_epoch=1000)
+    assert_matches_fold(dst, changelog)
+
+    # from-scratch P=16 replay of the full log — byte-identical final state
+    ref = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "ref16"), num_partitions=16))
+    ref.replay(changelog, events_per_epoch=1000)
+    assert dst.snapshot_sha256() == ref.snapshot_sha256()
+
+    # guards: same count is a no-op error; empty source refuses
+    with pytest.raises(ValueError, match="equals the current"):
+        dst.repartition_to(str(tmp_path / "x"), 16)
+    empty = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "empty"), num_partitions=8))
+    with pytest.raises(ValueError, match="empty"):
+        empty.repartition_to(str(tmp_path / "y"), 16)
+
+
+def test_repartition_lsm_lake_with_evolution(changelog, tmp_path):
+    """repartition_to must survive the two stateful wrinkles: an LSM-mode
+    source (uncompacted runs fold on read) and an active evolution spec
+    (the bootstrap's spill re-applies apply_evolution to ALREADY-evolved
+    rows — idempotence by construction: renamed names absent, added
+    columns present with their migrated values)."""
+    from arches_rascoll_etl_ray.config import AddColumn, ComputedColumn, EvolutionSpec
+
+    spec = EvolutionSpec(
+        version=2,
+        renames={"lang": "language"},
+        adds=(AddColumn(name="mirrored", type="bool", default=False),),
+        computed=(ComputedColumn(name="content_len", source="content", fn="len"),),
+    )
+    src = CDCEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "p8"), num_partitions=8,
+            merge_mode="lsm", lsm_compact_threshold=4, evolution=spec,
+        )
+    )
+    src.replay(changelog, events_per_epoch=1500)  # 3 epochs → runs pending
+    mid = src.snapshot_table()
+    assert "language" in mid.column_names and "content_len" in mid.column_names
+
+    dst = src.repartition_to(str(tmp_path / "p16"), 16)
+    assert dst.snapshot_table().equals(mid)
