@@ -1257,7 +1257,12 @@ class CDCEngine:
         The new lake starts at epoch 1 with a fresh history horizon
         (time-travel to pre-migration epochs stays with the old lake, the
         vacuum rule). The old lake is left untouched — cut over by pointing
-        writers at the new dir, keep the old as the rollback."""
+        writers at the new dir, keep the old as the rollback.
+
+        Changefeed-derived consumers (SecondaryIndex, IncrementalJoinView,
+        IncrementalNearDup, replicas) watermark against the SOURCE lake's
+        epoch history, which does not carry over — re-create them against
+        the migrated lake (their first sync is the usual full build)."""
         import dataclasses
 
         ckpt = self.checkpoint()

@@ -1057,3 +1057,35 @@ def _lineage_oracle_sql() -> str:
 
 QUERIES["cdc_lineage"] = cdc_lineage
 ORACLE_SQL["cdc_lineage"] = _lineage_oracle_sql()
+
+
+def cdc_repartition(sf_dir: str):
+    """Online partition-count migration behind the correctness gate: the
+    events changelog replays into an 8-partition lake, `repartition_to`
+    migrates the live state to 16 partitions (snapshot→bootstrap, one
+    distributed pass), and the MIGRATED lake's snapshot is checked against
+    the same LWW window SQL as cdc_events_upsert — the migration must be
+    invisible to every reader."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    lake8 = _fresh_lake(f"repart8_{tag}")
+    lake16 = _fresh_lake(f"repart16_{tag}")
+    eng = CDCEngine(EngineConfig(lake_dir=lake8, num_partitions=8))
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    per_epoch = max(1, max_available_lsn(clog_dir) // 4)
+    eng.replay(clog_dir, events_per_epoch=per_epoch)
+    dst = eng.repartition_to(lake16, 16)
+    snap = dst.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_repartition"] = cdc_repartition
+ORACLE_SQL["cdc_repartition"] = ORACLE_SQL["cdc_events_upsert"]
