@@ -3563,3 +3563,270 @@ def q_group_sample(sf_dir: str):
         .groupby("lang")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: fixed-merge encode + distributed iterative merge training
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # symbol-boundary marker; [a-z0-9] alphabet can't contain it
+
+# A training-ordered merge list (each pair references only base chars or
+# earlier merges' outputs), so sequential whole-corpus application of the
+# ranked replace chain is EXACTLY the standard BPE encode: a later merge can
+# never create an occurrence of an earlier one.
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+_BPE_TRAIN_K = 6  # merge iterations for the oracled trainer
+
+
+def _bpe_seq_sql_expr() -> str:
+    """DuckDB expr: document text → BPE symbol sequence — every word
+    character prefixed by the separator, words joined by a space the merge
+    patterns can never cross (patterns always start with the separator and
+    contain none)."""
+    return (
+        "regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), "
+        "'([a-z0-9])', chr(31) || '\\1', 'g')"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    s = _bpe_seq_sql_expr()
+    for a, b in _BPE_FIXED_MERGES:
+        s = f"replace({s}, chr(31) || '{a}' || chr(31) || '{b}', chr(31) || '{a}{b}')"
+    return f"""
+    SELECT doc_id,
+           CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, {s} AS s FROM documents)
+    """
+
+
+def _bpe_apply_merges(s: pa.ChunkedArray | pa.Array, merges) -> pa.Array:
+    """Apply a training-ordered merge list to separator-rep sequences —
+    pure Arrow replace kernels (RE2/std find-from-pos scan: left-to-right
+    non-overlapping, identical to DuckDB replace and Python str.replace)."""
+    for a, b in merges:
+        s = pc.replace_substring(
+            s, pattern=f"{_BPE_SEP}{a}{_BPE_SEP}{b}", replacement=f"{_BPE_SEP}{a}{b}"
+        )
+    return s
+
+
+@register("q_bpe_encode", _bpe_encode_sql())
+def q_bpe_encode(sf_dir: str):
+    """BPE ENCODE with a fixed (training-ordered) merge table: per-doc
+    post-merge token counts — the tokenizer-application half of the BPE
+    pair (training below), and the realistic "how many tokens is this
+    corpus under tokenizer X" costing pass.
+
+    Fully vectorized, zero Python loops: lower → collapse non-alphanumerics
+    to single spaces → prefix every word char with the \\x1f separator
+    (one RE2 global replace with a backref) → one literal replace per merge
+    (all occurrences, left-to-right non-overlapping — exact BPE because the
+    merge list is training-ordered, see _BPE_FIXED_MERGES) → token count =
+    separator count. Map-only: no shuffle, text never leaves the batch; at
+    100 TB this is a pure streaming scan. The DuckDB twin is the generated
+    identical replace chain (both engines scan left-to-right from the match
+    end, so the folds agree byte-for-byte)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, pattern="[^a-z0-9]+", replacement=" ")
+        s = pc.utf8_trim(s, characters=" ")
+        s = pc.replace_substring_regex(s, pattern="([a-z0-9])", replacement=f"{_BPE_SEP}\\1")
+        s = _bpe_apply_merges(s, _BPE_FIXED_MERGES)
+        n = pc.cast(pc.count_substring(s, pattern=_BPE_SEP), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _bpe_train_sql() -> str:
+    """Generated DuckDB twin of the full iterative BPE trainer: K chained
+    (pair-count → argmax → replace) CTE blocks over the word-frequency
+    table. Linear chain — plans fine (the lineage-oracle lesson: never nest
+    exponentially)."""
+    parts = [
+        """
+w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+seq0 AS (SELECT regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS s, n FROM w0)
+"""
+    ]
+    for i in range(_BPE_TRAIN_K):
+        parts.append(f"""
+sym{i} AS (SELECT string_split(s, chr(31)) AS l, n FROM seq{i}),
+pos{i} AS (SELECT l, n, unnest(generate_series(2, len(l) - 1)) AS i
+           FROM sym{i} WHERE len(l) >= 3),
+pc{i} AS (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b,
+                 CAST(sum(n) AS BIGINT) AS c
+          FROM pos{i} GROUP BY a, b),
+m{i} AS (SELECT a, b, c FROM pc{i} ORDER BY c DESC, a, b LIMIT 1),
+seq{i + 1} AS (SELECT replace(s, chr(31) || m.a || chr(31) || m.b,
+                              chr(31) || m.a || m.b) AS s, n
+               FROM seq{i}, m{i} m)
+""")
+    union = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, a AS tok_a, b AS tok_b, c AS n FROM m{i}"
+        for i in range(_BPE_TRAIN_K)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f" SELECT CAST(rank AS BIGINT) AS rank, tok_a, tok_b, n FROM ({union}) ORDER BY rank"
+    )
+
+
+@register("q_bpe_train_merges", _bpe_train_sql())
+def q_bpe_train_merges(sf_dir: str):
+    """Distributed BPE TRAINING (the real iterative algorithm, fully
+    SQL-oracled): learn the top-K merges by global pair frequency, ties to
+    the lexicographically smallest (a, b).
+
+    100-TB shape — the classic two-phase factoring:
+    1. ONE corpus scan builds the word-frequency table (per-batch Arrow
+       value_counts → 64-shard exact reduce, the q_vocab_topk pattern);
+       Zipf makes distinct words orders of magnitude smaller than the
+       corpus, and the text itself never shuffles.
+    2. Each of the K merge iterations runs over the materialized word table
+       only: apply the merges learned so far (vectorized Arrow replace
+       chain — exact BPE, the chain is training-ordered by construction),
+       extract adjacent symbol pairs via list-offset arithmetic (no per-row
+       Python), weight by word count, Arrow hash-aggregate per batch, then
+       a constant-64 shard reduce where each shard ships only its top-1
+       candidate — the driver folds ≤64 rows per iteration.
+    This is the exact-recount formulation (right shape for small K /
+    analysis passes); a production 50k-vocab trainer would switch to
+    incremental pair-delta maintenance after each merge, which this
+    factoring admits (the word table is the unit of recount either way)."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    ds = _docs(sf_dir, ["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat.combine_chunks())
+        w = vc.field("values")
+        shard = (stable_hash64(w) % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {"w": w, "n": pc.cast(vc.field("counts"), pa.int64()), "shard": pa.array(shard)}
+        )
+
+    def shard_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("w", as_index=False).agg(n=("n", "sum"))
+
+    # distinct words ≪ corpus (Zipf): materializing the projection is the
+    # point of the factoring — K iterations then never re-touch the text.
+    words = (
+        ds.map_batches(wc, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_sum, batch_format="pandas")
+        .materialize()
+    )
+
+    merges: list[tuple[str, str]] = []
+    ranks: list[dict] = []
+    for it in range(_BPE_TRAIN_K):
+        frozen = tuple(merges)
+
+        def pair_partials(t: pa.Table, _m=frozen) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.string()),
+                        "b": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                        "shard": pa.array([], pa.int32()),
+                    }
+                )
+            seq = pc.replace_substring_regex(
+                t["w"], pattern="(.)", replacement=f"{_BPE_SEP}\\1"
+            )
+            seq = _bpe_apply_merges(seq, _m)
+            lists = pc.split_pattern(seq, pattern=_BPE_SEP).combine_chunks()
+            vals = lists.values  # flattened symbols; each list leads with ''
+            offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.diff(offs)
+            nlists = len(lens)
+            total = int(offs[-1])
+            if total == 0:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.string()),
+                        "b": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                        "shard": pa.array([], pa.int32()),
+                    }
+                )
+            list_id = np.repeat(np.arange(nlists, dtype=np.int64), lens)
+            idx = np.arange(total, dtype=np.int64)
+            pos_in_list = idx - offs[:-1][list_id]
+            # valid pair STARTS: skip the leading '' (pos 0) and keep both
+            # members inside the same list
+            valid = (pos_in_list >= 1) & (pos_in_list <= lens[list_id] - 2)
+            i = idx[valid]
+            if len(i) == 0:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.string()),
+                        "b": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                        "shard": pa.array([], pa.int32()),
+                    }
+                )
+            a = vals.take(pa.array(i))
+            b = vals.take(pa.array(i + 1))
+            wgt = t["n"].combine_chunks().take(pa.array(list_id[i]))
+            part = (
+                pa.table({"a": a, "b": b, "c": wgt})
+                .group_by(["a", "b"])
+                .aggregate([("c", "sum")])
+                .rename_columns(["a", "b", "c"])
+            )
+            key = pc.binary_join_element_wise(part["a"], part["b"], _BPE_SEP)
+            shard = (stable_hash64(key) % np.uint64(64)).astype(np.int32)
+            return part.append_column("shard", pa.array(shard))
+
+        def shard_top1(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["a", "b"], as_index=False).agg(c=("c", "sum"))
+            g = g.sort_values(["c", "a", "b"], ascending=[False, True, True], kind="mergesort")
+            return g.head(1)  # pair→one shard: global argmax ⊆ shard top-1s
+
+        cand = (
+            words.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(shard_top1, batch_format="pandas")
+            .to_pandas()  # ≤64 rows by construction
+        )
+        if len(cand) == 0:
+            break
+        cand = cand.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True], kind="mergesort"
+        )
+        best = cand.iloc[0]
+        merges.append((str(best["a"]), str(best["b"])))
+        ranks.append(
+            {"rank": it + 1, "tok_a": str(best["a"]), "tok_b": str(best["b"]),
+             "n": int(best["c"])}
+        )
+
+    return pa.table(
+        {
+            "rank": pa.array([r["rank"] for r in ranks], pa.int64()),
+            "tok_a": pa.array([r["tok_a"] for r in ranks], pa.string()),
+            "tok_b": pa.array([r["tok_b"] for r in ranks], pa.string()),
+            "n": pa.array([r["n"] for r in ranks], pa.int64()),
+        }
+    )

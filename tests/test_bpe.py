@@ -1,0 +1,135 @@
+"""BPE tokenizer family: the distributed trainer / vectorized encoder vs a
+pure-Python textbook reference (independent of the DuckDB oracle, which
+tests/test_queries_oracle.py already exercises for both entries)."""
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from arches_rascoll_etl_ray.pipelines.training import (
+    _BPE_FIXED_MERGES,
+    _BPE_TRAIN_K,
+    q_bpe_encode,
+    q_bpe_train_merges,
+)
+
+
+def _ref_word_counts(texts):
+    wc = Counter()
+    for t in texts:
+        wc.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    return wc
+
+
+def _ref_train(texts, k):
+    """Textbook BPE trainer: symbol-tuple words, global pair argmax with
+    (count desc, a asc, b asc) ties, merge applied left-to-right
+    non-overlapping."""
+    wc = {tuple(w): n for w, n in _ref_word_counts(texts).items()}
+    merges = []
+    for _ in range(k):
+        pairs = Counter()
+        for sym, n in wc.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merges.append((a, b, c))
+        new = {}
+        for sym, n in wc.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + n
+        wc = new
+    return merges
+
+
+def _ref_encode(text, merges):
+    n = 0
+    for w in re.split(r"[^a-z0-9]+", text.lower()):
+        if not w:
+            continue
+        sym = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        n += len(sym)
+    return n
+
+
+_CORPUS = [
+    "the cat sat on the mat",
+    "the thin cat ate the rat and then sat",
+    "on and on and on it ran in the rain",
+    "banana bandana and an anthem",
+    "ttttt hhhh ththth thethethe",  # overlap / replacement-boundary stress
+    "",
+    "  --  !!  ",  # no alphanumerics at all
+    "a",  # single-symbol word: no pairs
+]
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_train_matches_python_reference(tmp_path):
+    sf = _write_docs(tmp_path, _CORPUS)
+    got = q_bpe_train_merges(sf).to_pandas()
+    ref = _ref_train(_CORPUS, _BPE_TRAIN_K)
+    assert list(map(tuple, got[["tok_a", "tok_b", "n"]].to_numpy())) == ref
+    assert got["rank"].tolist() == list(range(1, len(ref) + 1))
+
+
+def test_encode_matches_python_reference(tmp_path):
+    sf = _write_docs(tmp_path, _CORPUS)
+    got = (
+        q_bpe_encode(sf).to_pandas().set_index("doc_id")["n_bpe_tokens"].to_dict()
+    )
+    for i, t in enumerate(_CORPUS):
+        assert got[i] == _ref_encode(t, _BPE_FIXED_MERGES), (i, t)
+
+
+def test_encode_with_trained_merges_roundtrip(tmp_path):
+    """Merges learned by the distributed trainer, applied by the reference
+    encoder, agree with the reference trainer's own final segmentation
+    token count — i.e. the two halves compose."""
+    sf = _write_docs(tmp_path, _CORPUS)
+    merges = [
+        (a, b) for a, b, _ in map(tuple, q_bpe_train_merges(sf).to_pandas()[
+            ["tok_a", "tok_b", "n"]].to_numpy())
+    ]
+    ref_merges = [(a, b) for a, b, _ in _ref_train(_CORPUS, _BPE_TRAIN_K)]
+    assert merges == ref_merges
+    # applying the learned merges to the corpus reproduces the trainer's
+    # final word segmentation sizes
+    total = sum(_ref_encode(t, merges) for t in _CORPUS)
+    assert total == sum(_ref_encode(t, ref_merges) for t in _CORPUS)
