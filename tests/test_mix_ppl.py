@@ -1,0 +1,77 @@
+"""Unigram-LM perplexity scoring + domain-mix budgets: edge cases and a
+pure-Python reference (the DuckDB twins run in tests/test_queries_oracle.py)."""
+
+import math
+import re
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from arches_rascoll_etl_ray.pipelines.training import (
+    _MIX_DEFAULT_E3,
+    _MIX_TARGET_E3,
+    q_domain_mix,
+    q_unigram_ppl,
+)
+
+
+def _write_docs(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _toks(t):
+    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+
+def test_unigram_ppl_reference_and_empty_docs(tmp_path):
+    rows = [
+        (0, "the cat the cat", "en"),
+        (1, "the dog", "en"),
+        (2, "", "en"),          # no tokens: must be absent from the output
+        (3, "!!! ---", "en"),   # symbols only: ditto
+        (4, "rare unicorns prance", "en"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = q_unigram_ppl(sf).to_pandas().set_index("doc_id")["nll_e3"].to_dict()
+    cnt = Counter()
+    for _, t, _l in rows:
+        cnt.update(_toks(t))
+    total = sum(cnt.values())
+    for did, t, _l in rows:
+        toks = _toks(t)
+        if not toks:
+            assert did not in got
+            continue
+        nll = 1000.0 * (math.log(total) - sum(math.log(cnt[w]) for w in toks) / len(toks))
+        assert got[did] == round(nll), (did, got[did], nll)
+    assert set(got) == {0, 1, 4}
+
+
+def test_domain_mix_exact_and_unknown_lang(tmp_path):
+    rows = (
+        [(i, "a b c", "en") for i in range(6)]
+        + [(10 + i, "x y", "zh") for i in range(3)]
+        + [(20, "q", "tlh")]  # unknown domain: default budget
+    )
+    sf = _write_docs(tmp_path, rows)
+    got = q_domain_mix(sf).to_pandas().set_index("lang")
+    total = len(rows)
+    assert got.loc["en", "n_docs"] == 6
+    assert got.loc["en", "epochs_e3"] == _MIX_TARGET_E3["en"] * total // 6
+    assert got.loc["zh", "epochs_e3"] == _MIX_TARGET_E3["zh"] * total // 3
+    assert got.loc["tlh", "epochs_e3"] == _MIX_DEFAULT_E3 * total // 1
+    # shares: en is 60% of docs vs a 30% target → downsample (<1000)
+    assert got.loc["en", "epochs_e3"] < 1000
+    # zh is 30% vs a 15% target → also <1000; tlh gets zero budget
+    assert got.loc["tlh", "epochs_e3"] == 0
