@@ -1280,6 +1280,32 @@ class CDCEngine:
         dst.bootstrap(self.snapshot_dataset(), as_of_lsn=ckpt.end_lsn)
         return dst
 
+    def branch(self, new_lake_dir: str, epoch: int | None = None) -> "CDCEngine":
+        """Lake BRANCHING (the Iceberg/Delta 'clone at version'): fork the
+        committed state at `epoch` (default: latest) into an independent
+        lake that can then tail a different continuation — A/B reprocessing,
+        backfills against a frozen base, what-if schema/config experiments —
+        while the source lake keeps its own timeline. Copy-on-write at the
+        logical level: the fork is one distributed snapshot→bootstrap pass
+        (per-row commit lsns preserved, so the branch is positioned at
+        exactly the fork's binlog position and a continued tail reconverges
+        sha-identically with a straight-line replay — pinned in tests); no
+        shared mutable files, so neither lake's writes can corrupt the
+        other, at the storage cost of materializing the live rows once.
+
+        Same composition as repartition_to but at a historical horizon and
+        keeping the partition count (so snapshot_sha256 stays comparable
+        across the fork). The branch starts at epoch 1 with a fresh history
+        horizon; changefeed consumers re-anchor against the branch."""
+        import dataclasses
+
+        ckpt = self.checkpoint(epoch)
+        if ckpt.end_lsn < 1:
+            raise ValueError("branch: source lake is empty at that horizon (nothing to fork)")
+        dst = CDCEngine(dataclasses.replace(self.cfg, lake_dir=new_lake_dir))
+        dst.bootstrap(self.snapshot_dataset(epoch=ckpt.epoch), as_of_lsn=ckpt.end_lsn)
+        return dst
+
     def lineage(self) -> pa.Table:
         """Per-partition lineage read from the commit records themselves
         (north-star requirement: "every partition emits lineage (offset

@@ -1089,3 +1089,67 @@ def cdc_repartition(sf_dir: str):
 
 QUERIES["cdc_repartition"] = cdc_repartition
 ORACLE_SQL["cdc_repartition"] = ORACLE_SQL["cdc_events_upsert"]
+
+
+def cdc_branch(sf_dir: str):
+    """Lake branching behind the correctness gate: replay the full events
+    changelog into the primary (4 epochs), fork a branch at epoch 2's
+    committed horizon, then tail the branch with a DIVERGENT continuation —
+    the post-fork remainder with every 'update' event dropped. The branch's
+    final state must equal the LWW fold over (events ≤ fork LSN) ∪
+    (post-fork events that are not updates) — while the primary, checked by
+    its own sha against a straight-line replay in tests, is untouched by
+    the branch's writes."""
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    max_lsn = max_available_lsn(clog_dir)
+    per_epoch = max(1, max_lsn // 4)
+    primary = CDCEngine(
+        EngineConfig(lake_dir=_fresh_lake(f"branch_src_{tag}"), num_partitions=8)
+    )
+    primary.replay(clog_dir, events_per_epoch=per_epoch)
+
+    br = primary.branch(_fresh_lake(f"branch_dst_{tag}"), epoch=2)
+    fork_lsn = br.checkpoint().end_lsn
+    assert fork_lsn == 2 * per_epoch  # the oracle's h must be this value
+
+    # divergent continuation: the remainder with updates dropped, original
+    # lsns retained (gaps are fine — epochs range over lsn VALUES)
+    df = changelog_from_events_table(sf_dir)
+    cont = df[(df["lsn"] > fork_lsn) & (df["lang"] != "update")].reset_index(drop=True)
+    cont_dir = os.path.join(_CACHE_ROOT, f"branch_cont_{tag}")
+    shutil.rmtree(cont_dir, ignore_errors=True)
+    write_changelog_shards(cont, cont_dir, num_shards=4)
+    br.replay(cont_dir, events_per_epoch=per_epoch)
+
+    snap = br.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_branch"] = cdc_branch
+ORACLE_SQL["cdc_branch"] = """
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), h AS (
+      SELECT 2 * greatest(1, CAST(count(*) AS BIGINT) // 4) AS h FROM ordered
+    ), br AS (
+      SELECT o.* FROM ordered o, h WHERE o.lsn <= h.h OR o.event_type <> 'update'
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM br
+    )
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str
+    FROM last WHERE rn = 1 AND event_type <> 'delete'
+"""
