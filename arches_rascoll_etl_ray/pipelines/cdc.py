@@ -1352,6 +1352,57 @@ class CDCEngine:
             {c: pa.array([r[c] for r in rows], pa.int64()) for c in cols}
         )
 
+    def fsck(self, epoch: int | None = None) -> pa.Table:
+        """Distributed lake integrity audit ("fsck"): one Ray task per
+        partition re-derives the invariants the commit protocol promises —
+        the operational check after a crash, a suspicious restore, or a
+        storage migration, sized for 100-TB lakes (per-partition fan-out;
+        the driver folds one row per partition, never data).
+
+        One row per partition with 1/0 flags (`ok` = all of them):
+
+          files_ok      every manifest-referenced file (base + LSM runs)
+                        exists and parses as parquet
+          routing_ok    every folded row's key_hash64 % P == partition — a
+                        misrouted row is invisible to lookup() forever
+          watermark_ok  max folded lsn ≤ the committed applied_lsn
+          rows_ok       folded row count == manifest rows (exact mode only;
+                        LSM upper-bound estimates are skipped)
+          sha_ok        recomputed content digest == the manifest
+                        content_sha (checked when one is recorded for the
+                        current evolution version with no pending runs)
+
+        Read-only and lock-free by design: it audits the checkpoint's
+        committed state, so it can run WHILE a writer appends epochs (it
+        simply audits the horizon it loaded)."""
+        import json as _json
+
+        import ray as _ray
+
+        from arches_rascoll_etl_ray.stages.merge import spec_version
+
+        ckpt = self.checkpoint(epoch)
+        current_v = spec_version(self.cfg)
+        parts = sorted(ckpt.partitions)
+        task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(_fsck_partition)
+        rows = _ray.get(
+            [
+                task.remote(self.cfg, p, _json.dumps(ckpt.partitions[p]), current_v)
+                for p in parts
+            ]
+        )
+        flags = ["files_ok", "routing_ok", "watermark_ok", "rows_ok", "sha_ok"]
+        cols = {
+            "partition": pa.array([r["partition"] for r in rows], pa.int64()),
+            "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+        }
+        for f in flags:
+            cols[f] = pa.array([r[f] for r in rows], pa.int64())
+        cols["ok"] = pa.array(
+            [int(all(r[f] for f in flags)) for r in rows], pa.int64()
+        )
+        return pa.table(cols)
+
     def export_snapshot(self, out_dir: str, fmt: str = "parquet") -> int:
         """Materialize the live snapshot as a directory of per-partition
         files (resumable: finished partitions are skipped on rerun — the
@@ -1467,6 +1518,60 @@ class CDCEngine:
                     os.remove(os.path.join(pdir, f))
                     removed += 1
         return removed
+
+
+def _fsck_partition(cfg, part: int, info_json: str, current_v: int) -> dict:
+    """One partition's integrity audit (see CDCEngine.fsck). Module-level so
+    Ray ships the function, not the engine."""
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+
+    from arches_rascoll_etl_ray.functions.hashing import key_hash64, table_content_sha256
+    from arches_rascoll_etl_ray.stages.merge import (
+        evolved_content_col,
+        fold_partition_tables,
+        read_partition_state,
+    )
+
+    info = _json.loads(info_json)
+    out = {
+        "partition": part, "rows": 0,
+        "files_ok": 1, "routing_ok": 1, "watermark_ok": 1, "rows_ok": 1, "sha_ok": 1,
+    }
+    files = ([info["data_file"]] if info.get("data_file") else []) + list(
+        info.get("runs") or []
+    )
+    if not files:
+        return out
+    if any(not _os.path.exists(_os.path.join(cfg.lake_dir, f)) for f in files):
+        out.update(files_ok=0, routing_ok=0, watermark_ok=0, rows_ok=0, sha_ok=0)
+        return out
+    try:
+        folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
+    except Exception:
+        out.update(files_ok=0, routing_ok=0, watermark_ok=0, rows_ok=0, sha_ok=0)
+        return out
+    out["rows"] = folded.num_rows
+    if folded.num_rows:
+        kh = key_hash64(folded)
+        out["routing_ok"] = int(
+            bool(_np.all(kh % _np.uint64(cfg.num_partitions) == _np.uint64(part)))
+        )
+        out["watermark_ok"] = int(pc.max(folded["lsn"]).as_py() <= info["applied_lsn"])
+    if not info.get("runs") and info.get("rows_exact", True):
+        out["rows_ok"] = int(folded.num_rows == info["rows"])
+    if (
+        info.get("content_sha")
+        and not info.get("runs")
+        and info.get("evolution_version", 1) == current_v
+    ):
+        sha_cols = [c for c in folded.column_names if c != evolved_content_col(cfg)]
+        out["sha_ok"] = int(
+            table_content_sha256(folded, sha_cols) == info["content_sha"]
+        )
+    return out
 
 
 def _scan_partition_lineage(lake_dir: str, part: int, max_epoch: int) -> dict | None:

@@ -1153,3 +1153,61 @@ ORACLE_SQL["cdc_branch"] = """
            printf('%.6f', value) AS last_value_str
     FROM last WHERE rn = 1 AND event_type <> 'delete'
 """
+
+
+def cdc_fsck(sf_dir: str):
+    """The integrity audit behind the correctness gate: replay the events
+    changelog, run the distributed fsck, and let DuckDB re-derive what a
+    HEALTHY lake must report — per-partition live-row counts through the
+    bit-exact key_hash64 SQL routing twin, with every invariant flag green.
+    (The corruption-detection side — each flag actually tripping — is
+    pinned in tests/test_fsck.py, which tampers real lake files.)"""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"fsck_{tag}"), num_partitions=8))
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    per_epoch = max(1, max_available_lsn(clog_dir) // 4)
+    eng.replay(clog_dir, events_per_epoch=per_epoch)
+    return eng.fsck()
+
+
+def _fsck_oracle_sql() -> str:
+    from arches_rascoll_etl_ray.functions.hashing import key_hash64_sql
+
+    hashed = key_hash64_sql(
+        "SELECT lsn, user_id, event_type, 'user' || CAST(user_id AS VARCHAR) AS repo"
+        " FROM ordered",
+        "repo",
+        "state",
+        ["lsn", "user_id", "event_type"],
+    )
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (ORDER BY ts, event_id) AS lsn
+      FROM events
+    ), parts AS (
+      SELECT CAST(kh % 8 AS BIGINT) AS partition, lsn, user_id, event_type
+      FROM ({hashed})
+    ), last AS (
+      SELECT partition, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM parts
+    ), live AS (
+      SELECT partition, CAST(count(*) AS BIGINT) AS rows
+      FROM last WHERE rn = 1 AND event_type <> 'delete'
+      GROUP BY partition
+    ), allp AS (
+      SELECT DISTINCT partition FROM parts
+    )
+    SELECT p.partition, coalesce(l.rows, 0) AS rows,
+           CAST(1 AS BIGINT) AS files_ok, CAST(1 AS BIGINT) AS routing_ok,
+           CAST(1 AS BIGINT) AS watermark_ok, CAST(1 AS BIGINT) AS rows_ok,
+           CAST(1 AS BIGINT) AS sha_ok, CAST(1 AS BIGINT) AS ok
+    FROM allp p LEFT JOIN live l USING (partition)
+    """
+
+
+QUERIES["cdc_fsck"] = cdc_fsck
+ORACLE_SQL["cdc_fsck"] = _fsck_oracle_sql()

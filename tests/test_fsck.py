@@ -1,0 +1,122 @@
+"""CDCEngine.fsck: the distributed integrity audit must pass on a healthy
+lake (rewrite and LSM modes, during and after runs) and flag each corruption
+class — missing files, torn parquet, tampered rows, watermark violations."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.datagen.changelog_gen import ensure_changelog
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+
+
+def _lake(tmp_path, **cfg):
+    clog = ensure_changelog(
+        str(tmp_path / "clog"), num_files=300, num_events=4000, seed=11, num_shards=8
+    )
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4, **cfg))
+    eng.replay(clog, events_per_epoch=1000)
+    return eng
+
+
+def _part_file(eng, part=None):
+    ckpt = eng.checkpoint()
+    items = sorted(ckpt.partitions.items())
+    for p, info in items:
+        if info.get("data_file") and info["rows"] > 0 and (part is None or p == part):
+            return p, os.path.join(eng.cfg.lake_dir, info["data_file"])
+    raise AssertionError("no non-empty partition")
+
+
+def test_fsck_clean_lake_all_ok(tmp_path):
+    eng = _lake(tmp_path)
+    t = eng.fsck().to_pandas().set_index("partition")
+    assert (t["ok"] == 1).all()
+    assert t["rows"].sum() == eng.snapshot_table().num_rows
+
+
+def test_fsck_clean_lsm_lake_with_pending_runs(tmp_path):
+    eng = _lake(tmp_path, merge_mode="lsm", lsm_compact_threshold=100)
+    ckpt = eng.checkpoint()
+    assert any(i.get("runs") for i in ckpt.partitions.values())  # runs pending
+    t = eng.fsck().to_pandas()
+    assert (t["ok"] == 1).all()
+    eng.compact()
+    t2 = eng.fsck().to_pandas()
+    assert (t2["ok"] == 1).all()
+
+
+def test_fsck_flags_missing_and_torn_files(tmp_path):
+    eng = _lake(tmp_path)
+    p1, f1 = _part_file(eng)
+    os.remove(f1)
+    t = eng.fsck().to_pandas().set_index("partition")
+    assert t.loc[p1, "files_ok"] == 0 and t.loc[p1, "ok"] == 0
+    assert (t.drop(index=p1)["ok"] == 1).all()
+
+    eng2 = _lake(tmp_path / "b")
+    p2, f2 = _part_file(eng2)
+    with open(f2, "wb") as f:
+        f.write(b"not a parquet file")
+    t2 = eng2.fsck().to_pandas().set_index("partition")
+    assert t2.loc[p2, "files_ok"] == 0 and t2.loc[p2, "ok"] == 0
+
+
+def test_fsck_flags_tampered_rows_and_watermark(tmp_path):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    eng = _lake(tmp_path)
+    p, f = _part_file(eng)
+    tbl = pq.read_table(f)
+
+    # tamper a non-content column: the recorded content_sha must not match
+    tampered = tbl.set_column(
+        tbl.schema.get_field_index("commit"),
+        "commit",
+        pa.array(["deadbeef"] * tbl.num_rows, tbl["commit"].type),
+    )
+    pq.write_table(tampered, f)
+    t = eng.fsck().to_pandas().set_index("partition")
+    assert t.loc[p, "sha_ok"] == 0 and t.loc[p, "ok"] == 0
+
+    # restore, then push one row's lsn past the committed watermark
+    pq.write_table(tbl, f)
+    assert eng.fsck().to_pandas()["ok"].all()
+    bumped = tbl.set_column(
+        tbl.schema.get_field_index("lsn"),
+        "lsn",
+        pc.add(tbl["lsn"], pa.scalar(10_000_000, pa.int64())),
+    )
+    pq.write_table(bumped, f)
+    t2 = eng.fsck().to_pandas().set_index("partition")
+    assert t2.loc[p, "watermark_ok"] == 0 and t2.loc[p, "ok"] == 0
+
+
+def test_fsck_flags_misrouted_key(tmp_path):
+    import pyarrow as pa
+
+    eng = _lake(tmp_path)
+    p, f = _part_file(eng)
+    tbl = pq.read_table(f)
+    # rewrite the first row's key to one that hashes elsewhere (with P=4 at
+    # 300 files, some repo in the lake routes to a different partition)
+    other = None
+    for q, g in [(_part_file(eng, part=q)) for q in range(4) if q != p]:
+        ot = pq.read_table(g)
+        if ot.num_rows:
+            other = ot["repo"][0].as_py(), ot["path"][0].as_py()
+            break
+    assert other is not None
+    repo = tbl["repo"].to_pylist()
+    path = tbl["path"].to_pylist()
+    repo[0], path[0] = other
+    tampered = tbl.set_column(
+        tbl.schema.get_field_index("repo"), "repo", pa.array(repo, tbl["repo"].type)
+    ).set_column(
+        tbl.schema.get_field_index("path"), "path", pa.array(path, tbl["path"].type)
+    )
+    pq.write_table(tampered, f)
+    t = eng.fsck().to_pandas().set_index("partition")
+    assert t.loc[p, "routing_ok"] == 0 and t.loc[p, "ok"] == 0
