@@ -1861,3 +1861,184 @@ def q_count_distinct(sf_dir: str):
         .groupby("l_returnflag")
         .aggregate(Sum("n_parts", alias_name="n_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PageRank (iterative graph algorithm over the order–part graph)
+# ---------------------------------------------------------------------------
+
+_PR_K = 3  # power iterations
+_PR_D = 0.85
+
+
+def _pagerank_sql() -> str:
+    """Generated DuckDB twin: K chained rank CTEs over the symmetric
+    order–part bipartite graph (node ids 2·orderkey / 2·partkey+1 — the two
+    directions can't collide, so UNION ALL after the DISTINCT base)."""
+    parts = [
+        """
+base AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (SELECT 2*o AS src, 2*p+1 AS dst FROM base
+          UNION ALL SELECT 2*p+1, 2*o FROM base),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0/(SELECT n FROM n) AS r FROM deg)
+"""
+    ]
+    for i in range(_PR_K):
+        parts.append(f"""
+r{i + 1} AS (SELECT e.dst AS node,
+                    0.15/(SELECT n FROM n) + {_PR_D}*sum(r{i}.r/d.deg) AS r
+             FROM edges e JOIN r{i} ON r{i}.node = e.src
+                          JOIN deg d ON d.src = e.src
+             GROUP BY e.dst)
+""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f" SELECT node, CAST(ROUND(r*1e9) AS BIGINT) AS rank_e9 FROM r{_PR_K}"
+    )
+
+
+@register("q_pagerank", _pagerank_sql())
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank, K=3 power iterations over the symmetric
+    order–part bipartite graph (every lineitem is an undirected edge) —
+    the canonical iterative-graph workload: rank mass moves along edges,
+    so every iteration is genuinely an all-to-all exchange and the operator
+    shows the 2-shuffle-per-iteration shape it would have at 100 TB.
+
+    Shape per iteration (no driver data path anywhere):
+      1. shard_join(edges⊕deg, ranks, on=src) — hash-partitioned on the
+         SOURCE node; post_merge computes contrib = r/deg and pre-sums per
+         dst INSIDE the shard group (guaranteed whole), so the second
+         exchange carries per-(shard,dst) partials, not per-edge rows.
+      2. a constant-64-shard groupby on the DESTINATION node folds partials
+         into new ranks = 0.15/N + d·Σ.
+    The edge list is built once (per-batch local dedupe, then exact dedupe +
+    degree inside an h(src) shard groupby — a src's edges land in ONE shard)
+    and materialized; symmetric edges mean no dangling-mass term and every
+    node re-appears each iteration. Float discipline: e9 fixed point with
+    measured rounding-boundary margins 2.9e-4 / 1.0e-5 / 2.9e-7 at
+    sf0.001/0.01/0.1 vs cross-engine summation-order noise ~1e-10 of value
+    (the kmeans/ppl margin methodology)."""
+    from arches_rascoll_etl_ray.functions.hashing import splitmix64
+    from arches_rascoll_etl_ray.stages.shard_join import shard_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        o = pc.cast(t["l_orderkey"], pa.int64()).to_numpy()
+        p = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+        src = np.concatenate([2 * o, 2 * p + 1])
+        dst = np.concatenate([2 * p + 1, 2 * o])
+        local = (
+            pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+            .group_by(["src", "dst"])
+            .aggregate([])  # local dedupe: repeat (order, part) pairs collapse
+        )
+        shard = (splitmix64(local["src"].to_numpy()) % np.uint64(64)).astype(np.int32)
+        return local.append_column("shard", pa.array(shard))
+
+    def shard_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # a src's edges all live in this shard: exact dedupe + degree here
+        e = df[["src", "dst"]].drop_duplicates()
+        e["deg"] = e.groupby("src")["src"].transform("size").astype(np.int64)
+        return e
+
+    edges = (
+        li.map_batches(mk_edges, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_edges, batch_format="pandas")
+        .materialize()
+    )
+
+    def uniq_nodes(t: pa.Table) -> pa.Table:
+        u = pa.table({"node": t["src"]}).group_by(["node"]).aggregate([])
+        sh = (splitmix64(u["node"].to_numpy()) % np.uint64(64)).astype(np.int32)
+        return u.append_column("shard", pa.array(sh))
+
+    def shard_uniq(df: pd.DataFrame) -> pd.DataFrame:
+        # the whole shard group is guaranteed in one call — a per-BATCH
+        # dedupe would double-count a node whose edge rows straddle two
+        # blocks once dynamic block splitting kicks in at scale
+        return df[["node"]].drop_duplicates()
+
+    nodes = (
+        edges.map_batches(uniq_nodes, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_uniq, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "r": pa.array(np.full(t.num_rows, 1.0 / n_nodes)),
+            }
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    base = 0.15 / n_nodes
+    for _ in range(_PR_K):
+
+        def contrib(g: pd.DataFrame) -> pa.Table:
+            if len(g) == 0:
+                return pa.table(
+                    {"dst": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}
+                )
+            dst = g["dst"].to_numpy(dtype=np.int64)
+            c = g["r"].to_numpy(dtype=np.float64) / g["deg"].to_numpy(dtype=np.float64)
+            out = pd.DataFrame({"dst": dst, "s": c}).groupby("dst", as_index=False).agg(
+                s=("s", "sum")
+            )
+            return pa.table(
+                {
+                    "dst": pa.array(out["dst"].to_numpy(dtype=np.int64)),
+                    "s": pa.array(out["s"].to_numpy(dtype=np.float64)),
+                }
+            )
+
+        partials = shard_join(
+            edges,
+            ranks,
+            on="src",
+            right_on="node",
+            left_cols=["src", "dst", "deg"],
+            right_cols=["node", "r"],
+            post_merge=contrib,
+        )
+
+        def shard2(t: pa.Table) -> pa.Table:
+            sh = (splitmix64(t["dst"].to_numpy()) % np.uint64(64)).astype(np.int32)
+            return t.append_column("shard", pa.array(sh))
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("dst", as_index=False).agg(s=("s", "sum"))
+            return pd.DataFrame(
+                {
+                    "node": out["dst"].to_numpy(dtype=np.int64),
+                    "r": base + _PR_D * out["s"].to_numpy(dtype=np.float64),
+                }
+            )
+
+        ranks = (
+            partials.map_batches(shard2, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy()
+        return pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "rank_e9": pa.array(np.round(r * 1e9).astype(np.int64)),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
