@@ -2042,3 +2042,71 @@ def q_pagerank(sf_dir: str):
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT coalesce(lang, '*') AS lang,
+           coalesce(source, '*') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_rollup(sf_dir: str):
+    """ROLLUP aggregate (lang × source counts + per-lang subtotals + grand
+    total — the OLAP cube slice): ONE pass emits all three grouping levels
+    as pre-aggregated partials map-side ('*' sentinel for rolled-up
+    levels), so the shuffle carries ≤ 3·|groups| partial rows per batch and
+    the reduce is a plain keyed sum — no re-scan per grouping set. Exact
+    integers throughout."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        base = (
+            pa.table({"lang": t["lang"], "source": t["source"]})
+            .group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "source", "n"])
+        )
+        star = pa.array(np.full(base.num_rows, "*", dtype=object), pa.string())
+        sub = (
+            pa.table({"lang": base["lang"], "source": star, "n": base["n"]})
+            .group_by(["lang", "source"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "source", "n"])
+        )
+        tot = pa.table(
+            {
+                "lang": pa.array(["*"], pa.string()),
+                "source": pa.array(["*"], pa.string()),
+                "n": pa.array([int(pc.sum(base["n"]).as_py() or 0)], pa.int64()),
+            }
+        )
+        out = pa.concat_tables(
+            [base.set_column(2, "n", pc.cast(base["n"], pa.int64())), sub, tot]
+        )
+        key = pc.binary_join_element_wise(out["lang"], out["source"], "\x1f")
+        shard = (stable_hash64(key) % np.uint64(16)).astype(np.int32)
+        return out.append_column("shard", pa.array(shard))
+
+    def reduce_shard(df: pd.DataFrame) -> pa.Table:
+        # Arrow reduce: pandas multi-key groupby hashes object strings as C
+        # strings (the NUL-truncation lesson) — keep the fold byte-exact
+        t = pa.Table.from_pandas(df[["lang", "source", "n"]], preserve_index=False)
+        g = (
+            t.group_by(["lang", "source"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "source", "n_docs"])
+        )
+        return g.set_column(2, "n_docs", pc.cast(g["n_docs"], pa.int64()))
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(reduce_shard, batch_format="pandas")
+    )

@@ -3995,3 +3995,82 @@ def q_domain_mix(sf_dir: str):
             "epochs_e3": pa.array(w * total // n),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization assignment (vector compression for ANN at scale)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces (64-dim embeddings → 4 × 16-dim subvectors)
+_PQ_K = 8        # centroids per subspace = subvectors of vec_id < _PQ_K
+_PQ_DIM = 64
+
+
+def _pq_assign_sql() -> str:
+    sub = _PQ_DIM // _PQ_M
+    spans = ", ".join(
+        f"({m}, {m * sub + 1}, {(m + 1) * sub})" for m in range(_PQ_M)
+    )
+    codes = ", ".join(
+        f"CAST(max(CASE WHEN m = {m} AND rn = 1 THEN cid END) AS BIGINT) AS code{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < {_PQ_K}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings
+    ), spans(m, lo, hi) AS (VALUES {spans}),
+    d AS (
+      SELECT e.vec_id, c.cid, s.m,
+             list_distance(e.ee[s.lo:s.hi], c.ce[s.lo:s.hi]) AS dist
+      FROM e CROSS JOIN c CROSS JOIN spans s
+    ), ranked AS (
+      SELECT vec_id, cid, m,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT vec_id, {codes} FROM ranked GROUP BY vec_id
+    """
+
+
+@register("q_pq_assign", _pq_assign_sql())
+def q_pq_assign(sf_dir: str):
+    """Product-quantization ASSIGNMENT — the vector-compression half of
+    PQ-based ANN (Jégou et al.): each embedding splits into M={M} subvectors,
+    each snapped to its nearest subspace centroid, so a 64-float vector
+    compresses to M small codes (the inverted-list payload a billion-vector
+    index actually stores).
+
+    Same distributed/float discipline as q_kmeans_assign: deterministic
+    seed codebooks (subvectors of vec_id < K) broadcast once via ray.put;
+    per-batch exact float64 direct-form ((x−c)²) subspace distances — no
+    matmul cancellation — with argmin ties to the smaller centroid id,
+    matching the oracle's ORDER BY dist, cid. Measured best-vs-2nd margin
+    ≥1.5e-5 at sf0.001/0.01/0.1 vs ~1e-13 arithmetic error. Map-only over
+    the embeddings scan; nothing shuffles."""
+    import pyarrow.parquet as _pq
+
+    sub = _PQ_DIM // _PQ_M
+    cents = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _PQ_K)],
+    ).sort_by("vec_id")
+    cm = np.stack(cents["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    c_ref = ray.put(cm)  # (K, DIM); subspace m uses cols m*sub:(m+1)*sub
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)  # (n, DIM)
+        out = {"vec_id": df["vec_id"].to_numpy(dtype=np.int64)}
+        for m in range(_PQ_M):
+            xs = x[:, m * sub:(m + 1) * sub]
+            cs = c[:, m * sub:(m + 1) * sub]
+            d2 = ((xs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            out[f"code{m}"] = d2.argmin(axis=1).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return _embs(sf_dir, ["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pandas", batch_size=4096
+    )

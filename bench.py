@@ -144,6 +144,13 @@ def run_queries() -> dict:
         "cdc_lineage",
         "q_bm25_topk",
         "q_pmi_pairs",
+        # round-5 continuation: BPE tokenizer training, unigram-LM
+        # perplexity scoring, iterative PageRank, lake branching + fsck
+        "q_bpe_train_merges",
+        "q_unigram_ppl",
+        "q_pagerank",
+        "cdc_branch",
+        "cdc_fsck",
     ]
     qs = em.queries()
     out = {}
