@@ -1116,9 +1116,21 @@ def cdc_branch(sf_dir: str):
     assert fork_lsn == 2 * per_epoch  # the oracle's h must be this value
 
     # divergent continuation: the remainder with updates dropped, original
-    # lsns retained (gaps are fine — epochs range over lsn VALUES)
-    df = changelog_from_events_table(sf_dir)
-    cont = df[(df["lsn"] > fork_lsn) & (df["lang"] != "update")].reset_index(drop=True)
+    # lsns retained (gaps are fine — epochs range over lsn VALUES). Read it
+    # from the CACHED changelog shards (file-level lsn pruning + row filter)
+    # instead of re-deriving/re-sorting the whole events table.
+    import pyarrow.parquet as _pq
+
+    from arches_rascoll_etl_ray.sources.changelog import list_shards
+
+    tbls = [
+        _pq.read_table(p, filters=[("lsn", ">", fork_lsn)])
+        for lo, hi, p in sorted(list_shards(clog_dir))
+        if hi > fork_lsn
+    ]
+    cont_t = pa.concat_tables(tbls)
+    cont_t = cont_t.filter(pc.not_equal(cont_t["lang"], pa.scalar("update")))
+    cont = cont_t.to_pandas()
     cont_dir = os.path.join(_CACHE_ROOT, f"branch_cont_{tag}")
     shutil.rmtree(cont_dir, ignore_errors=True)
     write_changelog_shards(cont, cont_dir, num_shards=4)

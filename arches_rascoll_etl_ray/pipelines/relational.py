@@ -1900,28 +1900,10 @@ r{i + 1} AS (SELECT e.dst AS node,
     )
 
 
-@register("q_pagerank", _pagerank_sql())
-def q_pagerank(sf_dir: str):
-    """Distributed PageRank, K=3 power iterations over the symmetric
-    order–part bipartite graph (every lineitem is an undirected edge) —
-    the canonical iterative-graph workload: rank mass moves along edges,
-    so every iteration is genuinely an all-to-all exchange and the operator
-    shows the 2-shuffle-per-iteration shape it would have at 100 TB.
-
-    Shape per iteration (no driver data path anywhere):
-      1. shard_join(edges⊕deg, ranks, on=src) — hash-partitioned on the
-         SOURCE node; post_merge computes contrib = r/deg and pre-sums per
-         dst INSIDE the shard group (guaranteed whole), so the second
-         exchange carries per-(shard,dst) partials, not per-edge rows.
-      2. a constant-64-shard groupby on the DESTINATION node folds partials
-         into new ranks = 0.15/N + d·Σ.
-    The edge list is built once (per-batch local dedupe, then exact dedupe +
-    degree inside an h(src) shard groupby — a src's edges land in ONE shard)
-    and materialized; symmetric edges mean no dangling-mass term and every
-    node re-appears each iteration. Float discipline: e9 fixed point with
-    measured rounding-boundary margins 2.9e-4 / 1.0e-5 / 2.9e-7 at
-    sf0.001/0.01/0.1 vs cross-engine summation-order noise ~1e-10 of value
-    (the kmeans/ppl margin methodology)."""
+def _pagerank_pipeline(sf_dir: str, broadcast_limit: int):
+    """Shared PageRank pipeline — see q_pagerank for semantics and the
+    broadcast↔distributed gate, q_pagerank_dist for the forced-distributed
+    twin."""
     from arches_rascoll_etl_ray.functions.hashing import splitmix64
     from arches_rascoll_etl_ray.stages.shard_join import shard_join
 
@@ -1971,6 +1953,61 @@ def q_pagerank(sf_dir: str):
         .materialize()
     )
     n_nodes = nodes.count()
+    base = 0.15 / n_nodes
+
+    if n_nodes <= broadcast_limit:
+        # rank-vector broadcast mode: the rank table is NODE-bounded (16 B
+        # per node — 2M nodes ≈ 32 MB), so like every other gated small
+        # side it rides ray.put; edges NEVER re-shuffle. Per iteration: one
+        # map-only pass over the materialized edges (searchsorted rank
+        # lookup, per-batch per-dst partial sums), one constant-64-shard
+        # exact reduce, and a ≤N-row driver fold.
+        chunks = [
+            b["node"].to_numpy(dtype=np.int64)
+            for b in nodes.iter_batches(batch_format="pandas")
+        ]
+        node_ids = np.sort(np.concatenate(chunks)) if chunks else np.array([], dtype=np.int64)
+        r = np.full(n_nodes, 1.0 / n_nodes)
+        for _ in range(_PR_K):
+            r_ref = ray.put(r)
+
+            def contrib_bc(t: pa.Table, _r=r_ref) -> pa.Table:
+                rv = ray.get(_r)
+                src = t["src"].to_numpy()
+                c = rv[np.searchsorted(node_ids, src)] / t["deg"].to_numpy().astype(
+                    np.float64
+                )
+                part = (
+                    pa.table({"dst": t["dst"], "s": pa.array(c)})
+                    .group_by(["dst"])
+                    .aggregate([("s", "sum")])
+                    .rename_columns(["dst", "s"])
+                )
+                sh = (splitmix64(part["dst"].to_numpy()) % np.uint64(64)).astype(np.int32)
+                return part.append_column("shard", pa.array(sh))
+
+            def fold_bc(df: pd.DataFrame) -> pd.DataFrame:
+                return df.groupby("dst", as_index=False).agg(s=("s", "sum"))
+
+            partial = (
+                edges.map_batches(contrib_bc, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(fold_bc, batch_format="pandas")
+                .to_pandas()  # exactly one row per node: ≤ broadcast_limit
+            )
+            s = np.zeros(n_nodes)
+            s[np.searchsorted(node_ids, partial["dst"].to_numpy(dtype=np.int64))] = (
+                partial["s"].to_numpy(dtype=np.float64)
+            )
+            r = base + _PR_D * s
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_ids),
+                    "rank_e9": pa.array(np.round(r * 1e9).astype(np.int64)),
+                }
+            )
+        )
 
     def init_ranks(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1982,7 +2019,6 @@ def q_pagerank(sf_dir: str):
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
-    base = 0.15 / n_nodes
     for _ in range(_PR_K):
 
         def contrib(g: pd.DataFrame) -> pa.Table:
@@ -2042,6 +2078,43 @@ def q_pagerank(sf_dir: str):
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+@register("q_pagerank", _pagerank_sql())
+def q_pagerank(sf_dir: str):
+    """PageRank, K=3 power iterations over the symmetric order–part
+    bipartite graph (every lineitem is an undirected edge) — the canonical
+    iterative-graph workload. Edge build (shared by both modes): per-batch
+    local dedupe, then exact dedupe + degree inside an h(src) shard groupby
+    (a src's edges land in ONE shard), materialized once; the node set is
+    derived split-safely (whole-group dedupe). Symmetric edges mean no
+    dangling-mass term and every node re-appears each iteration.
+
+    Mode gate (the q_region_revenue/term-importance pattern): the rank
+    vector is NODE-bounded — 16 B/node — so below
+    ARER_BROADCAST_RANK_LIMIT (default 2M nodes ≈ 32 MB) it broadcasts via
+    ray.put and each iteration is ONE map-only edges pass (searchsorted
+    lookup, per-batch per-dst partials) + ONE constant-64-shard exact
+    reduce — the edge list never re-shuffles. Above the gate (10^9-node
+    graphs) the fully distributed path runs: shard_join(edges, ranks,
+    on=src) with in-group per-dst pre-aggregation, then a shard fold on
+    dst — 2 shuffles/iteration, no driver data path; that route itself is
+    oracle-hashed via q_pagerank_dist.
+
+    Float discipline: e9 fixed point with measured rounding-boundary
+    margins 2.9e-4 / 1.0e-5 / 2.9e-7 at sf0.001/0.01/0.1 vs cross-engine
+    summation-order noise ~1e-10 of value (the kmeans/ppl margin
+    methodology)."""
+    limit = int(os.environ.get("ARER_BROADCAST_RANK_LIMIT", "2000000"))
+    return _pagerank_pipeline(sf_dir, limit)
+
+
+@register("q_pagerank_dist", _pagerank_sql())
+def q_pagerank_dist(sf_dir: str):
+    """q_pagerank with the broadcast gate forced OFF — the 10^9-node
+    shard_join route itself behind the oracle hash (the `_dist` twin
+    convention)."""
+    return _pagerank_pipeline(sf_dir, 0)
 
 
 @register(

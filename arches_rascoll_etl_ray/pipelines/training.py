@@ -78,6 +78,24 @@ def _splitmix64_sql(x: str) -> str:
     return f"xor({z2}, ({z2}) >> 31)"
 
 
+def _token_count_shards(t: pa.Table, col: str = "tok") -> pa.Table:
+    """Map-side token-count combiner shared by the vocabulary / BPE-trainer /
+    unigram-LM passes: lower → [^a-z0-9]+ split (THE cross-query token
+    contract every SQL twin is generated from — change it in exactly one
+    place) → per-batch Arrow value_counts → stable_hash64 % 64 shard."""
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+    vc = pc.value_counts(flat.combine_chunks())
+    w = vc.field("values")
+    shard = (stable_hash64(w) % np.uint64(64)).astype(np.int32)
+    return pa.table(
+        {col: w, "n": pc.cast(vc.field("counts"), pa.int64()), "shard": pa.array(shard)}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -2103,25 +2121,13 @@ def q_vocab_topk(sf_dir: str):
     token instances."""
     ds = _docs(sf_dir, ["text"])
 
-    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
-
-    def count_tokens(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
-        vc = pc.value_counts(flat.combine_chunks())
-        tok = vc.field("values")
-        n = pc.cast(vc.field("counts"), pa.int64())
-        shard = (stable_hash64(tok) % np.uint64(64)).astype(np.int32)
-        return pa.table({"tok": tok, "n": n, "shard": pa.array(shard)})
-
     def shard_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("tok", as_index=False).agg(n=("n", "sum"))
         g = g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
         return g.head(100)
 
     return (
-        ds.map_batches(count_tokens, batch_format="pyarrow")
+        ds.map_batches(_token_count_shards, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_topk, batch_format="pandas")
         .sort(["n", "tok"], descending=[True, False])
@@ -3713,24 +3719,13 @@ def q_bpe_train_merges(sf_dir: str):
 
     ds = _docs(sf_dir, ["text"])
 
-    def wc(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
-        vc = pc.value_counts(flat.combine_chunks())
-        w = vc.field("values")
-        shard = (stable_hash64(w) % np.uint64(64)).astype(np.int32)
-        return pa.table(
-            {"w": w, "n": pc.cast(vc.field("counts"), pa.int64()), "shard": pa.array(shard)}
-        )
-
     def shard_sum(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("w", as_index=False).agg(n=("n", "sum"))
 
     # distinct words ≪ corpus (Zipf): materializing the projection is the
     # point of the factoring — K iterations then never re-touch the text.
     words = (
-        ds.map_batches(wc, batch_format="pyarrow")
+        ds.map_batches(lambda t: _token_count_shards(t, col="w"), batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_sum, batch_format="pandas")
         .materialize()
@@ -3875,24 +3870,11 @@ def q_unigram_ppl(sf_dir: str):
     methodology, 7+ orders of headroom."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
-
-    def wc(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
-        vc = pc.value_counts(flat.combine_chunks())
-        w = vc.field("values")
-        shard = (stable_hash64(w) % np.uint64(64)).astype(np.int32)
-        return pa.table(
-            {"tok": w, "n": pc.cast(vc.field("counts"), pa.int64()), "shard": pa.array(shard)}
-        )
-
     def shard_sum(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("tok", as_index=False).agg(n=("n", "sum"))
 
     counts = (
-        ds.map_batches(wc, batch_format="pyarrow")
+        ds.map_batches(_token_count_shards, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_sum, batch_format="pandas")
         .to_pandas()  # the LM itself: |vocab| rows, the broadcast side
@@ -3912,10 +3894,18 @@ def q_unigram_ppl(sf_dir: str):
         nonempty = vals != ""
         lnc = pd.Series(vals).map(lmap).to_numpy(dtype=np.float64)
         lnc = np.where(nonempty, lnc, 0.0)
-        k_per = np.add.reduceat(nonempty.astype(np.int64), offs[:-1]) if len(vals) else np.zeros(
-            len(offs) - 1, dtype=np.int64
-        )
-        s_per = np.add.reduceat(lnc, offs[:-1]) if len(vals) else np.zeros(len(offs) - 1)
+        # reduceat rejects an index == len(arr), which a batch-FINAL empty
+        # list (e.g. null text in the last row) produces; such trailing
+        # segments are exactly the starts == len(vals) suffix — leave them
+        # zero and reduce only the prefix (clipping instead would steal the
+        # previous segment's last element)
+        n_seg = len(offs) - 1
+        k_per = np.zeros(n_seg, dtype=np.int64)
+        s_per = np.zeros(n_seg, dtype=np.float64)
+        starts = offs[:-1][offs[:-1] < len(vals)]
+        if len(starts):
+            k_per[: len(starts)] = np.add.reduceat(nonempty.astype(np.int64), starts)
+            s_per[: len(starts)] = np.add.reduceat(lnc, starts)
         # reduceat quirk: empty segments copy the element AT the offset —
         # zero them via the k==0 mask (their docs are dropped anyway)
         empty_list = np.diff(offs) == 0
@@ -4038,7 +4028,7 @@ def _pq_assign_sql() -> str:
 @register("q_pq_assign", _pq_assign_sql())
 def q_pq_assign(sf_dir: str):
     """Product-quantization ASSIGNMENT — the vector-compression half of
-    PQ-based ANN (Jégou et al.): each embedding splits into M={M} subvectors,
+    PQ-based ANN (Jégou et al.): each embedding splits into M=4 subvectors,
     each snapped to its nearest subspace centroid, so a 64-float vector
     compresses to M small codes (the inverted-list payload a billion-vector
     index actually stores).

@@ -23,7 +23,7 @@ def _write_docs(tmp_path, rows):
             "text": pa.array([r[1] for r in rows], pa.string()),
             "lang": pa.array([r[2] for r in rows], pa.string()),
             "source": pa.array(["s"] * len(rows), pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            "n_chars": pa.array([len(r[1] or "") for r in rows], pa.int64()),
         }
     )
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
@@ -41,15 +41,17 @@ def test_unigram_ppl_reference_and_empty_docs(tmp_path):
         (2, "", "en"),          # no tokens: must be absent from the output
         (3, "!!! ---", "en"),   # symbols only: ditto
         (4, "rare unicorns prance", "en"),
+        (5, None, "en"),        # null text LAST: the reduceat batch-final
+                                # empty-segment regression (code-review find)
     ]
     sf = _write_docs(tmp_path, rows)
     got = q_unigram_ppl(sf).to_pandas().set_index("doc_id")["nll_e3"].to_dict()
     cnt = Counter()
     for _, t, _l in rows:
-        cnt.update(_toks(t))
+        cnt.update(_toks(t or ""))
     total = sum(cnt.values())
     for did, t, _l in rows:
-        toks = _toks(t)
+        toks = _toks(t or "")
         if not toks:
             assert did not in got
             continue
