@@ -3638,24 +3638,32 @@ def q_bpe_encode(sf_dir: str):
     100 TB this is a pure streaming scan. The DuckDB twin is the generated
     identical replace chain (both engines scan left-to-right from the match
     end, so the folds agree byte-for-byte)."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bpe_encode_fn(_BPE_FIXED_MERGES), batch_format="pyarrow"
+    )
+
+
+def _bpe_encode_fn(merges):
+    """Per-batch BPE encode closure over a (training-ordered) merge list —
+    shared by the fixed-table encode and the train→encode pipeline."""
+    frozen = tuple(merges)
 
     def encode(t: pa.Table) -> pa.Table:
         s = pc.utf8_lower(t["text"])
         s = pc.replace_substring_regex(s, pattern="[^a-z0-9]+", replacement=" ")
         s = pc.utf8_trim(s, characters=" ")
         s = pc.replace_substring_regex(s, pattern="([a-z0-9])", replacement=f"{_BPE_SEP}\\1")
-        s = _bpe_apply_merges(s, _BPE_FIXED_MERGES)
+        s = _bpe_apply_merges(s, frozen)
         n = pc.cast(pc.count_substring(s, pattern=_BPE_SEP), pa.int64())
         return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
 
-    return ds.map_batches(encode, batch_format="pyarrow")
+    return encode
 
 
-def _bpe_train_sql() -> str:
-    """Generated DuckDB twin of the full iterative BPE trainer: K chained
-    (pair-count → argmax → replace) CTE blocks over the word-frequency
-    table. Linear chain — plans fine (the lineage-oracle lesson: never nest
+def _bpe_train_ctes() -> list[str]:
+    """The K chained (pair-count → argmax → replace) CTE blocks of the
+    trainer twin — shared by _bpe_train_sql and _bpe_pipeline_sql. Linear
+    chain — plans fine (the lineage-oracle lesson: never nest
     exponentially)."""
     parts = [
         """
@@ -3682,14 +3690,41 @@ seq{i + 1} AS (SELECT replace(s, chr(31) || m.a || chr(31) || m.b,
                               chr(31) || m.a || m.b) AS s, n
                FROM seq{i}, m{i} m)
 """)
+    return parts
+
+
+def _bpe_train_sql() -> str:
     union = " UNION ALL ".join(
         f"SELECT {i + 1} AS rank, a AS tok_a, b AS tok_b, c AS n FROM m{i}"
         for i in range(_BPE_TRAIN_K)
     )
     return (
         "WITH "
-        + ",".join(parts)
+        + ",".join(_bpe_train_ctes())
         + f" SELECT CAST(rank AS BIGINT) AS rank, tok_a, tok_b, n FROM ({union}) ORDER BY rank"
+    )
+
+
+def _bpe_pipeline_sql() -> str:
+    """Train→encode composition twin: the trainer's m0..m{K-1} argmax CTEs
+    feed a per-document replace chain via scalar subqueries, so the whole
+    two-phase pipeline (learn merges on the corpus, re-tokenize the corpus
+    with them) is one SQL expression."""
+    parts = _bpe_train_ctes()
+    parts.append(f"d0 AS (SELECT doc_id, {_bpe_seq_sql_expr()} AS s FROM documents)")
+    for i in range(_BPE_TRAIN_K):
+        parts.append(f"""
+d{i + 1} AS (SELECT doc_id,
+                    replace(s, (SELECT chr(31) || a || chr(31) || b FROM m{i}),
+                               (SELECT chr(31) || a || b FROM m{i})) AS s
+             FROM d{i})
+""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""" SELECT doc_id,
+               CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n_bpe_tokens
+               FROM d{_BPE_TRAIN_K}"""
     )
 
 
@@ -4063,4 +4098,21 @@ def q_pq_assign(sf_dir: str):
 
     return _embs(sf_dir, ["vec_id", "embedding"]).map_batches(
         assign, batch_format="pandas", batch_size=4096
+    )
+
+
+@register("q_bpe_pipeline", _bpe_pipeline_sql())
+def q_bpe_pipeline(sf_dir: str):
+    """The full BPE pipeline COMPOSED: train K merges on the corpus
+    (q_bpe_train_merges' distributed two-phase shape — one text scan for
+    the word table, K iterations over the materialized projection), then
+    re-tokenize every document with the learned table (q_bpe_encode's
+    map-only vectorized replace chain). The oracle is the composition too:
+    the trainer's argmax CTEs feed the document replace chain through
+    scalar subqueries, so a single wrong merge choice OR a single wrong
+    fold flips per-doc counts corpus-wide."""
+    trained = q_bpe_train_merges(sf_dir)
+    merges = list(zip(trained["tok_a"].to_pylist(), trained["tok_b"].to_pylist()))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _bpe_encode_fn(merges), batch_format="pyarrow"
     )

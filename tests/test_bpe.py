@@ -12,6 +12,7 @@ from arches_rascoll_etl_ray.pipelines.training import (
     _BPE_FIXED_MERGES,
     _BPE_TRAIN_K,
     q_bpe_encode,
+    q_bpe_pipeline,
     q_bpe_train_merges,
 )
 
@@ -133,3 +134,11 @@ def test_encode_with_trained_merges_roundtrip(tmp_path):
     # final word segmentation sizes
     total = sum(_ref_encode(t, merges) for t in _CORPUS)
     assert total == sum(_ref_encode(t, ref_merges) for t in _CORPUS)
+
+
+def test_pipeline_composes_train_then_encode(tmp_path):
+    sf = _write_docs(tmp_path, _CORPUS)
+    got = q_bpe_pipeline(sf).to_pandas().set_index("doc_id")["n_bpe_tokens"].to_dict()
+    ref_merges = [(a, b) for a, b, _ in _ref_train(_CORPUS, _BPE_TRAIN_K)]
+    for i, t in enumerate(_CORPUS):
+        assert got[i] == _ref_encode(t, ref_merges), (i, t)
