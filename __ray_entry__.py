@@ -36,26 +36,29 @@ _PRIORITY = [
     "cdc_replicate", "cdc_time_travel", "cdc_secondary_index",
     "cdc_index_evolution", "cdc_dedup_incremental", "cdc_join_view",
     "cdc_lineage", "cdc_branch", "cdc_repartition", "cdc_distinct_mv",
+    "cdc_fsck",
     # Training-data / LLM-curation flagship ops
     "dedup_exact", "q_dedup_clusters", "q_simhash_clusters",
     "q_embedding_clusters", "q_ngram_jaccard_pairs", "knn_brute",
     "q_contamination", "q_heavy_hitters", "q_term_importance",
-    "q_bpe_train_merges", "q_unigram_ppl",
-    # (window-slot curation: the sampling family keeps
-    # q_sample_deterministic; q_stratified_sample / q_hll_by_group /
-    # q_frame_sample stay in queries() below the fold — their siblings
+    "q_bpe_pipeline", "q_unigram_ppl",
+    # (window-slot curation: one entry carries each family's driver
+    # evidence — q_bpe_pipeline subsumes q_bpe_train_merges (its oracle
+    # embeds the trainer CTEs), q_dedup_spans_removed subsumes q_dup_spans,
     # q_sample_deterministic / q_hll_registers /
-    # q_multimodal_features_real carry the family's driver evidence)
-    "q_hll_registers", "q_sample_deterministic", "q_token_count",
+    # q_multimodal_features_real stand in for q_stratified_sample /
+    # q_hll_by_group / q_frame_sample; the evicted names all stay in
+    # queries() below the fold, pytest- and sweep-checked)
+    "q_hll_registers", "q_sample_deterministic",
     "q_regex_redact", "q_quality_score", "q_lang_id", "q_fingerprint",
-    "q_vocab_topk", "q_repetition_score", "q_dup_spans",
+    "q_vocab_topk", "q_repetition_score",
     "q_dedup_spans_removed", "q_curation", "q_pack_sequences",
     "q_multimodal_features_real",
     # Representative relational subset (one per operator family)
     # (q_lww_latest_event stays in queries() but outside the window: the
     # LWW fold already has driver rows through every CDC engine entry)
     "q_pricing_summary", "q_region_revenue", "q_anti_join",
-    "q_full_outer_join", "q_asof_join", "q_window_hopping",
+    "q_full_outer_join", "q_asof_join", "q_window_hopping", "q_pagerank",
 ]
 
 
