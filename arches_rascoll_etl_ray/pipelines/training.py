@@ -4116,3 +4116,97 @@ def q_bpe_pipeline(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _bpe_encode_fn(merges), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (mergeable frequency sketch; register-exact oracle)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # cells per row
+
+
+def _cms_sql() -> str:
+    rows = ", ".join(f"({j})" for j in range(_CMS_D))
+    cell = _splitmix64_sql("xor(hv, CAST(j AS UBIGINT))")
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) * 4294967296
+           + CAST(('0x' || substr(md5(tok), 9, 8)) AS UBIGINT) AS hv
+      FROM toks
+    ), cells AS (
+      SELECT j, ({cell}) % {_CMS_W} AS cell
+      FROM h CROSS JOIN (VALUES {rows}) t(j)
+    )
+    SELECT CAST(j AS BIGINT) AS row, CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cells GROUP BY j, cell
+    """
+
+
+@register("q_cms_registers", _cms_sql())
+def q_cms_registers(sf_dir: str):
+    """Count-Min Sketch over the corpus token stream — the mergeable
+    frequency sketch (point-query ≥ true count, error ≤ N/W w.p.
+    1−(1/2)^D): D=4 hash rows × W=1024 cells, counters summed cell-wise.
+    Like q_hll_registers, the sketch STATE itself is oracled register-for-
+    register, not just a derived estimate — counters are additive and
+    order-independent, so the DuckDB twin (portable md5→uint64 token hash,
+    generated HUGEINT splitmix64 row-mixers) must match every nonzero cell
+    exactly.
+
+    Distributed shape: per-batch Arrow value_counts collapse the token
+    stream to distinct-token weights, md5 runs once per DISTINCT token,
+    np.add.at folds a local (D×W) counter block, and each batch emits only
+    its ≤D·W nonzero partial cells into a constant-64-shard exact sum —
+    the driver sees ≤D·W rows total regardless of corpus size. Text never
+    shuffles."""
+    import hashlib as _hl
+
+    from arches_rascoll_etl_ray.functions.hashing import splitmix64
+
+    ds = _docs(sf_dir, ["text"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat.combine_chunks())
+        words = vc.field("values").to_pylist()
+        cnts = pc.cast(vc.field("counts"), pa.int64()).to_numpy()
+        if not words:
+            return pa.table(
+                {"row": pa.array([], pa.int64()), "cell": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()), "shard": pa.array([], pa.int32())}
+            )
+        hv = np.array(
+            [int(_hl.md5(w.encode()).hexdigest()[:16], 16) for w in words],
+            dtype=np.uint64,
+        )
+        block = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for j in range(_CMS_D):
+            cells = (splitmix64(hv ^ np.uint64(j)) % np.uint64(_CMS_W)).astype(np.int64)
+            np.add.at(block[j], cells, cnts)
+        r, c = np.nonzero(block)
+        out = pa.table(
+            {
+                "row": pa.array(r.astype(np.int64)),
+                "cell": pa.array(c.astype(np.int64)),
+                "n": pa.array(block[r, c]),
+            }
+        )
+        shard = ((r * _CMS_W + c) % 64).astype(np.int32)
+        return out.append_column("shard", pa.array(shard))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["row", "cell"], as_index=False).agg(n=("n", "sum"))
+
+    return (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(fold, batch_format="pandas")
+    )

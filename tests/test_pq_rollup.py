@@ -37,3 +37,50 @@ def test_rollup_hierarchy_consistent():
     for lang, g in detail.groupby("lang"):
         assert g["n_docs"].sum() == subs[lang]
     assert total == pq.read_metadata(f"{SF_SMOKE}/documents.parquet").num_rows
+
+
+def test_cms_point_estimates_dominate_true_counts(tmp_path):
+    """CMS guarantee: min-over-rows cell count ≥ true token count, with
+    equality for tokens that collide with nothing in some row."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from arches_rascoll_etl_ray.functions.hashing import splitmix64
+    from arches_rascoll_etl_ray.pipelines.training import _CMS_D, _CMS_W, q_cms_registers
+
+    texts = ["the cat sat", "the cat ran", "a rare word appears once", "the the the"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pqt
+
+    pqt.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = q_cms_registers(str(tmp_path)).to_pandas()
+    sketch = {(int(r), int(c)): int(n) for r, c, n in got[["row", "cell", "n"]].to_numpy()}
+
+    true = Counter()
+    for t in texts:
+        true.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    total = sum(true.values())
+    assert sum(n for (r, _), n in sketch.items() if r == 0) == total  # row 0 mass
+
+    for tok, n in true.items():
+        hv = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
+        est = min(
+            sketch.get(
+                (j, int(splitmix64(np.array([hv ^ np.uint64(j)]))[0] % np.uint64(_CMS_W))),
+                0,
+            )
+            for j in range(_CMS_D)
+        )
+        assert est >= n  # never undercounts
+        assert est <= total  # trivially bounded by stream mass
