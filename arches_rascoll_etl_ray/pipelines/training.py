@@ -4210,3 +4210,88 @@ def q_cms_registers(sf_dir: str):
         .groupby("shard")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter bit-state (the anti-join scale path's filter, register-exact)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 4     # probes (Kirsch–Mitzenmacher double hashing)
+
+
+def _bloom_sql() -> str:
+    h1 = _splitmix64_sql("CAST(k AS UBIGINT)")
+    # functions/bloom._h2: xorshift-multiply mix forced odd
+    x1 = "xor(h1, h1 >> 33)"
+    x2 = _mulmod64_sql(x1, 0x9E3779B97F4A7C15)
+    x3 = f"xor({x2}, ({x2}) >> 29)"
+    h2 = f"(({x3}) - (({x3}) % 2) + 1)"
+    # i ≤ 3, so i·h2 and the sum fit HUGEINT: wrap mod 2^64 directly
+    pos = (
+        f"CAST((CAST(h1 AS HUGEINT) + (CAST(h2 AS HUGEINT) * i) % {_M64}) % {_M64} "
+        f"AS UBIGINT) % {_BLOOM_M}"
+    )
+    rows = ", ".join(f"({i})" for i in range(_BLOOM_K))
+    return f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    h AS (SELECT ({h1}) AS h1 FROM keys),
+    hh AS (SELECT h1, {h2} AS h2 FROM h),
+    pos AS (
+      SELECT DISTINCT ({pos}) AS position
+      FROM hh CROSS JOIN (VALUES {rows}) t(i)
+    )
+    SELECT CAST(position AS BIGINT) AS position FROM pos
+    """
+
+
+@register("q_bloom_registers", _bloom_sql())
+def q_bloom_registers(sf_dir: str):
+    """The Bloom filter's exact BIT STATE for the distinct customer key set
+    — the filter q_anti_join_shuffle broadcasts on its 10^10-key path,
+    here pinned register-for-register like the HLL/CMS sketches: every set
+    bit position (mix64 double-hashing, functions/bloom.py) recomputed in
+    DuckDB through the generated splitmix64 + xorshift-multiply twins. Set
+    membership in a Bloom filter is order-independent (bit OR), so the
+    engine and twin must agree on the exact position set.
+
+    Distributed shape: per-batch unique keys → h(key) shard dedupe (whole
+    group — exact distinct), per-shard vectorized probe positions, then a
+    position-shard dedupe; ≤M rows ever exist past the second exchange."""
+    from arches_rascoll_etl_ray.functions.bloom import _h2, mix64
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    def local_keys(t: pa.Table) -> pa.Table:
+        u = (
+            pa.table({"k": pc.cast(t["o_custkey"], pa.int64())})
+            .group_by(["k"])
+            .aggregate([])
+        )
+        shard = (u["k"].to_numpy() % 64).astype(np.int32)
+        return u.append_column("shard", pa.array(shard))
+
+    def shard_positions(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["k"].drop_duplicates().to_numpy(dtype=np.int64)
+        h1 = mix64(keys)
+        h2 = _h2(h1)
+        pos = np.concatenate(
+            [
+                ((h1 + np.uint64(i) * h2) % np.uint64(_BLOOM_M)).astype(np.int64)
+                for i in range(_BLOOM_K)
+            ]
+        )
+        out = pd.DataFrame({"position": pos}).drop_duplicates()
+        out["shard2"] = (out["position"] % 64).astype(np.int32)
+        return out
+
+    def dedupe_positions(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["position"]].drop_duplicates()
+
+    return (
+        ds.map_batches(local_keys, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_positions, batch_format="pandas")
+        .groupby("shard2")
+        .map_groups(dedupe_positions, batch_format="pandas")
+    )
