@@ -4295,3 +4295,76 @@ def q_bloom_registers(sf_dir: str):
         .groupby("shard2")
         .map_groups(dedupe_positions, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize through the real BMP codec (the brief's resize stage)
+# ---------------------------------------------------------------------------
+
+_RESIZE_W = 16   # packed image width (chars per row)
+_RESIZE_F = 2    # nearest-neighbor downscale factor
+
+
+def _image_resize_sql() -> str:
+    w, f = _RESIZE_W, _RESIZE_F
+    return f"""
+    WITH dims AS (
+      SELECT doc_id, text,
+             greatest(1, (strlen(text) + {w - 1}) // {w}) AS h
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, text,
+             (h + {f - 1}) // {f} AS out_h,
+             unnest(range(0, (h + {f - 1}) // {f})) AS r
+      FROM dims
+    ), px AS (
+      SELECT doc_id, out_h,
+             CAST(r * {f} AS BIGINT) * {w} + c * {f} + 1 AS pos, text
+      FROM grid, UNNEST(range(0, {(w + f - 1) // f})) t(c)
+    ), vals AS (
+      SELECT doc_id, out_h,
+             CASE WHEN pos <= strlen(text)
+                  THEN unicode(substr(text, CAST(pos AS BIGINT), 1)) ELSE 0 END AS b
+      FROM px
+    )
+    SELECT doc_id, CAST(out_h AS BIGINT) AS out_h,
+           CAST({(w + f - 1) // f} AS BIGINT) AS out_w,
+           CAST(sum(b * b) AS BIGINT) AS resized_sumsq
+    FROM vals GROUP BY doc_id, out_h
+    """
+
+
+@register("q_image_resize_real", _image_resize_sql())
+def q_image_resize_real(sf_dir: str):
+    """Image RESIZE through the real BMP codec (the multimodal brief's
+    resize stage, with decode/feature/frame-sample already covered): each
+    document's bytes pack into a genuine 16-wide 24-bit BMP (zero-padded
+    last row), and the ImageResizer actor pool parses the header, recovers
+    the 2-D pixel grid and nearest-neighbor downsamples by 2 — integer
+    pixel picks, so the DuckDB twin recomputes the identical picked-pixel
+    Σpixel² straight from character codes while the engine path exercises
+    the actual byte-level parse (offsets, bottom-up row order, stride
+    padding). Actor-pool map_batches with bytes-aware batch sizing, like
+    the other multimodal stages."""
+    from arches_rascoll_etl_ray.stages.multimodal import ImageResizer, encode_bmp24
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    w = _RESIZE_W
+
+    def to_container(t: pa.Table) -> pa.Table:
+        payloads = []
+        for txt in t["text"].to_pylist():
+            b = np.frombuffer((txt or "").encode("ascii"), dtype=np.uint8)
+            h = max(1, -(-len(b) // w))
+            img = np.zeros(h * w, dtype=np.uint8)
+            img[: len(b)] = b
+            payloads.append(encode_bmp24(img.reshape(h, w)))
+        return pa.table({"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())})
+
+    return ds.map_batches(to_container, batch_format="pyarrow").map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        fn_constructor_kwargs={"factor": _RESIZE_F},
+    )

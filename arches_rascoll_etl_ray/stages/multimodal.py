@@ -56,6 +56,13 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
+    return _decode_bmp_2d(payload).reshape(-1)
+
+
+def _decode_bmp_2d(payload: bytes) -> np.ndarray:
+    """BMP → 2-D uint8 (h, w) top-down gray (blue channel for 24-bit,
+    palette indices for 8-bit) — the shape-preserving form the resize
+    stage needs; _decode_bmp flattens it for the 1-D featurizer contract."""
     if len(payload) < 54:
         raise ValueError("BMP payload truncated before BITMAPINFOHEADER")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -80,8 +87,8 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]  # stored bottom-up → return top-down row-major
     if bpp == 24:
-        return np.ascontiguousarray(rows.reshape(h, w, 3)[:, :, 0]).reshape(-1)  # blue ch
-    return np.ascontiguousarray(rows).reshape(-1)  # palette indices
+        return np.ascontiguousarray(rows.reshape(h, w, 3)[:, :, 0])  # blue ch
+    return np.ascontiguousarray(rows)  # palette indices
 
 
 def _decode_wav(payload: bytes) -> np.ndarray:
@@ -280,5 +287,47 @@ class FrameSampler:
                 "doc_id": batch["doc_id"],
                 "frames": outer,
                 "n_frames": pa.array(n_frames.astype(np.int64)),
+            }
+        )
+
+
+class ImageResizer:
+    """Actor-pool stage: decode real BMP payloads and nearest-neighbor
+    downscale by an integer factor (picked pixels at stride f in both
+    axes — the exact-arithmetic resize, so the result is oracle-checkable
+    byte-for-byte). Emits (id, out_h, out_w, resized_sumsq): the picked
+    pixel grid's dimensions and Σpixel² — integer-exact.
+
+    Same deployment shape as BinaryFeatureExtractor: callable CLASS for
+    map_batches(..., concurrency=N) so per-actor setup happens once;
+    payload parsing is per-row by nature (each blob carries its own
+    header), but all pixel arithmetic is numpy."""
+
+    def __init__(self, factor: int = 2, id_column: str = "doc_id"):
+        if factor < 1:
+            raise ValueError(f"resize factor must be >= 1, got {factor}")
+        self.factor = int(factor)
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["payload"].combine_chunks()
+        offs, data = _payload_slices(col)
+        n = len(col)
+        out_h = np.zeros(n, dtype=np.int64)
+        out_w = np.zeros(n, dtype=np.int64)
+        sumsq = np.zeros(n, dtype=np.int64)
+        f = self.factor
+        for i in range(n):
+            payload = data[offs[i]:offs[i + 1]].tobytes()
+            img = _decode_bmp_2d(payload)
+            picked = img[::f, ::f].astype(np.int64)
+            out_h[i], out_w[i] = picked.shape
+            sumsq[i] = int((picked * picked).sum())
+        return pa.table(
+            {
+                self.id_column: batch[self.id_column],
+                "out_h": pa.array(out_h),
+                "out_w": pa.array(out_w),
+                "resized_sumsq": pa.array(sumsq),
             }
         )

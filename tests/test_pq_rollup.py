@@ -84,3 +84,29 @@ def test_cms_point_estimates_dominate_true_counts(tmp_path):
         )
         assert est >= n  # never undercounts
         assert est <= total  # trivially bounded by stream mass
+
+
+def test_image_resizer_picks_exact_pixels():
+    import pyarrow as pa
+
+    from arches_rascoll_etl_ray.stages.multimodal import ImageResizer, encode_bmp24
+
+    img = np.arange(7 * 5, dtype=np.uint8).reshape(7, 5)  # odd dims on purpose
+    batch = pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "payload": pa.array([encode_bmp24(img)], pa.binary())}
+    )
+    out = ImageResizer(factor=2)(batch).to_pandas().iloc[0]
+    picked = img[::2, ::2].astype(np.int64)
+    assert (out["out_h"], out["out_w"]) == picked.shape
+    assert out["resized_sumsq"] == (picked * picked).sum()
+
+    ident = ImageResizer(factor=1)(batch).to_pandas().iloc[0]
+    full = img.astype(np.int64)
+    assert (ident["out_h"], ident["out_w"]) == full.shape
+    assert ident["resized_sumsq"] == (full * full).sum()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="factor"):
+        ImageResizer(factor=0)
