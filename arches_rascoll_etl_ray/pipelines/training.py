@@ -4368,3 +4368,70 @@ def q_image_resize_real(sf_dir: str):
         concurrency=2,
         fn_constructor_kwargs={"factor": _RESIZE_F},
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 candidates + embedding-cosine rerank signal
+# ---------------------------------------------------------------------------
+
+_HYBRID_QVEC = 0  # deterministic query vector = embedding of vec_id 0
+
+
+def _hybrid_sql() -> str:
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = {_HYBRID_QVEC}
+    )
+    SELECT bm.doc_id, bm.score_e3,
+           CAST(ROUND(1e6 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe))
+                AS BIGINT) AS cos_e6
+    FROM ({_bm25_sql()}) bm
+    JOIN embeddings e ON e.vec_id = bm.doc_id, q
+    """
+
+
+@register("q_hybrid_search", _hybrid_sql())
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval (the standard RAG/retrieval stack): BM25 selects
+    the lexical top-k candidates, then each candidate gets its
+    embedding-cosine score against a deterministic query vector — the
+    rerank signal — as an e6 fixed-point column. Ordering stays BM25's
+    (integer-exact); the cosine rides as a VALUE, with measured
+    rounding-boundary margins ≥1.0e-3 over ALL vectors at sf0.001/0.01
+    (vs ~1e-15 cross-engine summation noise).
+
+    Distributed shape: the BM25 half is the full q_bm25_topk pipeline
+    (text never leaves its tokenize map); only the ≤k winner ids reach the
+    driver, and the rerank is a FILTERED parquet point-read of k+1
+    embedding rows (row-group pruned) + one numpy pass — at any corpus
+    size the rerank cost is O(k·dim), never a scan."""
+    import pyarrow.parquet as _pq
+
+    bm = q_bm25_topk(sf_dir).to_pandas()  # Dataset or Table: ≤k winner rows
+    ids = bm["doc_id"].to_numpy(dtype=np.int64)
+
+    emb = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", sorted(set(ids.tolist()) | {_HYBRID_QVEC}))],
+    )
+    vecs = {
+        int(v): np.asarray(e, dtype=np.float64)
+        for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
+    }
+    qe = vecs[_HYBRID_QVEC]
+    qn = np.linalg.norm(qe)
+    cos = np.array(
+        [
+            float(np.dot(vecs[i], qe)) / (np.linalg.norm(vecs[i]) * qn)
+            for i in ids
+        ]
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "score_e3": pa.array(bm["score_e3"].to_numpy(dtype=np.int64)),
+            "cos_e6": pa.array(np.round(1e6 * cos).astype(np.int64)),
+        }
+    )
