@@ -3575,7 +3575,13 @@ def q_group_sample(sf_dir: str):
 # BPE tokenizer: fixed-merge encode + distributed iterative merge training
 # ---------------------------------------------------------------------------
 
-_BPE_SEP = "\x1f"  # symbol-boundary marker; [a-z0-9] alphabet can't contain it
+# Symbol framing: every symbol is wrapped ␟sym␞ (unit + record separators —
+# the [a-z0-9] alphabet can't contain either). BOTH markers are load-bearing:
+# with only a leading separator, the merge pattern "␟a␟b" also matches a
+# symbol that merely STARTS with b (e.g. "ba…"), silently diverging from
+# iterative BPE — found by the hypothesis property test in tests/test_bpe.py.
+_BPE_SEP = "\x1f"
+_BPE_END = "\x1e"
 
 # A training-ordered merge list (each pair references only base chars or
 # earlier merges' outputs), so sequential whole-corpus application of the
@@ -3591,19 +3597,25 @@ _BPE_TRAIN_K = 6  # merge iterations for the oracled trainer
 
 def _bpe_seq_sql_expr() -> str:
     """DuckDB expr: document text → BPE symbol sequence — every word
-    character prefixed by the separator, words joined by a space the merge
-    patterns can never cross (patterns always start with the separator and
-    contain none)."""
+    character wrapped ␟c␞, words joined by a space the merge patterns can
+    never cross (patterns are fully framed and contain no space)."""
     return (
         "regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), "
-        "'([a-z0-9])', chr(31) || '\\1', 'g')"
+        "'([a-z0-9])', chr(31) || '\\1' || chr(30), 'g')"
+    )
+
+
+def _bpe_merge_replace_sql(s: str, a: str, b: str) -> str:
+    return (
+        f"replace({s}, chr(31) || '{a}' || chr(30) || chr(31) || '{b}' || chr(30), "
+        f"chr(31) || '{a}{b}' || chr(30))"
     )
 
 
 def _bpe_encode_sql() -> str:
     s = _bpe_seq_sql_expr()
     for a, b in _BPE_FIXED_MERGES:
-        s = f"replace({s}, chr(31) || '{a}' || chr(31) || '{b}', chr(31) || '{a}{b}')"
+        s = _bpe_merge_replace_sql(s, a, b)
     return f"""
     SELECT doc_id,
            CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n_bpe_tokens
@@ -3612,12 +3624,16 @@ def _bpe_encode_sql() -> str:
 
 
 def _bpe_apply_merges(s: pa.ChunkedArray | pa.Array, merges) -> pa.Array:
-    """Apply a training-ordered merge list to separator-rep sequences —
+    """Apply a training-ordered merge list to framed-symbol sequences —
     pure Arrow replace kernels (RE2/std find-from-pos scan: left-to-right
-    non-overlapping, identical to DuckDB replace and Python str.replace)."""
+    non-overlapping, identical to DuckDB replace and Python str.replace).
+    Exactness needs the full ␟a␞␟b␞ frame: see the _BPE_SEP note and the
+    property test that caught the prefix-match hazard."""
     for a, b in merges:
         s = pc.replace_substring(
-            s, pattern=f"{_BPE_SEP}{a}{_BPE_SEP}{b}", replacement=f"{_BPE_SEP}{a}{b}"
+            s,
+            pattern=f"{_BPE_SEP}{a}{_BPE_END}{_BPE_SEP}{b}{_BPE_END}",
+            replacement=f"{_BPE_SEP}{a}{b}{_BPE_END}",
         )
     return s
 
@@ -3652,7 +3668,9 @@ def _bpe_encode_fn(merges):
         s = pc.utf8_lower(t["text"])
         s = pc.replace_substring_regex(s, pattern="[^a-z0-9]+", replacement=" ")
         s = pc.utf8_trim(s, characters=" ")
-        s = pc.replace_substring_regex(s, pattern="([a-z0-9])", replacement=f"{_BPE_SEP}\\1")
+        s = pc.replace_substring_regex(
+            s, pattern="([a-z0-9])", replacement=f"{_BPE_SEP}\\1{_BPE_END}"
+        )
         s = _bpe_apply_merges(s, frozen)
         n = pc.cast(pc.count_substring(s, pattern=_BPE_SEP), pa.int64())
         return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
@@ -3674,20 +3692,21 @@ w0 AS (
     FROM documents
   ) GROUP BY w
 ),
-seq0 AS (SELECT regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS s, n FROM w0)
+seq0 AS (SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g') AS s, n FROM w0)
 """
     ]
     for i in range(_BPE_TRAIN_K):
         parts.append(f"""
-sym{i} AS (SELECT string_split(s, chr(31)) AS l, n FROM seq{i}),
+sym{i} AS (SELECT list_transform(string_split(s, chr(31)), x -> rtrim(x, chr(30))) AS l,
+                  n FROM seq{i}),
 pos{i} AS (SELECT l, n, unnest(generate_series(2, len(l) - 1)) AS i
            FROM sym{i} WHERE len(l) >= 3),
 pc{i} AS (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b,
                  CAST(sum(n) AS BIGINT) AS c
           FROM pos{i} GROUP BY a, b),
 m{i} AS (SELECT a, b, c FROM pc{i} ORDER BY c DESC, a, b LIMIT 1),
-seq{i + 1} AS (SELECT replace(s, chr(31) || m.a || chr(31) || m.b,
-                              chr(31) || m.a || m.b) AS s, n
+seq{i + 1} AS (SELECT replace(s, chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+                              chr(31) || m.a || m.b || chr(30)) AS s, n
                FROM seq{i}, m{i} m)
 """)
     return parts
@@ -3715,8 +3734,10 @@ def _bpe_pipeline_sql() -> str:
     for i in range(_BPE_TRAIN_K):
         parts.append(f"""
 d{i + 1} AS (SELECT doc_id,
-                    replace(s, (SELECT chr(31) || a || chr(31) || b FROM m{i}),
-                               (SELECT chr(31) || a || b FROM m{i})) AS s
+                    replace(s,
+                            (SELECT chr(31) || a || chr(30) || chr(31) || b || chr(30)
+                             FROM m{i}),
+                            (SELECT chr(31) || a || b || chr(30) FROM m{i})) AS s
              FROM d{i})
 """)
     return (
@@ -3782,11 +3803,13 @@ def q_bpe_train_merges(sf_dir: str):
                     }
                 )
             seq = pc.replace_substring_regex(
-                t["w"], pattern="(.)", replacement=f"{_BPE_SEP}\\1"
+                t["w"], pattern="(.)", replacement=f"{_BPE_SEP}\\1{_BPE_END}"
             )
             seq = _bpe_apply_merges(seq, _m)
             lists = pc.split_pattern(seq, pattern=_BPE_SEP).combine_chunks()
-            vals = lists.values  # flattened symbols; each list leads with ''
+            # flattened symbols; each list leads with '' and every real
+            # symbol carries its trailing ␞ frame — strip for pair identity
+            vals = pc.utf8_rtrim(lists.values, characters=_BPE_END)
             offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             lens = np.diff(offs)
             nlists = len(lens)

@@ -142,3 +142,94 @@ def test_pipeline_composes_train_then_encode(tmp_path):
     ref_merges = [(a, b) for a, b, _ in _ref_train(_CORPUS, _BPE_TRAIN_K)]
     for i, t in enumerate(_CORPUS):
         assert got[i] == _ref_encode(t, ref_merges), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# Property: the vectorized replace-chain encode ≡ iterative BPE application
+# for ANY training-ordered merge list (the correctness core of the family)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from arches_rascoll_etl_ray.pipelines.training import (
+    _BPE_END,
+    _BPE_SEP,
+    _bpe_apply_merges,
+)
+
+
+def _ref_apply(word, merges):
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def _apply_merge_syms(sym, a, b):
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _training_ordered_merges(words, k, rng_choice):
+    """Build a VALID (training-ordered) merge list by running the reference
+    trainer on the words but choosing among the top-3 candidates with the
+    strategy-provided index — covers many orderings while keeping the
+    invariant that every merge's pair was PRESENT at its step (which is
+    what makes the sequential replace chain exact)."""
+    from collections import Counter
+
+    wc = Counter(tuple(w) for w in words)
+    merges = []
+    for choice in rng_choice[:k]:
+        pairs = Counter()
+        for sym, n in wc.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        cand = sorted(pairs, key=lambda p: (-pairs[p], p))[:3]
+        a, b = cand[choice % len(cand)]
+        merges.append((a, b))
+        new = Counter()
+        for sym, n in wc.items():
+            new[_apply_merge_syms(sym, a, b)] += n
+        wc = new
+    return merges
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    words=st.lists(st.text(alphabet="abc", min_size=1, max_size=8), min_size=1, max_size=12),
+    choices=st.lists(st.integers(min_value=0, max_value=2), min_size=6, max_size=6),
+)
+def test_replace_chain_equals_iterative_bpe(words, choices):
+    merges = _training_ordered_merges(words, 6, choices)
+    seqs = pa.array(
+        ["".join(f"{_BPE_SEP}{c}{_BPE_END}" for c in w) for w in words], pa.string()
+    )
+    chained = _bpe_apply_merges(seqs, merges)
+    got = [
+        [s.rstrip(_BPE_END) for s in v.split(_BPE_SEP) if s != ""]
+        for v in chained.to_pylist()
+    ]
+    ref = [_ref_apply(w, merges) for w in words]
+    assert got == ref, (words, merges)
