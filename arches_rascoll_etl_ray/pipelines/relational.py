@@ -1905,6 +1905,7 @@ def _pagerank_pipeline(sf_dir: str, broadcast_limit: int):
     broadcast↔distributed gate, q_pagerank_dist for the forced-distributed
     twin."""
     from arches_rascoll_etl_ray.functions.hashing import splitmix64
+    from arches_rascoll_etl_ray.functions.numeric import round_half_away
     from arches_rascoll_etl_ray.stages.shard_join import shard_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -2004,7 +2005,7 @@ def _pagerank_pipeline(sf_dir: str, broadcast_limit: int):
             pa.table(
                 {
                     "node": pa.array(node_ids),
-                    "rank_e9": pa.array(np.round(r * 1e9).astype(np.int64)),
+                    "rank_e9": pa.array(round_half_away(r * 1e9).astype(np.int64)),
                 }
             )
         )
@@ -2073,7 +2074,7 @@ def _pagerank_pipeline(sf_dir: str, broadcast_limit: int):
         return pa.table(
             {
                 "node": pc.cast(t["node"], pa.int64()),
-                "rank_e9": pa.array(np.round(r * 1e9).astype(np.int64)),
+                "rank_e9": pa.array(round_half_away(r * 1e9).astype(np.int64)),
             }
         )
 

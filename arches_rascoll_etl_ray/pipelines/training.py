@@ -26,6 +26,7 @@ import ray.data
 
 from arches_rascoll_etl_ray.functions import sketches, text as textfns
 from arches_rascoll_etl_ray.functions.hashing import sha256_hex_column
+from arches_rascoll_etl_ray.functions.numeric import round_half_away as _round_half_away
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -3734,10 +3735,14 @@ def _bpe_pipeline_sql() -> str:
     for i in range(_BPE_TRAIN_K):
         parts.append(f"""
 d{i + 1} AS (SELECT doc_id,
+                    -- coalesce to the identity replace chr(30)→chr(30) when
+                    -- m{{i}} is empty (a corpus with < K learnable merges):
+                    -- replace(s, NULL, NULL) would NULL every document
                     replace(s,
-                            (SELECT chr(31) || a || chr(30) || chr(31) || b || chr(30)
-                             FROM m{i}),
-                            (SELECT chr(31) || a || b || chr(30) FROM m{i})) AS s
+                            coalesce((SELECT chr(31) || a || chr(30) || chr(31) || b
+                                             || chr(30) FROM m{i}), chr(30)),
+                            coalesce((SELECT chr(31) || a || b || chr(30) FROM m{i}),
+                                     chr(30))) AS s
              FROM d{i})
 """)
     return (
@@ -3976,7 +3981,7 @@ def q_unigram_ppl(sf_dir: str):
                 "doc_id": pc.cast(t["doc_id"], pa.int64()).combine_chunks().filter(
                     pa.array(keep)
                 ),
-                "nll_e3": pa.array(np.round(nll).astype(np.int64)),
+                "nll_e3": pa.array(_round_half_away(nll).astype(np.int64)),
             }
         )
 
@@ -4195,12 +4200,11 @@ def q_cms_registers(sf_dir: str):
     ds = _docs(sf_dir, ["text"])
 
     def sketch(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
-        vc = pc.value_counts(flat.combine_chunks())
-        words = vc.field("values").to_pylist()
-        cnts = pc.cast(vc.field("counts"), pa.int64()).to_numpy()
+        # distinct-token weights via the shared token contract (the shard
+        # column it also computes is unused here — cells shard below)
+        wc = _token_count_shards(t)
+        words = wc["tok"].to_pylist()
+        cnts = wc["n"].to_numpy()
         if not words:
             return pa.table(
                 {"row": pa.array([], pa.int64()), "cell": pa.array([], pa.int64()),
@@ -4410,7 +4414,8 @@ def _hybrid_sql() -> str:
            CAST(ROUND(1e6 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe))
                 AS BIGINT) AS cos_e6
     FROM ({_bm25_sql()}) bm
-    JOIN embeddings e ON e.vec_id = bm.doc_id, q
+    LEFT JOIN embeddings e ON e.vec_id = bm.doc_id
+    CROSS JOIN q
     """
 
 
@@ -4420,13 +4425,17 @@ def q_hybrid_search(sf_dir: str):
     the lexical top-k candidates, then each candidate gets its
     embedding-cosine score against a deterministic query vector — the
     rerank signal — as an e6 fixed-point column. Ordering stays BM25's
-    (integer-exact); the cosine rides as a VALUE, with measured
-    rounding-boundary margins ≥1.0e-3 over ALL vectors at sf0.001/0.01
-    (vs ~1e-15 cross-engine summation noise).
+    (integer-exact); the cosine rides as a VALUE with half-away-from-zero
+    rounding (DuckDB ROUND's semantics) and measured rounding-boundary
+    margins ≥1.0e-3 over all embedded vectors (vs ~1e-15 cross-engine
+    summation noise). A winner with no embedding row keeps its BM25 rank
+    with a NULL rerank signal — LEFT-JOIN semantics on both sides (at
+    sf0.1 the embeddings table covers only part of the corpus, the
+    realistic partially-embedded state).
 
     Distributed shape: the BM25 half is the full q_bm25_topk pipeline
     (text never leaves its tokenize map); only the ≤k winner ids reach the
-    driver, and the rerank is a FILTERED parquet point-read of k+1
+    driver, and the rerank is a FILTERED parquet point-read of ≤k+1
     embedding rows (row-group pruned) + one numpy pass — at any corpus
     size the rerank cost is O(k·dim), never a scan."""
     import pyarrow.parquet as _pq
@@ -4445,16 +4454,22 @@ def q_hybrid_search(sf_dir: str):
     }
     qe = vecs[_HYBRID_QVEC]
     qn = np.linalg.norm(qe)
-    cos = np.array(
-        [
-            float(np.dot(vecs[i], qe)) / (np.linalg.norm(vecs[i]) * qn)
-            for i in ids
-        ]
-    )
+    cos_e6 = [
+        (
+            int(
+                _round_half_away(
+                    1e6 * float(np.dot(vecs[i], qe)) / (np.linalg.norm(vecs[i]) * qn)
+                )
+            )
+            if int(i) in vecs
+            else None
+        )
+        for i in ids
+    ]
     return pa.table(
         {
             "doc_id": pa.array(ids),
             "score_e3": pa.array(bm["score_e3"].to_numpy(dtype=np.int64)),
-            "cos_e6": pa.array(np.round(1e6 * cos).astype(np.int64)),
+            "cos_e6": pa.array(cos_e6, pa.int64()),
         }
     )

@@ -233,3 +233,30 @@ def test_replace_chain_equals_iterative_bpe(words, choices):
     ]
     ref = [_ref_apply(w, merges) for w in words]
     assert got == ref, (words, merges)
+
+
+def test_pipeline_degenerate_corpus_fewer_than_k_merges(tmp_path):
+    """Corpus with < _BPE_TRAIN_K learnable merges: the engine trainer
+    breaks early and the SQL twin's empty-m{i} scalar subqueries must
+    coalesce to an identity replace, not NULL every document (review
+    find)."""
+    import duckdb
+
+    from arches_rascoll_etl_ray.pipelines.training import _bpe_pipeline_sql
+
+    corpus = ["a b a b", "ab"]
+    sf = _write_docs(tmp_path, corpus)
+    got = q_bpe_pipeline(sf).to_pandas().set_index("doc_id")["n_bpe_tokens"].to_dict()
+    ref_merges = [(a, b) for a, b, _ in _ref_train(corpus, _BPE_TRAIN_K)]
+    assert len(ref_merges) < _BPE_TRAIN_K  # genuinely degenerate
+    for i, t in enumerate(corpus):
+        assert got[i] == _ref_encode(t, ref_merges), (i, t)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    ora = con.execute(_bpe_pipeline_sql()).fetchdf().set_index("doc_id")["n_bpe_tokens"]
+    assert not ora.isna().any()
+    assert ora.to_dict() == got
