@@ -69,3 +69,27 @@ def test_branch_empty_lake_raises(tmp_path):
         src.branch(str(tmp_path / "br"), epoch=1)
     with pytest.raises(ValueError, match="empty"):
         src.branch(str(tmp_path / "br"))  # latest = the epoch-0 stub
+
+
+def test_branch_lsm_lake_with_pending_runs(tmp_path):
+    """Fork an LSM lake while sorted runs are still uncompacted: the branch
+    must capture the FOLDED state (snapshot_dataset folds base+runs), and
+    continued tailing on the branch reconverges with the straight-line
+    rewrite-mode replay's rows."""
+    clog = _changelog(tmp_path)
+    src = CDCEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "src"), num_partitions=4,
+            merge_mode="lsm", lsm_compact_threshold=100,
+        )
+    )
+    src.replay(clog, events_per_epoch=500)  # 8 epochs of runs, none compacted
+    assert any(i.get("runs") for i in src.checkpoint().partitions.values())
+
+    br = src.branch(str(tmp_path / "br"), epoch=4)
+    assert _sorted_rows(br).equals(_sorted_rows(src, epoch=4))
+
+    br.replay(clog, events_per_epoch=1000)
+    straight = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "ref"), num_partitions=4))
+    straight.replay(clog, events_per_epoch=2000)
+    assert _sorted_rows(br).equals(_sorted_rows(straight))
