@@ -2184,3 +2184,92 @@ def q_rollup(sf_dir: str):
         .groupby("shard")
         .map_groups(reduce_shard, batch_format="pandas")
     )
+
+
+@register(
+    "q_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_markov_transitions(sf_dir: str):
+    """Per-user event-type TRANSITION counts — the Markov-chain /
+    user-journey analysis primitive (what follows what): hash-shard by
+    user, one vectorized sort per shard, boundary-masked shift pairs each
+    event with its user's previous one (the q_lag_diff recast of LAG),
+    then the tiny |types|² transition matrix folds from per-shard Arrow
+    partials. A user's whole history lives in one shard, so transitions
+    never straddle tasks; the shuffle carries (user, ts, type) triples —
+    never props/payload columns."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "ts": df["ts"].to_numpy(),
+                "event_type": df["event_type"].to_numpy(dtype=object),
+            }
+        )
+        out["_cs"] = (out["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32)
+        return out
+
+    def transitions_shard(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        types = g["event_type"].to_numpy(dtype=object)
+        if len(g) < 2:
+            return pa.table(
+                {"prev_type": pa.array([], pa.string()),
+                 "next_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        same = users[1:] == users[:-1]
+        prev = types[:-1][same]
+        nxt = types[1:][same]
+        part = (
+            pa.table(
+                {"prev_type": pa.array(prev, pa.string()),
+                 "next_type": pa.array(nxt, pa.string())}
+            )
+            .group_by(["prev_type", "next_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["prev_type", "next_type", "n"])
+        )
+        return part.set_column(2, "n", pc.cast(part["n"], pa.int64()))
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        t = pa.Table.from_pandas(
+            df[["prev_type", "next_type", "n"]], preserve_index=False
+        )
+        g = (
+            t.group_by(["prev_type", "next_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["prev_type", "next_type", "n"])
+        )
+        return g.set_column(2, "n", pc.cast(g["n"], pa.int64()))
+
+    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+
+    def shard2(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["prev_type"], t["next_type"], "\x1f")
+        sh = (stable_hash64(key) % np.uint64(16)).astype(np.int32)
+        return t.append_column("shard", pa.array(sh))
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_cs")
+        .map_groups(transitions_shard, batch_format="pandas")
+        .map_batches(shard2, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(fold, batch_format="pandas")
+    )

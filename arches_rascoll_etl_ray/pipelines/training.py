@@ -4473,3 +4473,50 @@ def q_hybrid_search(sf_dir: str):
             "cos_e6": pa.array(cos_e6, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist safety filter (the keyword-exclusion pass every pipeline runs)
+# ---------------------------------------------------------------------------
+
+# fixed phrase list (constants; chosen to FIRE on the synthetic corpus —
+# "slow" and "dup" occur in a meaningful fraction of docs, "zzzunseen"
+# pins the never-matching phrase path)
+_BLOCKLIST = ("slow scan", "dup", "zzzunseen")
+
+
+def _blocklist_sql() -> str:
+    hits = " + ".join(
+        f"CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END"
+        for p in _BLOCKLIST
+    )
+    return f"""
+    SELECT doc_id, CAST({hits} AS BIGINT) AS n_blocked
+    FROM documents
+    WHERE {hits} = 0
+    """
+
+
+@register("q_blocklist_filter", _blocklist_sql())
+def q_blocklist_filter(sf_dir: str):
+    """Blocklist exclusion (the safety/keyword filter stage): drop every
+    document containing any blocked phrase (case-insensitive substring),
+    emit the survivors. n_blocked is kept in the output schema (always 0
+    for survivors) so the same operator shape serves audit mode — flip the
+    predicate to see what WOULD be dropped and why.
+
+    Map-only: one pc.match_substring scan per phrase per batch (vectorized
+    substring automata, no per-row Python), zero shuffle — at 100 TB this
+    is a pure streaming filter fused into the read."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        hits = None
+        for p in _BLOCKLIST:
+            h = pc.cast(pc.match_substring(low, p), pa.int64())
+            hits = h if hits is None else pc.add(hits, h)
+        out = pa.table({"doc_id": t["doc_id"], "n_blocked": hits})
+        return out.filter(pc.equal(out["n_blocked"], 0))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
