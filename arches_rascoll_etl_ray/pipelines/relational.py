@@ -2164,7 +2164,9 @@ def q_rollup(sf_dir: str):
         out = pa.concat_tables(
             [base.set_column(2, "n", pc.cast(base["n"], pa.int64())), sub, tot]
         )
-        key = pc.binary_join_element_wise(out["lang"], out["source"], "\x1f")
+        from arches_rascoll_etl_ray.functions.hashing import combine_key
+
+        key = combine_key(out, "lang", "source")
         shard = (stable_hash64(key) % np.uint64(16)).astype(np.int32)
         return out.append_column("shard", pa.array(shard))
 
@@ -2236,6 +2238,11 @@ def q_markov_transitions(sf_dir: str):
         same = users[1:] == users[:-1]
         prev = types[:-1][same]
         nxt = types[1:][same]
+        # match the twin's WHERE prev_type IS NOT NULL: a NULL mid-sequence
+        # type must not emit a (NULL, x) row (pairs with NULL NEXT stay,
+        # like LAG's output does)
+        nonnull_prev = pd.notna(prev)
+        prev, nxt = prev[nonnull_prev], nxt[nonnull_prev]
         part = (
             pa.table(
                 {"prev_type": pa.array(prev, pa.string()),
@@ -2258,10 +2265,18 @@ def q_markov_transitions(sf_dir: str):
         )
         return g.set_column(2, "n", pc.cast(g["n"], pa.int64()))
 
-    from arches_rascoll_etl_ray.functions.hashing import stable_hash64
+    from arches_rascoll_etl_ray.functions.hashing import combine_key, stable_hash64
 
     def shard2(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(t["prev_type"], t["next_type"], "\x1f")
+        # next_type may be null (kept, matching LAG); shard on a filled
+        # copy — sharding needs determinism only, grouping keeps the null
+        filled = pa.table(
+            {
+                "prev_type": t["prev_type"],
+                "next_type": pc.fill_null(t["next_type"], ""),
+            }
+        )
+        key = combine_key(filled, "prev_type", "next_type")
         sh = (stable_hash64(key) % np.uint64(16)).astype(np.int32)
         return t.append_column("shard", pa.array(sh))
 

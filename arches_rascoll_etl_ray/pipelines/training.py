@@ -4487,7 +4487,10 @@ _BLOCKLIST = ("slow scan", "dup", "zzzunseen")
 
 def _blocklist_sql() -> str:
     hits = " + ".join(
-        f"CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END"
+        # escape ' for the SQL literal: the phrase list is meant to be
+        # edited, and realistic phrases carry apostrophes
+        f"CASE WHEN contains(lower(text), '{p.replace(chr(39), chr(39) * 2)}') "
+        "THEN 1 ELSE 0 END"
         for p in _BLOCKLIST
     )
     return f"""
@@ -4511,7 +4514,10 @@ def q_blocklist_filter(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def filt(t: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(t["text"])
+        # null text ≡ empty (nothing blockable): the SQL twin's CASE yields
+        # 0 for NULL, and Table.filter drops null predicates — fill first
+        # or every null-text doc would be silently deleted (review find)
+        low = pc.fill_null(pc.utf8_lower(t["text"]), "")
         hits = None
         for p in _BLOCKLIST:
             h = pc.cast(pc.match_substring(low, p), pa.int64())

@@ -5,6 +5,7 @@ import math
 import re
 from collections import Counter
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -77,3 +78,81 @@ def test_domain_mix_exact_and_unknown_lang(tmp_path):
     assert got.loc["en", "epochs_e3"] < 1000
     # zh is 30% vs a 15% target → also <1000; tlh gets zero budget
     assert got.loc["tlh", "epochs_e3"] == 0
+
+
+def test_blocklist_filter_keeps_null_text_docs(tmp_path):
+    """NULL text ≡ nothing blockable: survivors include the null-text doc
+    with n_blocked 0 (the engine used to silently drop it — review find);
+    semantics pinned against the SQL twin run directly."""
+    import duckdb
+
+    from arches_rascoll_etl_ray.pipelines.training import (
+        _BLOCKLIST,
+        _blocklist_sql,
+        q_blocklist_filter,
+    )
+
+    rows = [
+        (0, f"clean doc about {_BLOCKLIST[0]} topics", "en"),  # blocked
+        (1, "perfectly fine text", "en"),
+        (2, None, "en"),  # null text: must SURVIVE with n_blocked 0
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        q_blocklist_filter(sf).to_pandas().set_index("doc_id")["n_blocked"].to_dict()
+    )
+    assert got == {1: 0, 2: 0}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = con.execute(_blocklist_sql()).fetchdf().set_index("doc_id")["n_blocked"].to_dict()
+    assert ora == got
+
+
+def test_markov_transitions_null_event_type(tmp_path):
+    """A NULL event_type mid-sequence: no (NULL, x) row (matching the
+    twin's WHERE prev IS NOT NULL), while (x, NULL) rows survive like
+    LAG's output — pinned against the SQL twin run directly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arches_rascoll_etl_ray.pipelines.relational import QUERIES, ORACLE_SQL
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+            "event_type": pa.array(["a", None, "b", "a", "a"], pa.string()),
+            "value": pa.array([0.0] * 5, pa.float64()),
+            "props": pa.array(["{}"] * 5, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = (
+        QUERIES["q_markov_transitions"](str(tmp_path))
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    ora = (
+        con.execute(ORACLE_SQL["q_markov_transitions"]).fetchdf()
+        .sort_values(["prev_type", "next_type"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got[["prev_type", "next_type"]].where(got.notna(), "∅").to_dict() == \
+        ora[["prev_type", "next_type"]].where(ora.notna(), "∅").to_dict()
+    assert got["n"].tolist() == ora["n"].astype("int64").tolist()
+    # user 7: a→NULL and NULL→b; only (a, NULL) must appear
+    assert ("a", None) in {
+        (p, (None if pd.isna(x) else x))
+        for p, x in got[["prev_type", "next_type"]].to_numpy()
+    }
+
