@@ -120,3 +120,73 @@ def test_fsck_flags_misrouted_key(tmp_path):
     pq.write_table(tampered, f)
     t = eng.fsck().to_pandas().set_index("partition")
     assert t.loc[p, "routing_ok"] == 0 and t.loc[p, "ok"] == 0
+
+
+def test_repair_partition_heals_tampered_file(tmp_path):
+    """fsck→repair round trip: tamper a partition file, fsck flags it,
+    repair rebuilds from the changelog and fsck goes green with the
+    snapshot byte-identical to the pre-tamper state."""
+    import pyarrow as pa
+
+    clog = ensure_changelog(
+        str(tmp_path / "clog"), num_files=300, num_events=4000, seed=11, num_shards=8
+    )
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.replay(clog, events_per_epoch=1000)
+    before = eng.snapshot_table().to_pandas()
+    sha_before = eng.snapshot_sha256()
+
+    p, f = _part_file(eng)
+    tbl = pq.read_table(f)
+    tampered = tbl.set_column(
+        tbl.schema.get_field_index("commit"), "commit",
+        pa.array(["deadbeef"] * tbl.num_rows, tbl["commit"].type),
+    )
+    pq.write_table(tampered, f)
+    t = eng.fsck().to_pandas().set_index("partition")
+    assert t.loc[p, "sha_ok"] == 0
+
+    assert eng.repair_partition(clog, p) is True
+    t2 = eng.fsck().to_pandas()
+    assert (t2["ok"] == 1).all()
+    assert eng.snapshot_sha256() == sha_before
+    assert eng.snapshot_table().to_pandas().equals(before)
+
+
+def test_repair_partition_healthy_noop_and_guards(tmp_path):
+    import pytest
+
+    eng = _lake(tmp_path)
+    clog = ensure_changelog(  # same params as _lake: returns the cached dir
+        str(tmp_path / "clog"), num_files=300, num_events=4000, seed=11, num_shards=8
+    )
+    p, _ = _part_file(eng)
+    sha = eng.snapshot_sha256()
+    assert eng.repair_partition(clog, p) is True  # healthy: verified no-op swap
+    assert eng.snapshot_sha256() == sha
+
+    lsm = _lake(tmp_path / "lsm", merge_mode="lsm", lsm_compact_threshold=100)
+    pl = next(
+        q for q, i in lsm.checkpoint().partitions.items() if i.get("runs")
+    )
+    with pytest.raises(ValueError, match="compact"):
+        lsm.repair_partition(clog, pl)
+
+
+def test_repair_partition_refuses_trimmed_history(tmp_path):
+    """expire() removed rows the changelog would resurrect: the rebuild's
+    sha differs from the commit record, so repair must refuse, leaving
+    the (tampered) file in place rather than installing a wrong state."""
+    import pytest
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    clog = ensure_changelog(
+        str(tmp_path / "clog"), num_files=300, num_events=4000, seed=11, num_shards=8
+    )
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4))
+    eng.replay(clog, events_per_epoch=2000)
+    dropped = eng.expire(max_available_lsn(clog) // 2)
+    assert dropped > 0
+    p, f = _part_file(eng)
+    with pytest.raises(ValueError, match="history insufficient"):
+        eng.repair_partition(clog, p)
