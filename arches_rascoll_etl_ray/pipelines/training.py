@@ -4526,3 +4526,78 @@ def q_blocklist_filter(sf_dir: str):
         return out.filter(pc.equal(out["n_blocked"], 0))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def _mix_resample_sql() -> str:
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_TARGET_E3.items()))
+    coin = _splitmix64_sql("doc_id")
+    return f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM c
+    ), r AS (
+      SELECT lang,
+             CAST((CASE lang {case} ELSE {_MIX_DEFAULT_E3} END) * t // n_docs AS BIGINT)
+               AS r_e3
+      FROM c, tot
+    )
+    SELECT d.doc_id,
+           CAST(r.r_e3 // 1000
+                + CASE WHEN ({coin}) % 1000 < r.r_e3 % 1000 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_copies
+    FROM documents d JOIN r USING (lang)
+    """
+
+
+@register("q_mix_resample", _mix_resample_sql())
+def q_mix_resample(sf_dir: str):
+    """The EXECUTION half of the domain-mix budget (q_domain_mix computes
+    the per-domain repeat factor; this op assigns each document its integer
+    copy count): n_copies = ⌊r_e3/1000⌋ plus one more iff the portable
+    splitmix64(doc_id) coin lands under the fractional part — deterministic,
+    reproducible across engines, and unbiased within each domain (the coin
+    is uniform over doc ids). Downsampled domains get n_copies ∈ {0, 1};
+    upsampled ones ⌊r⌋ or ⌈r⌉ — exactly what a data-mix shard writer
+    consumes.
+
+    Distributed shape: the per-domain factors come from the q_domain_mix
+    metadata-sized aggregate (driver fold bounded by domain cardinality,
+    broadcast as plain ints in the closure); assignment is a map-only
+    vectorized pass — no shuffle, the coin is the samplers' splitmix64."""
+    from arches_rascoll_etl_ray.functions.hashing import splitmix64
+
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": pc.value_counts(t["lang"].combine_chunks()).field("values"),
+                    "n": pc.cast(
+                        pc.value_counts(t["lang"].combine_chunks()).field("counts"),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .sum("n")
+        .to_pandas()  # ≤ |domains| rows
+    )
+    n = counts["sum(n)"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    r_e3 = {
+        lang: _MIX_TARGET_E3.get(lang, _MIX_DEFAULT_E3) * total // int(cnt)
+        for lang, cnt in zip(counts["lang"], n)
+    }
+
+    def assign(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        r = np.array([r_e3[l] for l in langs], dtype=np.int64)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        coin = (splitmix64(ids) % np.uint64(1000)).astype(np.int64)
+        copies = r // 1000 + (coin < r % 1000).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "n_copies": pa.array(copies)})
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(assign, batch_format="pyarrow")

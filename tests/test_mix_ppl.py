@@ -156,3 +156,31 @@ def test_markov_transitions_null_event_type(tmp_path):
         for p, x in got[["prev_type", "next_type"]].to_numpy()
     }
 
+
+
+def test_mix_resample_budget_realized(tmp_path):
+    """Σ n_copies per domain lands within the hash-coin's reach of the
+    budget w·T, and every copy count is ⌊r⌋ or ⌈r⌉."""
+    from arches_rascoll_etl_ray.pipelines.training import (
+        _MIX_TARGET_E3,
+        q_mix_resample,
+    )
+
+    rows = (
+        [(i, "x", "en") for i in range(60)]
+        + [(100 + i, "x", "zh") for i in range(20)]
+        + [(200 + i, "x", "fr") for i in range(20)]
+    )
+    sf = _write_docs(tmp_path, rows)
+    got = q_mix_resample(sf).to_pandas()
+    assert len(got) == len(rows)
+    total = len(rows)
+    langs = {did: lang for did, _t, lang in rows}
+    got["lang"] = got["doc_id"].map(langs)
+    for lang, g in got.groupby("lang"):
+        n = len(g)
+        r_e3 = _MIX_TARGET_E3[lang] * total // n
+        lo, hi = r_e3 // 1000, r_e3 // 1000 + (1 if r_e3 % 1000 else 0)
+        assert set(g["n_copies"]) <= {lo, hi}, (lang, set(g["n_copies"]))
+        # budget: the mean copy count ≈ r within the coin's binomial spread
+        assert abs(g["n_copies"].sum() - n * r_e3 / 1000) <= n / 2
