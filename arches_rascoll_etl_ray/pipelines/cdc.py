@@ -1421,7 +1421,11 @@ class CDCEngine:
 
         Requires a verifiable target: a recorded content_sha at the
         current evolution version with no pending LSM runs (`compact()`
-        first). Returns True on a verified swap."""
+        first). Returns True on a verified swap. Holds the writer lease
+        for the WHOLE repair (the module's read-inside-lock invariant): a
+        concurrent epoch committing against the corrupted base mid-repair
+        would otherwise fold garbage forward while the swap lands on a
+        superseded file."""
         import dataclasses
         import shutil as _shutil
         import tempfile as _tempfile
@@ -1432,78 +1436,84 @@ class CDCEngine:
         from arches_rascoll_etl_ray.functions.hashing import key_hash64
         from arches_rascoll_etl_ray.stages.merge import spec_version
 
-        ckpt = self.checkpoint()
-        info = ckpt.partitions.get(part)
-        if info and info.get("runs"):
-            # before the data_file guard: an LSM partition may hold ONLY runs
-            raise ValueError(
-                f"partition {part} has pending LSM runs — compact() before repair "
-                "(runs have no recorded content_sha to verify against)"
-            )
-        if not info or not info.get("data_file"):
-            raise ValueError(f"partition {part} has no committed data file to repair")
-        if not info.get("content_sha") or info.get("evolution_version", 1) != spec_version(self.cfg):
-            raise ValueError(
-                f"partition {part} has no verifiable content_sha at the current "
-                "evolution version — rewrite it (compact) before repair"
-            )
-
-        end_lsn = ckpt.end_lsn
-        files = shards_for_range(changelog_dir, 0, end_lsn)
-        ds = read_shard_dataset(files)
-        num_parts = self.cfg.num_partitions
-
-        def filt(t: pa.Table) -> pa.Table:
-            kh = key_hash64(t)
-            keep = (kh % _np.uint64(num_parts)) == _np.uint64(part)
-            t = t.filter(pa.array(keep))
-            return t.filter(pc.less_equal(t["lsn"], pa.scalar(end_lsn, pa.int64())))
-
-        batches = list(
-            ds.map_batches(filt, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        )
-        events = (
-            pa.concat_tables(batches, promote_options="permissive")
-            if batches
-            else None
-        )
-        if events is None or events.num_rows == 0:
-            raise ValueError(
-                f"changelog contains no events for partition {part} up to lsn "
-                f"{end_lsn} — history insufficient (expired or bootstrap-seeded?)"
-            )
-
-        tmp = _tempfile.mkdtemp(prefix="arer_repair_")
-        try:
-            clog = os.path.join(tmp, "clog")
-            write_changelog_shards(events.to_pandas(), clog, num_shards=8)
-            rebuild = CDCEngine(
-                dataclasses.replace(self.cfg, lake_dir=os.path.join(tmp, "lake"))
-            )
-            rebuild.replay(clog, events_per_epoch=end_lsn)
-            rinfo = rebuild.checkpoint().partitions.get(part)
-            if (
-                rinfo is None
-                or rinfo.get("content_sha") != info["content_sha"]
-                or rinfo.get("rows") != info["rows"]
-            ):
+        with _WriterLock(self.cfg.lake_dir) as wlock:
+            ckpt = self.checkpoint()
+            info = ckpt.partitions.get(part)
+            if info and info.get("runs"):
+                # before the data_file guard: an LSM partition may hold ONLY runs
                 raise ValueError(
-                    f"rebuild of partition {part} does not reproduce the committed "
-                    f"state (sha {rinfo and rinfo.get('content_sha')!r} vs recorded "
-                    f"{info['content_sha']!r}) — history insufficient: expire() "
-                    "trimmed it or the lake was bootstrap-seeded; restore from a "
-                    "snapshot/branch instead"
+                    f"partition {part} has pending LSM runs — compact() before repair "
+                    "(runs have no recorded content_sha to verify against)"
                 )
-            with _WriterLock(self.cfg.lake_dir):
+            if not info or not info.get("data_file"):
+                raise ValueError(f"partition {part} has no committed data file to repair")
+            if not info.get("content_sha") or info.get("evolution_version", 1) != spec_version(self.cfg):
+                raise ValueError(
+                    f"partition {part} has no verifiable content_sha at the current "
+                    "evolution version — rewrite it (compact) before repair"
+                )
+
+            end_lsn = ckpt.end_lsn
+            files = shards_for_range(changelog_dir, 0, end_lsn)
+            ds = read_shard_dataset(files)
+            num_parts = self.cfg.num_partitions
+
+            def filt(t: pa.Table) -> pa.Table:
+                kh = key_hash64(t)
+                keep = (kh % _np.uint64(num_parts)) == _np.uint64(part)
+                t = t.filter(pa.array(keep))
+                return t.filter(pc.less_equal(t["lsn"], pa.scalar(end_lsn, pa.int64())))
+
+            batches = list(
+                ds.map_batches(filt, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+            events = (
+                pa.concat_tables(batches, promote_options="permissive")
+                if batches
+                else None
+            )
+            if events is None or events.num_rows == 0:
+                raise ValueError(
+                    f"changelog contains no events for partition {part} up to lsn "
+                    f"{end_lsn} — history insufficient (expired or bootstrap-seeded?)"
+                )
+
+            tmp = _tempfile.mkdtemp(prefix="arer_repair_")
+            try:
+                clog = os.path.join(tmp, "clog")
+                write_changelog_shards(events.to_pandas(), clog, num_shards=8)
+                rebuild = CDCEngine(
+                    dataclasses.replace(self.cfg, lake_dir=os.path.join(tmp, "lake"))
+                )
+                rebuild.replay(clog, events_per_epoch=end_lsn)
+                if self.cfg.merge_mode == "lsm":
+                    # the rebuild replay left an uncompacted run (no recorded
+                    # sha); fold it so rinfo is verifiable — without this the
+                    # LSM mode could never self-heal
+                    rebuild.compact()
+                rinfo = rebuild.checkpoint().partitions.get(part)
+                wlock.renew()  # the rebuild may have outlived the lease TTL
+                if (
+                    rinfo is None
+                    or rinfo.get("content_sha") != info["content_sha"]
+                    or rinfo.get("rows") != info["rows"]
+                ):
+                    raise ValueError(
+                        f"rebuild of partition {part} does not reproduce the committed "
+                        f"state (sha {rinfo and rinfo.get('content_sha')!r} vs recorded "
+                        f"{info['content_sha']!r}) — history insufficient: expire() "
+                        "trimmed it or the lake was bootstrap-seeded; restore from a "
+                        "snapshot/branch instead"
+                    )
                 src = os.path.join(rebuild.cfg.lake_dir, rinfo["data_file"])
                 dst = os.path.join(self.cfg.lake_dir, info["data_file"])
                 staged = dst + ".repair"
                 _shutil.copyfile(src, staged)
                 os.replace(staged, dst)  # atomic swap-in
-        finally:
-            _shutil.rmtree(tmp, ignore_errors=True)
+            finally:
+                _shutil.rmtree(tmp, ignore_errors=True)
         return True
 
     def export_snapshot(self, out_dir: str, fmt: str = "parquet") -> int:

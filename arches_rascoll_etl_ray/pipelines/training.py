@@ -4010,6 +4010,34 @@ def _domain_mix_sql() -> str:
     """
 
 
+_NULL_LANG = "\x1dNULL"  # sentinel: Ray's sort-shuffle groupby can't order None keys
+
+
+def _lang_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-lang doc counts (per-batch Arrow value_counts → keyed exact
+    reduce → ≤|domains|-row driver frame) — the single fold behind both the
+    mix BUDGET (q_domain_mix) and its EXECUTOR (q_mix_resample), so null
+    handling and counting semantics can never drift apart. A null lang
+    rides the shuffle as the reserved sentinel (the incremental-view
+    lesson) and comes back as None in the frame."""
+
+    def lc(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.fill_null(t["lang"].combine_chunks(), _NULL_LANG))
+        return pa.table(
+            {"lang": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    out = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(lc, batch_format="pyarrow")
+        .groupby("lang")
+        .sum("n")
+        .to_pandas()
+    )
+    out["lang"] = out["lang"].where(out["lang"] != _NULL_LANG, None)
+    return out
+
+
 @register("q_domain_mix", _domain_mix_sql())
 def q_domain_mix(sf_dir: str):
     """Domain-mixture resampling budget (the DoReMi/data-mix primitive):
@@ -4022,22 +4050,13 @@ def q_domain_mix(sf_dir: str):
     (never the text), a constant-shard exact reduce, and a driver fold
     bounded by domain cardinality. At 100 TB this is a metadata-sized
     aggregate: the scan reads ONE dictionary-encoded column."""
-    ds = _docs(sf_dir, ["lang"])
-
-    def lc(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(t["lang"].combine_chunks())
-        return pa.table(
-            {"lang": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
-        )
-
-    counts = (
-        ds.map_batches(lc, batch_format="pyarrow")
-        .groupby("lang")
-        .sum("n")
-        .to_pandas()  # ≤ |domains| rows
-    )
+    counts = _lang_counts(sf_dir)
     n = counts["sum(n)"].to_numpy(dtype=np.int64)
-    total = int(n.sum())
+    # total = table row count (parquet metadata), NOT sum over the reduced
+    # groups: whether Ray's groupby keeps a null-lang group is an
+    # implementation detail, while the SQL twin's SUM over GROUP BY lang
+    # always includes the NULL group
+    total = _docs(sf_dir, ["lang"]).count()
     w = np.array(
         [_MIX_TARGET_E3.get(l, _MIX_DEFAULT_E3) for l in counts["lang"]], dtype=np.int64
     )
@@ -4561,40 +4580,30 @@ def q_mix_resample(sf_dir: str):
     upsampled ones ⌊r⌋ or ⌈r⌉ — exactly what a data-mix shard writer
     consumes.
 
-    Distributed shape: the per-domain factors come from the q_domain_mix
-    metadata-sized aggregate (driver fold bounded by domain cardinality,
-    broadcast as plain ints in the closure); assignment is a map-only
-    vectorized pass — no shuffle, the coin is the samplers' splitmix64."""
+    Distributed shape: the per-domain factors come from the SAME
+    metadata-sized fold as q_domain_mix (`_lang_counts` — one definition,
+    so budget and executor can't drift), broadcast as plain ints in the
+    closure; assignment is a map-only vectorized pass (C-level hashtable
+    map, no per-row Python) — no shuffle, the coin is the samplers'
+    splitmix64. Null-lang docs are DROPPED like the twin's JOIN USING
+    (lang) drops them, while still counting toward the total, exactly as
+    the SQL's GROUP BY does."""
     from arches_rascoll_etl_ray.functions.hashing import splitmix64
 
-    counts = (
-        _docs(sf_dir, ["lang"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "lang": pc.value_counts(t["lang"].combine_chunks()).field("values"),
-                    "n": pc.cast(
-                        pc.value_counts(t["lang"].combine_chunks()).field("counts"),
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("lang")
-        .sum("n")
-        .to_pandas()  # ≤ |domains| rows
-    )
+    counts = _lang_counts(sf_dir)
     n = counts["sum(n)"].to_numpy(dtype=np.int64)
-    total = int(n.sum())
+    total = _docs(sf_dir, ["lang"]).count()  # row count ≡ the twin's t (null-robust)
     r_e3 = {
         lang: _MIX_TARGET_E3.get(lang, _MIX_DEFAULT_E3) * total // int(cnt)
         for lang, cnt in zip(counts["lang"], n)
+        if lang is not None
     }
+    r_map = pd.Series(r_e3, dtype=np.int64)
 
     def assign(t: pa.Table) -> pa.Table:
-        langs = t["lang"].to_pylist()
-        r = np.array([r_e3[l] for l in langs], dtype=np.int64)
+        # JOIN USING (lang) semantics: null-lang rows drop out
+        t = t.filter(t["lang"].combine_chunks().is_valid())
+        r = r_map.reindex(t["lang"].to_pandas()).to_numpy(dtype=np.int64)
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
         coin = (splitmix64(ids) % np.uint64(1000)).astype(np.int64)
         copies = r // 1000 + (coin < r % 1000).astype(np.int64)

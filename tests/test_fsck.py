@@ -190,3 +190,37 @@ def test_repair_partition_refuses_trimmed_history(tmp_path):
     p, f = _part_file(eng)
     with pytest.raises(ValueError, match="history insufficient"):
         eng.repair_partition(clog, p)
+
+
+def test_repair_partition_heals_lsm_lake_after_compact(tmp_path):
+    """LSM mode: a compacted partition tampered after compaction heals too
+    (the rebuild compacts its own run before verification — without that,
+    LSM lakes could never self-heal; review find)."""
+    import pyarrow as pa
+
+    clog = ensure_changelog(
+        str(tmp_path / "clog"), num_files=300, num_events=4000, seed=11, num_shards=8
+    )
+    eng = CDCEngine(
+        EngineConfig(
+            lake_dir=str(tmp_path / "lake"), num_partitions=4,
+            merge_mode="lsm", lsm_compact_threshold=100,
+        )
+    )
+    eng.replay(clog, events_per_epoch=1000)
+    eng.compact()
+    sha_before = eng.snapshot_sha256()
+
+    p, f = _part_file(eng)
+    tbl = pq.read_table(f)
+    pq.write_table(
+        tbl.set_column(
+            tbl.schema.get_field_index("commit"), "commit",
+            pa.array(["deadbeef"] * tbl.num_rows, tbl["commit"].type),
+        ),
+        f,
+    )
+    assert eng.fsck().to_pandas().set_index("partition").loc[p, "sha_ok"] == 0
+    assert eng.repair_partition(clog, p) is True
+    assert (eng.fsck().to_pandas()["ok"] == 1).all()
+    assert eng.snapshot_sha256() == sha_before

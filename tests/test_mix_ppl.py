@@ -184,3 +184,33 @@ def test_mix_resample_budget_realized(tmp_path):
         assert set(g["n_copies"]) <= {lo, hi}, (lang, set(g["n_copies"]))
         # budget: the mean copy count ≈ r within the coin's binomial spread
         assert abs(g["n_copies"].sum() - n * r_e3 / 1000) <= n / 2
+
+
+def test_mix_resample_null_lang_matches_twin(tmp_path):
+    """Null-lang docs: counted in the total (the twin's SUM over GROUP BY
+    lang includes the NULL group) but dropped from the output (JOIN USING
+    drops them) — pinned against the SQL twin run directly."""
+    import duckdb
+
+    from arches_rascoll_etl_ray.pipelines.training import (
+        _mix_resample_sql,
+        q_mix_resample,
+    )
+
+    rows = [(0, "x", "en"), (1, "x", "en"), (2, "x", None), (3, "x", "zh")]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        q_mix_resample(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 3]  # null-lang doc 2 dropped
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = (
+        con.execute(_mix_resample_sql()).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_copies"].tolist() == ora["n_copies"].astype("int64").tolist()
+    assert got["doc_id"].tolist() == ora["doc_id"].astype("int64").tolist()
