@@ -1415,9 +1415,13 @@ class CDCEngine:
         this partition's keys route to (the same key_hash64 % P as every
         write), replay them into a throwaway lake with the identical
         config, and verify the rebuilt partition's logical content digest
-        against the damaged lake's commit record. The driver working set
-        is ONE partition's event history (a 1/P fraction) — right-sized
-        for targeted repair; bulk corruption is what full replay is for.
+        against the damaged lake's commit record. The event slice never
+        lands on the driver: each read task writes its filtered batch
+        straight back out as an LSN-range-named changelog shard (same
+        shared-FS dependency as the spill plan), and the driver sees only
+        per-task row counts — repair of one partition of a 10^10-key lake
+        moves that partition's history through workers, not through one
+        process's heap. Bulk corruption is what full replay is for.
 
         Requires a verifiable target: a recorded content_sha at the
         current evolution version with no pending LSM runs (`compact()`
@@ -1432,7 +1436,6 @@ class CDCEngine:
 
         import numpy as _np
 
-        from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
         from arches_rascoll_etl_ray.functions.hashing import key_hash64
         from arches_rascoll_etl_ray.stages.merge import spec_version
 
@@ -1458,32 +1461,47 @@ class CDCEngine:
             ds = read_shard_dataset(files)
             num_parts = self.cfg.num_partitions
 
-            def filt(t: pa.Table) -> pa.Table:
-                kh = key_hash64(t)
-                keep = (kh % _np.uint64(num_parts)) == _np.uint64(part)
-                t = t.filter(pa.array(keep))
-                return t.filter(pc.less_equal(t["lsn"], pa.scalar(end_lsn, pa.int64())))
-
-            batches = list(
-                ds.map_batches(filt, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow", batch_size=None
-                )
-            )
-            events = (
-                pa.concat_tables(batches, promote_options="permissive")
-                if batches
-                else None
-            )
-            if events is None or events.num_rows == 0:
-                raise ValueError(
-                    f"changelog contains no events for partition {part} up to lsn "
-                    f"{end_lsn} — history insufficient (expired or bootstrap-seeded?)"
-                )
-
             tmp = _tempfile.mkdtemp(prefix="arer_repair_")
             try:
                 clog = os.path.join(tmp, "clog")
-                write_changelog_shards(events.to_pandas(), clog, num_shards=8)
+                os.makedirs(clog, exist_ok=True)
+
+                def filt_and_spill(t: pa.Table) -> pa.Table:
+                    # filter to this partition's routed slice, then write it
+                    # straight out as a changelog shard from INSIDE the task:
+                    # the rebuild's input never concatenates on the driver
+                    import uuid as _uuid
+
+                    import pyarrow.parquet as pq
+
+                    kh = key_hash64(t)
+                    keep = (kh % _np.uint64(num_parts)) == _np.uint64(part)
+                    t = t.filter(pa.array(keep))
+                    t = t.filter(pc.less_equal(t["lsn"], pa.scalar(end_lsn, pa.int64())))
+                    if t.num_rows:
+                        if "content" in t.schema.names:
+                            idx = t.schema.get_field_index("content")
+                            t = t.set_column(
+                                idx, "content", t["content"].cast(pa.large_string())
+                            )
+                        lo = pc.min(t["lsn"]).as_py()
+                        hi = pc.max(t["lsn"]).as_py()
+                        # digits-only unique suffix (shard-name grammar) —
+                        # shard layout cannot affect the rebuild: the LWW
+                        # fold orders by lsn, and the sha gate verifies
+                        suffix = _uuid.uuid4().int % 10**12
+                        p = os.path.join(
+                            clog, f"changelog-{lo:012d}-{hi:012d}-{suffix:012d}.parquet"
+                        )
+                        pq.write_table(t, p, row_group_size=64 * 1024, compression="lz4")
+                    return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+                n_events = ds.map_batches(filt_and_spill, batch_format="pyarrow").sum("n")
+                if not n_events:
+                    raise ValueError(
+                        f"changelog contains no events for partition {part} up to lsn "
+                        f"{end_lsn} — history insufficient (expired or bootstrap-seeded?)"
+                    )
                 rebuild = CDCEngine(
                     dataclasses.replace(self.cfg, lake_dir=os.path.join(tmp, "lake"))
                 )
