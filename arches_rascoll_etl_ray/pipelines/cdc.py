@@ -1493,7 +1493,14 @@ class CDCEngine:
                         p = os.path.join(
                             clog, f"changelog-{lo:012d}-{hi:012d}-{suffix:012d}.parquet"
                         )
-                        pq.write_table(t, p, row_group_size=64 * 1024, compression="lz4")
+                        # tmp+rename: a task killed mid-write must not leave a
+                        # truncated shard the rebuild read would crash on (the
+                        # ".tmp" name fails the shard regex, so a leaked tmp is
+                        # invisible); a RETRIED task writes a second shard under
+                        # a fresh suffix — duplicate delivery, which the LWW
+                        # fold is already pinned to absorb sha-identically
+                        pq.write_table(t, p + ".tmp", row_group_size=64 * 1024, compression="lz4")
+                        os.replace(p + ".tmp", p)
                     return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
                 n_events = ds.map_batches(filt_and_spill, batch_format="pyarrow").sum("n")
