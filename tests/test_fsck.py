@@ -224,3 +224,17 @@ def test_repair_partition_heals_lsm_lake_after_compact(tmp_path):
     assert eng.repair_partition(clog, p) is True
     assert (eng.fsck().to_pandas()["ok"] == 1).all()
     assert eng.snapshot_sha256() == sha_before
+
+
+def test_list_shards_ignores_tmp_names(tmp_path):
+    """The repair spill's crash-atomicity rests on this contract: a task
+    killed mid-write leaves only a ``*.parquet.tmp`` name, which the shard
+    regex must never surface as a readable shard."""
+    from arches_rascoll_etl_ray.sources.changelog import list_shards
+
+    d = tmp_path / "clog"
+    d.mkdir()
+    (d / "changelog-000000000001-000000000050-000000000007.parquet").write_bytes(b"x")
+    (d / "changelog-000000000051-000000000099-000000000008.parquet.tmp").write_bytes(b"x")
+    shards = list_shards(str(d))
+    assert len(shards) == 1 and shards[0][:2] == (1, 50)
