@@ -30,7 +30,10 @@ def entry() -> Any:
 # below the fold.
 _PRIORITY = [
     # CDC engine (the north-star surface)
-    "cdc_events_upsert", "cdc_events_upsert_lsm", "cdc_events_evolution",
+    # (cdc_events_upsert_lsm stays in queries() below the fold: it is the
+    # same query/oracle through the LSM config — cdc_forget, a genuinely
+    # distinct erasure surface, takes its window seat)
+    "cdc_events_upsert", "cdc_forget", "cdc_events_evolution",
     "cdc_events_patch", "cdc_bootstrap_handoff", "cdc_retention",
     "cdc_multi_table", "cdc_changefeed", "cdc_incremental_mv",
     "cdc_replicate", "cdc_time_travel", "cdc_secondary_index",

@@ -1196,6 +1196,92 @@ class CDCEngine:
             save_checkpoint(self.cfg.lake_dir, new_ckpt)
         return dropped
 
+    def forget(self, keys: list[tuple[str, str]]) -> int:
+        """GDPR-style key erasure (right to be forgotten): remove each
+        (repo, path) key's live row from the lake AND persist the erasure
+        in ``_forgotten_keys.json`` with cutoff = the current end_lsn, so
+        every future replay / repair-rebuild / bootstrap drops that key's
+        events at ingest — erased data cannot resurrect from the changelog.
+        An event NEWER than the cutoff re-admits the key (erasure applies
+        to history up to the erasure point, so from-scratch replay and the
+        incremental lake still reconverge to the same sha).
+
+        Commit shape: the ban list is persisted FIRST (a crash between the
+        save and the rewrite is healed by re-running forget — the rewrite
+        is idempotent and the list append deduplicates), then one Ray task
+        per affected partition rewrites it expire-style (runs folded,
+        manifest rows/content_sha recomputed, so fsck stays green and
+        repair verifies the post-erasure state). The rewrite applies the
+        FULL persisted list, so it also heals any earlier crashed erasure
+        whose keys route to the same partitions. Downstream views/replicas
+        see the removal as op-'D' changefeed deltas across the forget
+        epoch, exactly like expire.
+
+        Documented limits: snapshots/branches taken and time-travel pins
+        recorded BEFORE the erasure still reference the old data files —
+        `vacuum()` them per your retention policy; the changelog itself is
+        the producer's to redact (this engine guarantees it will never
+        re-apply the erased events). Returns the number of live rows
+        erased."""
+        import numpy as _np
+        import ray as _ray
+
+        from arches_rascoll_etl_ray.functions.hashing import key_hash64
+        from arches_rascoll_etl_ray.stages.merge import forget_partition
+        from arches_rascoll_etl_ray.stages.normalize import load_forget_list, save_forget_list
+
+        if not keys:
+            return 0
+        with _WriterLock(self.cfg.lake_dir) as wlock:
+            ckpt = self.checkpoint()
+            cutoff = ckpt.end_lsn
+            entries = load_forget_list(self.cfg.lake_dir)
+            have = {(e["repo"], e["path"]) for e in entries}
+            entries += [
+                {"repo": r, "path": p, "lsn": cutoff}
+                for r, p in dict.fromkeys(keys)
+                if (r, p) not in have
+            ]
+            save_forget_list(self.cfg.lake_dir, entries)  # the ban commits first
+
+            kt = pa.table(
+                {
+                    "repo": pa.array([r for r, _ in keys], pa.string()),
+                    "path": pa.array([p for _, p in keys], pa.string()),
+                }
+            )
+            kh = key_hash64(kt)
+            parts = sorted(set((kh % _np.uint64(self.cfg.num_partitions)).tolist()))
+            todo = [
+                (p, ckpt.partitions[p])
+                for p in parts
+                if p in ckpt.partitions
+                and (ckpt.partitions[p].get("data_file") or ckpt.partitions[p].get("runs"))
+            ]
+            if not todo:
+                return 0
+            epoch = ckpt.epoch + 1
+            task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(forget_partition)
+            refs = [
+                task.remote(self.cfg, epoch, ckpt.end_lsn, info, part, entries)
+                for part, info in todo
+            ]
+            results = []
+            while refs:
+                done, refs = _ray.wait(refs, num_returns=min(64, len(refs)))
+                results.extend(_ray.get(done))
+                wlock.renew()
+            manifests = [m for m, _ in results]
+            erased = sum(d for _, d in results)
+            new_ckpt = ckpt.advanced(
+                epoch, ckpt.end_lsn, manifests,
+                metrics={"epoch": epoch, "forget_keys": len(keys),
+                         "rows_erased": erased,
+                         "partitions_rewritten": len(manifests)},
+            )
+            save_checkpoint(self.cfg.lake_dir, new_ckpt)
+        return erased
+
     # --------------------------------------------------------------- admin
 
     def metrics_history(self) -> list[dict]:
@@ -1512,6 +1598,15 @@ class CDCEngine:
                 rebuild = CDCEngine(
                     dataclasses.replace(self.cfg, lake_dir=os.path.join(tmp, "lake"))
                 )
+                # erasures travel with the rebuild: without the ban list the
+                # replay would resurrect forgotten keys and the sha gate
+                # would (correctly) refuse the repair
+                from arches_rascoll_etl_ray.stages.normalize import forget_list_path
+
+                fl = forget_list_path(self.cfg.lake_dir)
+                if os.path.exists(fl):
+                    os.makedirs(rebuild.cfg.lake_dir, exist_ok=True)
+                    _shutil.copyfile(fl, forget_list_path(rebuild.cfg.lake_dir))
                 rebuild.replay(clog, events_per_epoch=end_lsn)
                 if self.cfg.merge_mode == "lsm":
                     # the rebuild replay left an uncompacted run (no recorded

@@ -1223,3 +1223,57 @@ def _fsck_oracle_sql() -> str:
 
 QUERIES["cdc_fsck"] = cdc_fsck
 ORACLE_SQL["cdc_fsck"] = _fsck_oracle_sql()
+
+
+# Erased user ids for cdc_forget — module constants so the SQL twin is a
+# pure literal; small ids exist at every scale factor.
+_FORGET_USER_IDS = (1, 2, 3)
+
+
+def cdc_forget(sf_dir: str):
+    """GDPR-style key erasure over the events lake: replay the full change
+    stream in 4 epochs, then `forget()` three users (cutoff = the whole
+    applied history, so every trace of them leaves the live state and the
+    persisted ban blocks any replay/rebuild from resurrecting them — see
+    CDCEngine.forget / tests/test_forget.py). The snapshot read back AFTER
+    the erasure epoch is the answer; the oracle recomputes the LWW fold
+    from scratch excluding the erased users, so both the rewrite and the
+    manifest recommit are hash-checked. Reference analogue: the reference's
+    whole-table delete-and-reload is the only erasure story
+    (arches_rascoll/ref_collection.py:201-248); this is its targeted,
+    replay-safe recast."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    eng = CDCEngine(EngineConfig(lake_dir=_fresh_lake(f"events_forget_{tag}"), num_partitions=8))
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    per_epoch = max(1, max_available_lsn(clog_dir) // 4)
+    eng.replay(clog_dir, events_per_epoch=per_epoch)
+    eng.forget([(f"user{u}", "state") for u in _FORGET_USER_IDS])
+    snap = eng.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_forget"] = cdc_forget
+ORACLE_SQL["cdc_forget"] = f"""
+    WITH ordered AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS lsn FROM events
+    ), last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM ordered
+    )
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS user_key,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           printf('%.6f', value) AS last_value_str
+    FROM last
+    WHERE rn = 1 AND event_type <> 'delete'
+      AND user_id NOT IN {_FORGET_USER_IDS!r}
+"""

@@ -538,6 +538,43 @@ def expire_partition(
     return m, live_before - folded.num_rows
 
 
+def forget_partition(
+    cfg: EngineConfig, epoch: int, end_lsn: int, info: dict, part: int, entries: list[dict]
+) -> tuple[PartitionManifest, int]:
+    """GDPR-erasure rewrite of ONE partition: fold base+runs and drop live
+    rows matching any forget entry (key equality AND row lsn <= that entry's
+    cutoff — a row REWRITTEN after the erasure point stays). Same commit
+    shape as expire_partition: fresh base file, runs folded away, manifest
+    with recomputed rows/content_sha so fsck/repair verify the post-erasure
+    state. Retries/crash re-runs are safe by determinism (same fold → same
+    bytes → atomic replace), not by a manifest fast-path — see
+    expire_partition's note on the shared zero-event epoch shape."""
+    from arches_rascoll_etl_ray.stages.normalize import apply_forget_filter
+
+    pdir = partition_dir(cfg.lake_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    folded = fold_partition_tables(cfg, read_partition_state(cfg, info))
+    live_before = folded.num_rows
+    folded = apply_forget_filter(folded, entries)
+    fname = data_file_name(epoch)
+    tmp = os.path.join(pdir, "." + fname + ".tmp")
+    write_lake_file(folded, tmp)
+    os.replace(tmp, os.path.join(pdir, fname))
+    sha = None
+    if cfg.manifest_content_sha:
+        sha_cols = [c for c in folded.column_names if c != evolved_content_col(cfg)]
+        sha = table_content_sha256(folded, sha_cols)
+    m = PartitionManifest(
+        partition=part, epoch=epoch, applied_lsn=info.get("applied_lsn", 0),
+        start_lsn=end_lsn, end_lsn=end_lsn, rows=folded.num_rows,
+        events_applied=0, data_file=os.path.join(f"part={part:05d}", fname),
+        content_sha=sha, runs=[], rows_exact=True,
+        evolution_version=spec_version(cfg),
+    )
+    write_manifest(cfg.lake_dir, m)
+    return m, live_before - folded.num_rows
+
+
 # ---------------------------------------------------------------- core merge
 
 
@@ -763,6 +800,11 @@ def make_multi_epoch_spill_fn(
 
     spec = cfg.evolution
     num_parts = cfg.num_partitions
+    # loaded once at plan-build time (driver side, lease held): erasure
+    # entries are static for the duration of a replay
+    from arches_rascoll_etl_ray.stages.normalize import load_forget_list
+
+    forgotten = load_forget_list(cfg.lake_dir)
     start_lsn = epoch_bounds[0][1]
     end_lsn = epoch_bounds[-1][2]
     epoch_ids = np.array([ep for ep, _, _ in epoch_bounds], dtype=np.int64)
@@ -794,6 +836,13 @@ def make_multi_epoch_spill_fn(
             from arches_rascoll_etl_ray.stages.normalize import apply_row_filter
 
             batch = apply_row_filter(batch, cfg.row_filter)
+            if batch.num_rows == 0:
+                return pa.Table.from_pylist([], schema=_MULTI_SPILL_STATS_SCHEMA)
+
+        if forgotten:
+            from arches_rascoll_etl_ray.stages.normalize import apply_forget_filter
+
+            batch = apply_forget_filter(batch, forgotten)
             if batch.num_rows == 0:
                 return pa.Table.from_pylist([], schema=_MULTI_SPILL_STATS_SCHEMA)
 

@@ -21,6 +21,7 @@ replaces.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -240,6 +241,62 @@ def patch_aware_reduce(table: pa.Table, lsn_col: str = "lsn") -> pa.Table:
     return pa.concat_tables([wf, surviving], promote_options="permissive")
 
 
+FORGET_FILE = "_forgotten_keys.json"
+
+
+def forget_list_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, FORGET_FILE)
+
+
+def load_forget_list(lake_dir: str) -> list[dict]:
+    """Persisted GDPR-erasure entries: [{"repo", "path", "lsn"}] where lsn is
+    the erasure cutoff — events for that key at or below it are dropped at
+    ingest on EVERY future replay/rebuild/bootstrap, so erased data can never
+    resurrect from the changelog. Missing file → no erasures (the
+    overwhelming path: zero cost, zero behavior change)."""
+    import json as _json
+
+    p = forget_list_path(lake_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return _json.load(f)["entries"]
+
+
+def save_forget_list(lake_dir: str, entries: list[dict]) -> None:
+    import json as _json
+
+    os.makedirs(lake_dir, exist_ok=True)
+    p = forget_list_path(lake_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"version": 1, "entries": sorted(entries, key=lambda e: (e["repo"], e["path"]))}, f)
+    os.replace(tmp, p)
+
+
+def apply_forget_filter(batch: pa.Table, entries: list[dict]) -> pa.Table:
+    """Drop rows for erased keys up to each entry's cutoff lsn. Operates on
+    RAW (pre-evolution) key columns — key identity is partitioning identity
+    and never evolves. One vectorized pass per entry: erasure lists are
+    request-bounded (person-scale, not data-scale), so E masks over the
+    batch beat building a hash join for E≈10. Null keys never match
+    (quarantine owns those)."""
+    if not entries or batch.num_rows == 0:
+        return batch
+    drop = None
+    for e in entries:
+        m = pc.and_(
+            pc.and_(
+                pc.equal(batch["repo"], pa.scalar(e["repo"])),
+                pc.equal(batch["path"], pa.scalar(e["path"])),
+            ),
+            pc.less_equal(batch["lsn"], pa.scalar(int(e["lsn"]), pa.int64())),
+        )
+        m = pc.fill_null(m, False)
+        drop = m if drop is None else pc.or_(drop, m)
+    return batch.filter(pc.invert(drop))
+
+
 def apply_row_filter(batch: pa.Table, row_filter: tuple | None) -> pa.Table:
     """Per-table (column, value) equality predicate over RAW (pre-evolution)
     column names — the staging-table projection of a multi-table job.
@@ -260,10 +317,15 @@ def make_normalize_fn(cfg: EngineConfig) -> Callable[[pa.Table], pa.Table]:
     num_parts = cfg.num_partitions
     num_salts = max(1, cfg.salt_partitions)
     row_filter = cfg.row_filter
+    # loaded once at plan-build time (driver side, lease held): erasure
+    # entries are static for the duration of a replay
+    forgotten = load_forget_list(cfg.lake_dir)
 
     def normalize(batch: pa.Table) -> pa.Table:
         if cfg.quarantine_invalid:
             batch = quarantine_invalid_rows(batch, cfg.lake_dir)
+        if forgotten:
+            batch = apply_forget_filter(batch, forgotten)
         batch = apply_row_filter(batch, row_filter)
         batch = apply_evolution(batch, spec)
         # NOTE: the content_sha lineage column is computed at MERGE time on

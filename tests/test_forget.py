@@ -1,0 +1,148 @@
+"""CDCEngine.forget: GDPR-style key erasure. Contracts pinned here:
+the live row leaves the lake and fsck stays green; a from-scratch replay
+with the persisted ban list reconverges to the post-erasure sha (no
+resurrection, both shuffle plans); an event NEWER than the cutoff
+re-admits the key on both the incremental and from-scratch paths; repair
+of a tampered partition verifies against the post-erasure manifest; and
+re-running forget heals a crash between the list save and the rewrite."""
+
+import os
+import shutil
+
+import pyarrow.compute as pc
+
+from arches_rascoll_etl_ray.config import EngineConfig
+from arches_rascoll_etl_ray.datagen.changelog_gen import ensure_changelog
+from arches_rascoll_etl_ray.pipelines.cdc import CDCEngine
+from arches_rascoll_etl_ray.stages.normalize import (
+    forget_list_path,
+    load_forget_list,
+    save_forget_list,
+)
+
+
+def _replayed(tmp_path, name="lake", **cfg):
+    clog = ensure_changelog(
+        str(tmp_path / "clog"), num_files=300, num_events=4000, seed=11, num_shards=8
+    )
+    eng = CDCEngine(EngineConfig(lake_dir=str(tmp_path / name), num_partitions=4, **cfg))
+    eng.replay(clog, events_per_epoch=1000)
+    return eng, clog
+
+
+def _some_live_key(eng):
+    snap = eng.snapshot_table()
+    return snap["repo"][0].as_py(), snap["path"][0].as_py()
+
+
+def _has_key(eng, repo, path):
+    snap = eng.snapshot_table()
+    m = pc.and_(
+        pc.equal(snap["repo"], repo),
+        pc.equal(snap["path"], path),
+    )
+    return pc.sum(pc.cast(m, "int64")).as_py() or 0
+
+
+def test_forget_erases_live_row_and_fsck_stays_green(tmp_path):
+    eng, _ = _replayed(tmp_path)
+    repo, path = _some_live_key(eng)
+    rows_before = eng.snapshot_table().num_rows
+
+    erased = eng.forget([(repo, path)])
+    assert erased == 1
+    assert _has_key(eng, repo, path) == 0
+    assert eng.snapshot_table().num_rows == rows_before - 1
+    rep = eng.fsck().to_pandas()
+    assert (rep["ok"] == 1).all()
+    # idempotent: a second forget of the same key is a no-op rewrite
+    assert eng.forget([(repo, path)]) == 0
+
+
+def test_replay_with_ban_list_reconverges_no_resurrection(tmp_path):
+    eng, clog = _replayed(tmp_path)
+    repo, path = _some_live_key(eng)
+    eng.forget([(repo, path)])
+    want = eng.snapshot_sha256()
+
+    for name, cfg in (("lake_b", {}), ("lake_c", {"shuffle": "sort"})):
+        lake_b = str(tmp_path / name)
+        fresh = CDCEngine(EngineConfig(lake_dir=lake_b, num_partitions=4, **cfg))
+        shutil.copyfile(forget_list_path(eng.cfg.lake_dir), forget_list_path(lake_b))
+        fresh.replay(clog, events_per_epoch=1000)
+        assert _has_key(fresh, repo, path) == 0
+        assert fresh.snapshot_sha256() == want, name
+
+
+def test_event_newer_than_cutoff_readmits_key(tmp_path):
+    import pandas as pd
+
+    from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    eng, clog = _replayed(tmp_path)
+    repo, path = _some_live_key(eng)
+    eng.forget([(repo, path)])
+    cutoff = load_forget_list(eng.cfg.lake_dir)[0]["lsn"]
+
+    top = max_available_lsn(clog)
+    assert cutoff == top
+    write_changelog_shards(
+        pd.DataFrame(
+            {
+                "lsn": [top + 1],
+                "op": ["U"],
+                "repo": [repo],
+                "path": [path],
+                "commit": ["post-erasure"],
+                "lang": ["py"],
+                "content": ["fresh consent"],
+            }
+        ),
+        clog,
+        num_shards=1,
+    )
+    eng.replay(clog, events_per_epoch=10_000)
+    assert _has_key(eng, repo, path) == 1
+
+    # from-scratch replay with the same ban list converges to the same sha
+    lake_b = str(tmp_path / "lake_b")
+    fresh = CDCEngine(EngineConfig(lake_dir=lake_b, num_partitions=4))
+    shutil.copyfile(forget_list_path(eng.cfg.lake_dir), forget_list_path(lake_b))
+    fresh.replay(clog, events_per_epoch=10_000)
+    assert fresh.snapshot_sha256() == eng.snapshot_sha256()
+
+
+def test_repair_verifies_post_erasure_state(tmp_path):
+    eng, clog = _replayed(tmp_path)
+    repo, path = _some_live_key(eng)
+    eng.forget([(repo, path)])
+    sha = eng.snapshot_sha256()
+
+    # tamper EVERY partition's data file byte-wise, then heal them all: the
+    # rebuild must replay through the ban list to hit the recorded shas
+    ckpt = eng.checkpoint()
+    for part, info in sorted(ckpt.partitions.items()):
+        if not info.get("data_file"):
+            continue
+        with open(os.path.join(eng.cfg.lake_dir, info["data_file"]), "r+b") as f:
+            f.seek(50)
+            f.write(b"\x00\x00\x00\x00")
+        assert eng.repair_partition(clog, part) is True
+    assert (eng.fsck().to_pandas()["ok"] == 1).all()
+    assert eng.snapshot_sha256() == sha
+
+
+def test_rerun_heals_crash_between_save_and_rewrite(tmp_path):
+    eng, _ = _replayed(tmp_path)
+    repo, path = _some_live_key(eng)
+    # simulate the documented crash window: ban persisted, rewrite never ran
+    save_forget_list(
+        eng.cfg.lake_dir,
+        [{"repo": repo, "path": path, "lsn": eng.checkpoint().end_lsn}],
+    )
+    assert _has_key(eng, repo, path) == 1  # lake still shows the row
+    erased = eng.forget([(repo, path)])  # re-run = heal
+    assert erased == 1
+    assert _has_key(eng, repo, path) == 0
+    assert (eng.fsck().to_pandas()["ok"] == 1).all()
