@@ -146,3 +146,35 @@ def test_rerun_heals_crash_between_save_and_rewrite(tmp_path):
     assert erased == 1
     assert _has_key(eng, repo, path) == 0
     assert (eng.fsck().to_pandas()["ok"] == 1).all()
+
+
+def test_forget_changefeed_deltas_and_index_sync(tmp_path):
+    from arches_rascoll_etl_ray.pipelines.index import SecondaryIndex
+
+    eng, _ = _replayed(tmp_path)
+    repo, path = _some_live_key(eng)
+    idx = SecondaryIndex(str(tmp_path / "idx"), column="lang", num_partitions=4)
+    idx.sync(eng)
+    snap = eng.snapshot_table()
+    m = pc.and_(pc.equal(snap["repo"], repo), pc.equal(snap["path"], path))
+    lang = snap.filter(m)["lang"][0].as_py()
+    keys0 = idx.lookup_keys(lang)
+    assert any(
+        r == repo and p == path
+        for r, p in zip(keys0["repo"].to_pylist(), keys0["path"].to_pylist())
+    )
+
+    epoch0 = eng.checkpoint().epoch
+    eng.forget([(repo, path)])
+    # downstream contract: erasure rides the changefeed as a pure delete
+    feed = eng.changefeed(epoch0, epoch0 + 1).take_all()
+    assert len(feed) == 1 and feed[0]["op"] == "D"
+    assert feed[0]["repo"] == repo and feed[0]["path"] == path
+    # and a changefeed-synced index drops the posting through normal sync
+    idx.sync(eng)
+    keys1 = idx.lookup_keys(lang)
+    assert not any(
+        r == repo and p == path
+        for r, p in zip(keys1["repo"].to_pylist(), keys1["path"].to_pylist())
+    )
+    assert len(keys1) == len(keys0) - 1
