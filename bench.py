@@ -151,6 +151,7 @@ def run_queries() -> dict:
         "q_pagerank",
         "cdc_branch",
         "cdc_fsck",
+        "cdc_forget",
     ]
     qs = em.queries()
     out = {}
