@@ -57,3 +57,66 @@ def read_shard_dataset(files: list[str]):
             ),
         )
     return ray.data.read_parquet(files)
+
+
+def _redact_shard(path: str, entries: list[dict]) -> int:
+    """Rewrite ONE shard dropping events matching the erasure entries.
+    Module-level so Ray ships the function. tmp+rename keeps a killed task
+    from leaving a torn shard; the rewrite is deterministic, so retries
+    converge on identical bytes. Returns events removed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arches_rascoll_etl_ray.stages.normalize import apply_forget_filter
+
+    if path.endswith(".csv"):
+        import pyarrow.csv as pacsv
+
+        t = pacsv.read_csv(
+            path,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            convert_options=pacsv.ConvertOptions(
+                column_types={"lsn": pa.int64()}, strings_can_be_null=True
+            ),
+        )
+    else:
+        t = pq.read_table(path)
+    kept = apply_forget_filter(t, entries)
+    removed = t.num_rows - kept.num_rows
+    if removed == 0:
+        return 0
+    tmp = path + ".tmp"
+    if path.endswith(".csv"):
+        kept.to_pandas().to_csv(tmp, index=False)
+    else:
+        pq.write_table(kept, tmp, row_group_size=64 * 1024, compression="lz4")
+    os.replace(tmp, path)
+    return removed
+
+
+def redact_changelog(changelog_dir: str, entries: list[dict]) -> int:
+    """GDPR redaction of the WAL itself — the producer-side half of key
+    erasure (CDCEngine.forget erases the LAKE and bans re-ingest; this
+    rewrites the retained changelog shards so the erased events' bytes are
+    gone at the source too). Entries use the forget-list shape
+    ({"repo", "path", "lsn"}: key equality AND lsn <= cutoff). One Ray task
+    per shard, harvested in bounded waves; shard NAMES are preserved — a
+    post-redaction shard's (lo, hi) range claim is a superset of its
+    contents, which LSN pruning tolerates (it may read a shard needlessly,
+    never skip one wrongly). After redaction a from-scratch replay WITHOUT
+    any ban list converges to the post-erasure state, because the events no
+    longer exist. Returns total events removed."""
+    import ray as _ray
+
+    if not entries:
+        return 0
+    files = [p for _, _, p in list_shards(changelog_dir)]
+    if not files:
+        return 0
+    task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(_redact_shard)
+    refs = [task.remote(p, entries) for p in files]
+    removed = 0
+    while refs:
+        done, refs = _ray.wait(refs, num_returns=min(64, len(refs)))
+        removed += sum(_ray.get(done))
+    return removed

@@ -210,3 +210,33 @@ def test_vacuum_after_forget_leaves_no_trace_in_data_files(tmp_path):
 
     with pytest.raises(Exception):
         eng.checkpoint(epoch=1)
+
+
+def test_redact_changelog_removes_source_bytes_and_replays_clean(tmp_path):
+    """The producer-side half: after forget + redact_changelog, the erased
+    events' bytes are gone from the WAL shards themselves, and a
+    from-scratch replay WITHOUT any ban list converges to the post-erasure
+    sha (the events no longer exist to resurrect)."""
+    from arches_rascoll_etl_ray.sources.changelog import list_shards, redact_changelog
+
+    eng, clog = _replayed(tmp_path)
+    repo, path = _some_live_key(eng)
+    eng.forget([(repo, path)])
+    want = eng.snapshot_sha256()
+    entries = load_forget_list(eng.cfg.lake_dir)
+
+    removed = redact_changelog(clog, entries)
+    assert removed > 0
+    assert redact_changelog(clog, entries) == 0  # idempotent
+
+    # the key pair's bytes are gone from every shard
+    for _, _, p in list_shards(clog):
+        with open(p, "rb") as fh:
+            blob = fh.read()
+        assert not (repo.encode() in blob and path.encode() in blob), p
+
+    # no ban list needed anymore: the redacted WAL replays to the same state
+    fresh = CDCEngine(EngineConfig(lake_dir=str(tmp_path / "lake_r"), num_partitions=4))
+    fresh.replay(clog, events_per_epoch=1000)
+    assert _has_key(fresh, repo, path) == 0
+    assert fresh.snapshot_sha256() == want
