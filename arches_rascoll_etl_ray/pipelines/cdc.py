@@ -1219,10 +1219,12 @@ class CDCEngine:
 
         Documented limits: snapshots/branches taken and time-travel pins
         recorded BEFORE the erasure still reference the old data files —
-        `vacuum()` them per your retention policy; the changelog itself is
-        the producer's to redact (this engine guarantees it will never
-        re-apply the erased events). Returns the number of live rows
-        erased."""
+        `vacuum()` them per your retention policy (forget + vacuum leaves
+        no erased-key bytes in any retained data file, pinned in
+        tests/test_forget.py); the WAL's own bytes are scrubbed with
+        `sources.changelog.redact_changelog(clog_dir, entries)` — after
+        redaction a replay needs no ban list at all. Returns the number of
+        live rows erased."""
         import numpy as _np
         import ray as _ray
 
