@@ -240,3 +240,29 @@ def test_redact_changelog_removes_source_bytes_and_replays_clean(tmp_path):
     fresh.replay(clog, events_per_epoch=1000)
     assert _has_key(fresh, repo, path) == 0
     assert fresh.snapshot_sha256() == want
+
+
+def test_forget_lsm_mode_folds_runs_and_targets_one_partition(tmp_path):
+    """LSM lakes (the small-epoch 10^10 regime) erase too: pending sorted
+    runs fold into the rewritten base, and only the erased key's routed
+    partition rewrites — the other partitions' committed files are
+    untouched (forget cost is O(1/P of the lake), not a full rewrite)."""
+    eng, _ = _replayed(tmp_path, merge_mode="lsm", lsm_compact_threshold=100_000)
+    repo, path = _some_live_key(eng)
+    before = {
+        p: (i.get("data_file"), tuple(i.get("runs") or []))
+        for p, i in eng.checkpoint().partitions.items()
+    }
+    assert any(r for _, r in before.values())  # runs genuinely pending
+
+    erased = eng.forget([(repo, path)])
+    assert erased == 1
+    assert _has_key(eng, repo, path) == 0
+    after = eng.checkpoint().partitions
+    changed = [
+        p for p, (df, runs) in before.items()
+        if (after[p].get("data_file"), tuple(after[p].get("runs") or [])) != (df, runs)
+    ]
+    assert len(changed) == 1  # only the routed partition rewrote
+    assert not after[changed[0]].get("runs")  # its runs folded away
+    assert (eng.fsck().to_pandas()["ok"] == 1).all()
