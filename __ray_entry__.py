@@ -35,8 +35,11 @@ _PRIORITY = [
     # distinct erasure surface, takes its window seat)
     "cdc_events_upsert", "cdc_forget", "cdc_events_evolution",
     "cdc_events_patch", "cdc_bootstrap_handoff", "cdc_retention",
+    # (cdc_replicate sits below the fold: replica apply is the changefeed
+    # surface cdc_changefeed already evidences — cdc_log_compaction, the
+    # Kafka-style WAL compaction primitive, takes its seat)
     "cdc_multi_table", "cdc_changefeed", "cdc_incremental_mv",
-    "cdc_replicate", "cdc_time_travel", "cdc_secondary_index",
+    "cdc_log_compaction", "cdc_time_travel", "cdc_secondary_index",
     "cdc_index_evolution", "cdc_dedup_incremental", "cdc_join_view",
     "cdc_lineage", "cdc_branch", "cdc_repartition", "cdc_distinct_mv",
     "cdc_fsck",

@@ -535,6 +535,15 @@ class CDCEngine:
             manifests = self._merge_epoch(epoch, start_lsn, end_lsn, touched, ckpt)
         else:
             ds = self._build_epoch_ds(changelog_dir, start_lsn, end_lsn)
+            if ds is None:
+                duration = _time.perf_counter() - t_epoch
+                new_ckpt = ckpt.advanced(
+                    epoch, end_lsn, [],
+                    evolution_version=(self.cfg.evolution.version if self.cfg.evolution else 1),
+                    metrics={"epoch": epoch, "events_applied": 0, "duration_sec": duration},
+                )
+                save_checkpoint(self.cfg.lake_dir, new_ckpt)
+                return new_ckpt
             normalize = make_normalize_fn(self.cfg)
             lo, hi = start_lsn, end_lsn
 
@@ -589,6 +598,11 @@ class CDCEngine:
 
     def _build_epoch_ds(self, changelog_dir: str, start_lsn: int, end_lsn: int):
         files = shards_for_range(changelog_dir, start_lsn, end_lsn)
+        if not files:
+            # a WAL gap (log compaction clusters survivors at high LSNs;
+            # redaction/retention can empty whole ranges) makes an epoch
+            # with zero events — a valid empty epoch, not an error
+            return None
         # Block size: ≤64 MiB (a data property — at 100 TB this dominates and
         # block count is huge regardless of cluster size), but when an
         # epoch's bytes are SMALLER than 64 MiB × cores the fixed target
@@ -624,9 +638,12 @@ class CDCEngine:
         from arches_rascoll_etl_ray.stages.merge import delta_dir, make_normalize_spill_fn
 
         ds = self._build_epoch_ds(changelog_dir, start_lsn, end_lsn)
-        spill = make_normalize_spill_fn(self.cfg, epoch, start_lsn, end_lsn)
-        # batch_size=None → one spill call per block: fewest, largest pieces
-        spill_stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
+        if ds is None:
+            spill_stats = []  # WAL gap: valid empty epoch
+        else:
+            spill = make_normalize_spill_fn(self.cfg, epoch, start_lsn, end_lsn)
+            # batch_size=None → one spill call per block: fewest, largest pieces
+            spill_stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
         touched = sorted({r["partition"] for r in spill_stats})
         if not touched:
             # pieces may exist from a crashed prior attempt of this epoch
@@ -731,7 +748,11 @@ class CDCEngine:
         """Group-spill + in-order merges; the writer lock is already held."""
         import time as _time
 
-        from arches_rascoll_etl_ray.stages.merge import delta_dir, make_multi_epoch_spill_fn
+        from arches_rascoll_etl_ray.stages.merge import (
+            delta_dir,
+            make_multi_epoch_spill_fn,
+            touched_parts_from_delta,
+        )
 
         lookahead = int(os.environ.get("ARER_SPILL_LOOKAHEAD", str(self._SPILL_LOOKAHEAD)))
         i = 0
@@ -745,8 +766,11 @@ class CDCEngine:
             ]
             t_group = _time.perf_counter()
             ds = self._build_epoch_ds(changelog_dir, group[0][0], group[-1][1])
-            spill = make_multi_epoch_spill_fn(self.cfg, epoch_bounds)
-            stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
+            if ds is None:
+                stats = []  # WAL gap: every epoch in the group is empty
+            else:
+                spill = make_multi_epoch_spill_fn(self.cfg, epoch_bounds)
+                stats = ds.map_batches(spill, batch_format="pyarrow", batch_size=None).take_all()
             spill_sec = _time.perf_counter() - t_group
             touched_by_epoch: dict[int, set[int]] = {ep: set() for ep, _, _ in epoch_bounds}
             for r in stats:

@@ -1277,3 +1277,39 @@ ORACLE_SQL["cdc_forget"] = f"""
     WHERE rn = 1 AND event_type <> 'delete'
       AND user_id NOT IN {_FORGET_USER_IDS!r}
 """
+
+
+def cdc_log_compaction(sf_dir: str):
+    """Kafka-style WAL log compaction: compact the events change stream
+    (keep per key only the max-LSN image, tombstones retained, patch
+    chains preserved — sources/changelog.py compact_changelog), then
+    replay ONLY the compacted log into a fresh lake. The oracle is the
+    plain LWW fold of the ORIGINAL stream — compaction must be invisible
+    to the final state while bootstrap cost drops from O(events) to
+    O(keys). Reference analogue: the reference re-reads its full staging
+    dump every run (arches_rascoll/ref_collection.py:201-248); compaction
+    is the incremental engine's answer to that re-read."""
+    from arches_rascoll_etl_ray.sources.changelog import compact_changelog, max_available_lsn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    clog_dir = _events_changelog(sf_dir, tag)
+    compacted = _fresh_lake(f"events_clog_compact_{tag}")  # fresh scratch dir
+    compact_changelog(clog_dir, compacted)
+    eng = CDCEngine(
+        EngineConfig(lake_dir=_fresh_lake(f"events_logcompact_{tag}"), num_partitions=8)
+    )
+    per_epoch = max(1, max_available_lsn(compacted) // 2)
+    eng.replay(compacted, events_per_epoch=per_epoch)
+    snap = eng.snapshot_table()
+    return pa.table(
+        {
+            "user_key": snap["repo"],
+            "last_event_id": pc.cast(snap["commit"], pa.int64()),
+            "last_event_type": snap["lang"],
+            "last_value_str": pc.cast(snap["content"], pa.string()),
+        }
+    )
+
+
+QUERIES["cdc_log_compaction"] = cdc_log_compaction
+ORACLE_SQL["cdc_log_compaction"] = ORACLE_SQL["cdc_events_upsert"]

@@ -152,6 +152,7 @@ def run_queries() -> dict:
         "cdc_branch",
         "cdc_fsck",
         "cdc_forget",
+        "cdc_log_compaction",
     ]
     qs = em.queries()
     out = {}
