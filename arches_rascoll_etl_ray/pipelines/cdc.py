@@ -1726,6 +1726,72 @@ class CDCEngine:
             total += sum(_ray.get(refs))
         return total
 
+    def export_changefeed(self, out_dir: str, fmt: str = "parquet") -> int:
+        """Transactional outbox: export every epoch committed since the
+        last call as a per-partition delta-file window
+        (``deltas-<from>-<to>/part-*.{parquet,jsonl}`` — the changefeed
+        schema: op + old_*/new_* images), exactly-once for a consumer that
+        reads committed windows in name order.
+
+        Exactly-once without a transaction log: the diff of two committed
+        epochs is DETERMINISTIC, each partition task writes tmp→rename with
+        a `.done` marker (a crashed export rerun redoes only the missing
+        partitions, rewriting identical bytes), the window's `_COMMITTED`
+        marker lands only after every partition's file, and the consumer
+        cursor (`_cursor.json`) advances last. A crash anywhere re-runs to
+        the same bytes; a consumer never sees a half-window because it
+        reads only `_COMMITTED` windows.
+
+        Fan-out mirrors changefeed(): one Ray task per TOUCHED partition
+        (byte-identical manifests are skipped without I/O), so a quiet
+        window costs only the partitions it touched. Returns delta rows
+        exported in this call."""
+        import json as _json
+
+        import ray as _ray
+
+        if fmt not in ("parquet", "jsonl"):
+            raise ValueError(f"unknown changefeed export format {fmt!r}")
+        os.makedirs(out_dir, exist_ok=True)
+        cursor_path = os.path.join(out_dir, "_cursor.json")
+        from_epoch = 0
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                from_epoch = _json.load(f)["epoch"]
+        ckpt = self.checkpoint()
+        to_epoch = ckpt.epoch
+        if to_epoch <= from_epoch:
+            return 0
+        ck0 = self.checkpoint(from_epoch) if from_epoch else None
+        wdir = os.path.join(out_dir, f"deltas-{from_epoch:06d}-{to_epoch:06d}")
+        os.makedirs(wdir, exist_ok=True)
+
+        task = _ray.remote(num_cpus=1, max_retries=3, retry_exceptions=True)(
+            _export_delta_partition
+        )
+        refs, total = [], 0
+        parts0 = ck0.partitions if ck0 else {}
+        for p in sorted(set(parts0) | set(ckpt.partitions)):
+            i0, i1 = parts0.get(p), ckpt.partitions.get(p)
+            if i0 == i1:
+                continue  # untouched: identical manifest, zero I/O
+            dst = os.path.join(wdir, f"part-{p:05d}.{fmt}")
+            if os.path.exists(dst + ".done"):
+                with open(dst + ".done") as f:
+                    total += int(f.read().split()[-1])
+                continue
+            refs.append(
+                task.remote(self.cfg, _json.dumps(i0), _json.dumps(i1), dst, fmt)
+            )
+        total += sum(_ray.get(refs))
+        with open(os.path.join(wdir, "_COMMITTED"), "w") as f:
+            f.write(f"{from_epoch} {to_epoch} {total}\n")
+        tmp = cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"epoch": to_epoch}, f)
+        os.replace(tmp, cursor_path)
+        return total
+
     def vacuum(self) -> int:
         """Delete superseded per-partition data/run files AND their
         manifests. Manifests are removed together with unreferenced data:
@@ -1871,6 +1937,40 @@ def _scan_partition_lineage(lake_dir: str, part: int, max_epoch: int) -> dict | 
         "first_epoch": min(d["epoch"] for d in active) if active else 0,
         "last_epoch": max(d["epoch"] for d in active) if active else 0,
     }
+
+
+def _export_delta_partition(cfg, old_json: str, new_json: str, dst: str, fmt: str) -> int:
+    """Worker side of export_changefeed: diff ONE partition's committed
+    state at the window's two horizons (deterministic) and write `dst`
+    atomically with its `.done` marker. Module-level so Ray ships the
+    function, not the engine."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from arches_rascoll_etl_ray.stages.merge import (
+        diff_partition_states,
+        empty_lake_table,
+        fold_partition_tables,
+        read_partition_state,
+    )
+
+    def fold(txt: str) -> pa.Table:
+        info = _json.loads(txt)
+        if not info:
+            return empty_lake_table(cfg)
+        return fold_partition_tables(cfg, read_partition_state(cfg, info))
+
+    deltas = diff_partition_states(cfg, fold(old_json), fold(new_json))
+    tmp = dst + ".tmp"
+    if fmt == "parquet":
+        _pq.write_table(deltas, tmp)
+    else:
+        deltas.to_pandas().to_json(tmp, orient="records", lines=True, force_ascii=False)
+    os.replace(tmp, dst)
+    with open(dst + ".done", "w") as f:
+        f.write(f"{deltas.num_rows}\n")
+    return deltas.num_rows
 
 
 def _export_partition_file(cfg, info: dict, dst: str, fmt: str, cols, current_v: int) -> int:
