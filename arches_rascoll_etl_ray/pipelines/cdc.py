@@ -1745,7 +1745,16 @@ class CDCEngine:
         Fan-out mirrors changefeed(): one Ray task per TOUCHED partition
         (byte-identical manifests are skipped without I/O), so a quiet
         window costs only the partitions it touched. Returns delta rows
-        exported in this call."""
+        exported in this call.
+
+        Operational notes: the cursor references the FROM epoch's
+        checkpoint, so export before vacuum() (vacuum drops non-latest
+        checkpoints — a vacuumed-away cursor epoch raises
+        FileNotFoundError rather than exporting a wrong window). A window
+        directory abandoned by a crash (no `_COMMITTED`) is invisible to
+        consumers; if later epochs commit first, the re-run opens a wider
+        window and the orphan stays inert — only an identical (from, to)
+        re-run can ever commit it, with identical bytes."""
         import json as _json
 
         import ray as _ray
