@@ -89,3 +89,17 @@ def test_export_crashed_window_reruns_to_identical_content(tmp_path):
     assert total == eng.snapshot_table().num_rows
     assert pq.read_table(f).equals(want)  # deterministic bytes → same deltas
     assert os.path.exists(os.path.join(wdir, "_COMMITTED"))
+
+
+def test_export_jsonl_format(tmp_path):
+    eng = _replayed(tmp_path)
+    out = str(tmp_path / "outbox")
+    total = eng.export_changefeed(out, fmt="jsonl")
+    assert total == eng.snapshot_table().num_rows
+    rows = []
+    for f in sorted(glob.glob(os.path.join(out, "deltas-*", "part-*.jsonl"))):
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    assert len(rows) == total
+    assert all(r["op"] == "I" for r in rows)  # first window = inserts
+    assert {"repo", "path"} <= set(rows[0])
