@@ -143,3 +143,43 @@ class MultiTableJob:
                     save_checkpoint(eng.cfg.lake_dir, ckpts[name])
                     eng._cleanup_delta(epochs[name])
             return ckpts
+
+    def consistency_watermark(self) -> int:
+        """The highest LSN at which EVERY table has a committed horizon —
+        min over tables' committed end_lsn. Tables advance through shared
+        epoch bounds (and phase-1 catch-up lands exactly on the shared
+        front), so each table has a checkpoint AT this LSN."""
+        return min(eng.checkpoint().end_lsn for eng in self.engines.values())
+
+    def consistent_snapshot(self):
+        """Cross-table consistent read (the transaction-metadata analogue):
+        every table AS OF the SAME LSN — the consistency watermark — so a
+        consumer joining across tables never sees table A past a change
+        stream position table B hasn't applied. Tables ahead of the
+        watermark serve their RETAINED checkpoint at that horizon (epoch
+        time travel; 'since the last vacuum', same contract as any AS-OF
+        read). Returns {table: ray.data.Dataset}.
+
+        Raises if a table's horizon at the watermark was vacuumed away or
+        the table was replayed OUTSIDE this job with different epoch
+        slicing (no committed checkpoint lands on the shared bound) —
+        refusing beats silently serving a torn cross-table view."""
+        from arches_rascoll_etl_ray.state.checkpoint import load_checkpoint_at
+
+        wm = self.consistency_watermark()
+        out = {}
+        for name, eng in self.engines.items():
+            ck = eng.checkpoint()
+            epoch = ck.epoch
+            while ck.end_lsn > wm and epoch > 0:
+                epoch -= 1
+                ck = load_checkpoint_at(eng.cfg.lake_dir, epoch)  # FileNotFoundError = vacuumed
+            if ck.end_lsn != wm:
+                raise ValueError(
+                    f"table {name!r} has no committed horizon at lsn {wm} "
+                    "(replayed outside the job with different epoch slicing, "
+                    "or the checkpoint was vacuumed) — cannot serve a "
+                    "consistent cross-table view"
+                )
+            out[name] = eng.snapshot_dataset(epoch=epoch)
+        return out

@@ -138,3 +138,61 @@ def test_multi_table_mixed_modes_and_evolution(tmp_path):
 
     lens = pc.utf8_length(py["content"])
     assert pc.all(pc.equal(py["content_len"], pc.cast(lens, py["content_len"].type))).as_py()
+
+
+def test_consistent_snapshot_aligned_and_diverged(tmp_path):
+    """Cross-table consistent read: aligned tables serve their live state;
+    after ONE table advances past the others (more WAL arrives, only that
+    table replays), the consistent view serves the advanced table AS OF
+    the shared watermark — its pre-advance state — never a torn join."""
+    import pandas as pd
+
+    from arches_rascoll_etl_ray.datagen.changelog_gen import write_changelog_shards
+    from arches_rascoll_etl_ray.sources.changelog import max_available_lsn
+
+    clog = ensure_changelog(
+        str(tmp_path / "clog"), num_files=200, num_events=2500, seed=7, num_shards=4
+    )
+    job = _job(tmp_path / "tables")
+    job.replay(clog, events_per_epoch=1000)
+
+    wm = job.consistency_watermark()
+    assert wm == max_available_lsn(clog)
+    views = job.consistent_snapshot()
+    assert set(views) == {"all_files", "python_files"}
+    live_rows = {n: job.engines[n].snapshot_table().num_rows for n in views}
+    assert {n: v.count() for n, v in views.items()} == live_rows
+
+    # diverge: new WAL arrives, only all_files replays it
+    top = max_available_lsn(clog)
+    write_changelog_shards(
+        pd.DataFrame(
+            {
+                "lsn": [top + 1],
+                "op": ["U"],
+                "repo": ["divergent_repo"],
+                "path": ["x.py"],
+                "commit": ["c9"],
+                "lang": ["python"],
+                "content": ["new"],
+            }
+        ),
+        clog,
+        num_shards=1,
+    )
+    job.engines["all_files"].replay(clog, events_per_epoch=10_000)
+    assert job.consistency_watermark() == top  # python_files still at top
+
+    views2 = job.consistent_snapshot()
+    # the advanced table serves its RETAINED pre-advance horizon: the new
+    # key is visible live but NOT in the consistent view
+    live = job.engines["all_files"].snapshot_table()
+    assert "divergent_repo" in set(live["repo"].to_pylist())
+    asof = views2["all_files"].to_arrow_refs()
+    asof_repos = set()
+    import ray as _ray
+
+    for r in asof:
+        asof_repos.update(_ray.get(r)["repo"].to_pylist())
+    assert "divergent_repo" not in asof_repos
+    assert views2["all_files"].count() == live_rows["all_files"]
