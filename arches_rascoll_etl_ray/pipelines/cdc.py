@@ -902,7 +902,9 @@ class CDCEngine:
         ckpt = ckpt if ckpt is not None else self.checkpoint()
         return any(i.get("runs") for i in ckpt.partitions.values())
 
-    def snapshot_dataset(self, epoch: int | None = None) -> ray.data.Dataset:
+    def snapshot_dataset(
+        self, epoch: int | None = None, columns: list[str] | None = None
+    ) -> ray.data.Dataset:
         """The lake table as a streaming Dataset — latest by default, or AS
         OF a committed `epoch` (time travel over retained checkpoints; the
         horizon is 'since the last vacuum'). Fast path (no LSM runs): a
@@ -910,25 +912,38 @@ class CDCEngine:
         task per partition (from_items → map_batches(batch_size=1)), each
         reading its base+runs and LWW-folding them. Historical snapshots
         are projected through the CURRENT evolution spec, like every other
-        read."""
+        read.
+
+        `columns` prunes the read ("prune at the read"): on the
+        no-evolution fast path it reaches read_parquet's footer-level
+        projection, so unrequested columns (the content payload, usually)
+        never leave storage; under an evolution spec or pending LSM runs
+        the projection/fold needs the raw rows, so pruning applies right
+        after — unrequested bytes still never cross a second operator."""
         from arches_rascoll_etl_ray.stages.merge import empty_lake_table
         from arches_rascoll_etl_ray.stages.normalize import apply_evolution
+
+        if columns is not None:
+            bad = [c for c in columns if c not in lake_columns(self.cfg)]
+            if bad:
+                raise ValueError(f"unknown snapshot columns {bad!r}")
 
         ckpt = self.checkpoint(epoch)
         if not self._has_runs(ckpt):
             files = self.snapshot_files(epoch)
             if not files:
-                return ray.data.from_arrow(empty_lake_table(self.cfg))
-            ds = ray.data.read_parquet(files)
+                ds = ray.data.from_arrow(empty_lake_table(self.cfg))
+                return ds.select_columns(columns) if columns else ds
             if self.cfg.evolution is not None:
                 # partitions untouched since a spec change still carry the
-                # old schema on disk — project every block forward
+                # old schema on disk — project every block forward (raw
+                # columns feed renames/computed cols, so prune AFTER)
                 spec = self.cfg.evolution
-                cols = lake_columns(self.cfg)
-                ds = ds.map_batches(
+                cols = columns or lake_columns(self.cfg)
+                return ray.data.read_parquet(files).map_batches(
                     lambda t: apply_evolution(t, spec).select(cols), batch_format="pyarrow"
                 )
-            return ds
+            return ray.data.read_parquet(files, columns=columns)
 
         from arches_rascoll_etl_ray.stages.merge import fold_partition_tables, read_partition_state
 
@@ -943,7 +958,8 @@ class CDCEngine:
             import json as _json
 
             info = _json.loads(batch["info_json"][0])
-            return fold_partition_tables(cfg, read_partition_state(cfg, info))
+            t = fold_partition_tables(cfg, read_partition_state(cfg, info))
+            return t.select(columns) if columns else t
 
         return ray.data.from_items(items).map_batches(
             fold_one, batch_size=1, batch_format="pandas"
